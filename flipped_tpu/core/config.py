@@ -1,0 +1,255 @@
+"""Configuration dataclasses for the flipped_tpu framework.
+
+Mirrors the reference CLI surface (reference: train.py:24-75 `get_args_parser`
+and train.py:154-168 `validate_args`) plus the LLaMA model hyperparameters
+(reference: llama/model.py:17-29 `ModelArgs`, llama_vqa.py:61-62), re-expressed
+as typed dataclasses so that every jit-traced function receives static,
+hashable config.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Static architecture hyperparameters of the adapter-gated LLaMA.
+
+    Defaults are LLaMA-7B; `from_params_json` ingests Meta's params.json the
+    same way the reference builds ModelArgs (llama_vqa.py:8-9, 61-62).
+    """
+
+    dim: int = 4096
+    n_layers: int = 32
+    n_heads: int = 32
+    vocab_size: int = 32000
+    multiple_of: int = 256
+    norm_eps: float = 1e-6
+    max_seq_len: int = 128
+    # Adapter prompting (reference: model.py:208, 304, 338-345)
+    adapter_len: int = 10
+    adapter_layer: int = 32
+    # Video splice (reference: model.py:193-194, 229)
+    max_feats: int = 10
+    visual_dim: int = 768
+    audio_dim: int = 1024
+    # Attention gate2 init magnitude (reference: model.py:85, train.py:65)
+    bias: float = 3.0
+    # QAV logit temperature (reference: model.py:248, 361; train.py:66)
+    tau: float = 100.0
+    rope_theta: float = 10000.0
+    # Audio fusion: None | 'audio_only' | 'sum' | 'concat' | 'attention'
+    # (reference: model.py:208-227, train.py:71-73)
+    audio_merge: Optional[str] = None
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.n_heads
+
+    @property
+    def ffn_hidden(self) -> int:
+        # SwiGLU hidden sizing (reference: model.py:131-135)
+        hidden = int(2 * (4 * self.dim) / 3)
+        return self.multiple_of * ((hidden + self.multiple_of - 1) // self.multiple_of)
+
+    @classmethod
+    def from_params_json(cls, path: str, **overrides) -> "ModelConfig":
+        with open(path) as f:
+            params = json.load(f)
+        known = {f.name for f in dataclasses.fields(cls)}
+        merged = {k: v for k, v in params.items() if k in known}
+        merged.update(overrides)
+        return cls(**merged)
+
+
+# Named presets matching Meta's released sizes; the reference selects these
+# via `--model llama7B_adapter` + params.json (llama_vqa.py:8-9).
+MODEL_PRESETS = {
+    "tiny": dict(dim=64, n_layers=2, n_heads=4, vocab_size=512, multiple_of=32),
+    "llama7B": dict(dim=4096, n_layers=32, n_heads=32),
+    "llama13B": dict(dim=5120, n_layers=40, n_heads=40),
+    "llama33B": dict(dim=6656, n_layers=60, n_heads=52),
+}
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset + batching configuration (reference: train.py:26-36, 45-55)."""
+
+    dataset: str = "nextqa"
+    data_root: str = "./data"
+    batch_size: int = 8
+    max_seq_len: int = 128
+    max_feats: int = 10
+    num_workers: int = 2
+    # Subtitles for VLEP/TVQA (reference: train.py:67)
+    sub: bool = False
+    # Audio flags (reference: train.py:71-73)
+    audio: bool = False
+    audio_only: bool = False
+    audio_merge: str = "none"
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimizer + schedule + objective configuration.
+
+    Reference: train.py:27-43 (epochs/lr/warmup/wd), train.py:63-64 (vaq/qav
+    toggles), train.py:104-107 (lr scaling), util/lr_sched.py:9-21 (schedule).
+    """
+
+    epochs: int = 5
+    warmup_epochs: float = 2.0
+    accum_iter: int = 1
+    blr: float = 9e-2
+    lr: Optional[float] = None  # absolute lr; derived from blr when None
+    min_lr: float = 0.0
+    weight_decay: float = 0.14
+    # Flipped objectives (VQA always on)
+    vaq: bool = False
+    qav: bool = False
+    # Eval style (reference: train.py:68)
+    is_generation_task: bool = False
+    seed: int = 0
+    output_dir: str = "./output_dir"
+    resume: str = ""
+    start_epoch: int = 0
+    clip_grad: Optional[float] = None
+    # Rematerialize transformer blocks to trade FLOPs for HBM
+    remat: bool = True
+    # Use the Pallas flash-attention kernel on TPU (einsum fallback otherwise)
+    flash_attention: bool = True
+
+    def absolute_lr(self, world_batch: int) -> float:
+        # lr = blr * eff_batch / 256 (reference: train.py:104-107)
+        if self.lr is not None:
+            return self.lr
+        return self.blr * world_batch / 256.0
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout. Axis sizes of 1 collapse to pure data parallel.
+
+    The reference is data-parallel only (SURVEY.md §2); tensor parallelism is
+    exposed here as an optional `tp` axis whose shardings reuse the reference
+    checkpoint split-dim table (llama_vqa.py:42-58).
+    """
+
+    dp: int = -1  # -1: all remaining devices
+    tp: int = 1
+
+
+@dataclass
+class RunConfig:
+    """Top-level bundle handed to the trainer/CLI."""
+
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    llama_model_path: str = "./pretrained/llama/"
+    model_name: str = "llama7B"
+    tokenizer_path: str = ""
+    debug: bool = False
+
+
+def get_args_parser() -> argparse.ArgumentParser:
+    """CLI flags with names matching the reference (train.py:24-75) so the
+    reference's run scripts translate one-to-one."""
+    p = argparse.ArgumentParser("flipped_tpu training", add_help=False)
+    p.add_argument("--batch_size", default=8, type=int)
+    p.add_argument("--epochs", default=5, type=int)
+    p.add_argument("--accum_iter", default=1, type=int)
+    p.add_argument("--llama_model_path", default="./pretrained/llama/", type=str)
+    p.add_argument("--model", default="llama7B", type=str)
+    p.add_argument("--adapter_layer", type=int, default=32)
+    p.add_argument("--adapter_len", type=int, default=10)
+    p.add_argument("--max_seq_len", type=int, default=128)
+    p.add_argument("--max_feats", type=int, default=10)
+    p.add_argument("--weight_decay", type=float, default=0.14)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--blr", type=float, default=9e-2)
+    p.add_argument("--min_lr", type=float, default=0.0)
+    p.add_argument("--warmup_epochs", type=float, default=2.0)
+    p.add_argument("--dataset", default="nextqa", type=str)
+    p.add_argument("--data_root", default="./data", type=str)
+    p.add_argument("--output_dir", default="./output_dir")
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--resume", default="")
+    p.add_argument("--start_epoch", default=0, type=int)
+    p.add_argument("--num_workers", default=2, type=int)
+    p.add_argument("--vaq", action="store_true")
+    p.add_argument("--qav", action="store_true")
+    p.add_argument("--bias", type=float, default=3.0)
+    p.add_argument("--tau", type=float, default=100.0)
+    p.add_argument("--sub", action="store_true")
+    p.add_argument("--is_generation_task", action="store_true")
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--audio", action="store_true")
+    p.add_argument("--audio_only", action="store_true")
+    p.add_argument("--audio_merge", type=str, default="none",
+                   choices=["sum", "concat", "attention", "none"])
+    p.add_argument("--dp", type=int, default=-1)
+    p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--no_remat", action="store_true")
+    p.add_argument("--no_flash", action="store_true")
+    p.add_argument("--clip_grad", type=float, default=None)
+    return p
+
+
+def validate_audio_flags(audio: bool, audio_only: bool, audio_merge: str) -> Optional[str]:
+    """Audio-flag consistency (reference: train.py:154-168). Returns the
+    resolved merge mode for ModelConfig.audio_merge."""
+    if audio_only and not audio:
+        raise ValueError("audio_only requires audio")
+    if audio and audio_only:
+        if audio_merge not in ("none", None):
+            raise ValueError("audio_only must not specify a merge method")
+        return "audio_only"
+    if audio:
+        if audio_merge not in ("sum", "concat", "attention"):
+            raise ValueError("audio without audio_only requires a merge method")
+        return audio_merge
+    return None
+
+
+def run_config_from_args(args: argparse.Namespace) -> RunConfig:
+    merge = validate_audio_flags(args.audio, args.audio_only, args.audio_merge)
+    name = args.model.replace("_adapter", "")
+    preset = MODEL_PRESETS.get(name, MODEL_PRESETS["llama7B"])
+    model = ModelConfig(
+        max_seq_len=args.max_seq_len,
+        adapter_len=args.adapter_len,
+        adapter_layer=args.adapter_layer,
+        max_feats=args.max_feats,
+        bias=args.bias,
+        tau=args.tau,
+        audio_merge=merge,
+        **preset,
+    )
+    data = DataConfig(
+        dataset=args.dataset, data_root=args.data_root,
+        batch_size=args.batch_size, max_seq_len=args.max_seq_len,
+        max_feats=args.max_feats, num_workers=args.num_workers, sub=args.sub,
+        audio=args.audio, audio_only=args.audio_only,
+        audio_merge=args.audio_merge, seed=args.seed,
+    )
+    train = TrainConfig(
+        epochs=args.epochs, warmup_epochs=args.warmup_epochs,
+        accum_iter=args.accum_iter, blr=args.blr, lr=args.lr,
+        min_lr=args.min_lr, weight_decay=args.weight_decay, vaq=args.vaq,
+        qav=args.qav, is_generation_task=args.is_generation_task,
+        seed=args.seed, output_dir=args.output_dir, resume=args.resume,
+        start_epoch=args.start_epoch, clip_grad=args.clip_grad,
+        remat=not args.no_remat, flash_attention=not args.no_flash,
+    )
+    mesh = MeshConfig(dp=args.dp, tp=args.tp)
+    return RunConfig(model=model, data=data, train=train, mesh=mesh,
+                     llama_model_path=args.llama_model_path,
+                     model_name=args.model, debug=args.debug)
