@@ -1,0 +1,86 @@
+"""Adapter-gated two-segment attention — exact einsum formulation.
+
+Re-implements the reference's Attention.forward math (reference:
+llama/model.py:87-128) in a decomposed form that is both exact and
+flash-friendly:
+
+    out = softmax(q·k_adapterᵀ) · tanh(gate1) @ v_adapter        (segment A)
+        + softmax(q·k_textᵀ + causal + gate2·video_block) @ v_text  (segment B)
+
+The reference concatenates both probability segments and does one PV matmul
+(model.py:123-126); since the two segments are softmax-normalized
+*independently* (model.py:115, 120), the sum of two attention outputs is
+mathematically identical. Segment A is a tiny exact attention over
+adapter_len (=10) keys; segment B is a standard causal attention with an
+additive per-head bias `gate2` on the rectangular block
+(rows ≥ video_start+max_feats) × (video_start ≤ cols < video_start+max_feats)
+(model.py:116-119) — which is exactly the form a flash kernel can stream.
+
+`video_start` is per-sequence with sentinel -1 meaning "no video block bias"
+(the reference passes video_start=None for the QAV objective, model.py:345).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def video_block_bias(video_start: jax.Array, seq_len: int, max_feats: int,
+                     gate2: jax.Array) -> jax.Array:
+    """Additive bias (B, H, S, S): gate2 on the text-rows × video-cols block.
+
+    video_start: (B,) int32, -1 → zero bias (reference: model.py:116-121).
+    gate2: (H,) learnable per-head scalar, init -bias (model.py:85).
+    """
+    rows = jnp.arange(seq_len)[:, None]      # (S, 1) query positions
+    cols = jnp.arange(seq_len)[None, :]      # (1, S) key positions
+    vs = video_start[:, None, None]          # (B, 1, 1)
+    block = ((rows >= vs + max_feats)
+             & (cols >= vs) & (cols < vs + max_feats)
+             & (vs >= 0))                    # (B, S, S) bool
+    return block[:, None, :, :] * gate2[None, :, None, None]
+
+
+def adapter_gated_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                            adapter_k: jax.Array, adapter_v: jax.Array,
+                            gate1: jax.Array, gate2: jax.Array,
+                            video_start: jax.Array, max_feats: int) -> jax.Array:
+    """Exact two-segment attention.
+
+    q, k, v:       (B, S, H, Dh) — rope already applied to q, k
+                   (adapter keys get NO rope, reference: model.py:96-101).
+    adapter_k/v:   (L, H, Dh) — shared across batch (model.py:99-100).
+    gate1, gate2:  (H,) learnable; gate1 zero-init, gate2 init -bias.
+    video_start:   (B,) int32, -1 sentinel → no gate2 block.
+    Returns:       (B, S, H*Dh)
+    """
+    b, s, h, dh = q.shape
+    scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32)).astype(q.dtype)
+
+    qh = jnp.einsum("bshd->bhsd", q)
+    kh = jnp.einsum("bshd->bhsd", k)
+    vh = jnp.einsum("bshd->bhsd", v)
+
+    # --- segment B: causal text attention with the video-block bias ---------
+    scores = jnp.einsum("bhsd,bhtd->bhst", qh, kh,
+                        preferred_element_type=jnp.float32) * scale
+    causal = jnp.tril(jnp.ones((s, s), dtype=bool))
+    scores = jnp.where(causal[None, None], scores, NEG_INF)
+    scores = scores + video_block_bias(video_start, s, max_feats,
+                                       gate2.astype(jnp.float32))
+    text_probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhst,bhtd->bhsd", text_probs.astype(q.dtype), vh,
+                     preferred_element_type=jnp.float32)
+
+    # --- segment A: adapter prefix, separate softmax × tanh(gate1) ----------
+    a_scores = jnp.einsum("bhsd,lhd->bhsl", qh, adapter_k.astype(q.dtype),
+                          preferred_element_type=jnp.float32) * scale
+    a_probs = (jax.nn.softmax(a_scores.astype(jnp.float32), axis=-1)
+               * jnp.tanh(gate1.astype(jnp.float32))[None, :, None, None])
+    out = out + jnp.einsum("bhsl,lhd->bhsd", a_probs.astype(q.dtype),
+                           adapter_v.astype(q.dtype),
+                           preferred_element_type=jnp.float32)
+
+    return jnp.einsum("bhsd->bshd", out.astype(q.dtype)).reshape(b, s, h * dh)

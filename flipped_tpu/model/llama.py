@@ -1,0 +1,330 @@
+"""Flax LLaMA with adapter prompting, attention gates, and video splicing.
+
+TPU-native re-design of the reference Transformer (reference:
+llama/model.py:172-365) with the same math but idiomatic JAX structure:
+
+  * The three objectives share one `encode()` over a stacked batch instead of
+    three sequential layer sweeps (reference: model.py:338-345) — XLA sees one
+    big matmul stream, and per-sequence `video_start` (sentinel -1) replaces
+    the reference's Python-level branch between gated/ungated objectives.
+  * Video features are spliced by a one-hot scatter-matmul over per-example
+    positions, covering both the reference's slice-assign for VQA/VAQ
+    (model.py:326-332) and the scatter_add for QAV (model.py:334-336).
+  * Token embeddings are frozen via stop_gradient (reference computes them
+    under torch.no_grad, model.py:286-294).
+  * The dead per-layer KV cache (reference: model.py:82-83) is omitted.
+
+Parameter tree mirrors the reference state_dict names (tok_embeddings,
+layers_N.attention.wq…, norm, output, adapter_query, temporal_emb,
+visual_proj, audio_proj, video_audio_cross_attn) so the checkpoint converter
+is a pure rename/transpose (see ckpt/convert.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core.config import ModelConfig
+from .attention import adapter_gated_attention
+from .layers import apply_rope, precompute_rope, rms_norm
+from .pallas import flash_adapter_attention
+
+
+def _torch_linear_init(fan_in: int):
+    # U(±1/sqrt(fan_in)) — torch nn.Linear default bound.
+    return nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+class Linear(nn.Module):
+    """Bias-free linear with the kernel stored (in, out)."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", _torch_linear_init(x.shape[-1]),
+                            (x.shape[-1], self.features), self.param_dtype)
+        return x @ kernel.astype(self.dtype)
+
+
+class RMSNorm(nn.Module):
+    dim: int
+    eps: float = 1e-6
+    param_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param("weight", nn.initializers.ones, (self.dim,),
+                            self.param_dtype)
+        return rms_norm(x, weight, self.eps)
+
+
+class Attention(nn.Module):
+    """Adapter-gated attention (reference: model.py:70-128)."""
+
+    cfg: ModelConfig
+    dtype: Any = jnp.bfloat16
+    frozen_dtype: Any = jnp.bfloat16
+    trainable_dtype: Any = jnp.float32
+    use_flash: bool = False
+
+    @nn.compact
+    def __call__(self, x, rope_cos, rope_sin, adapter, video_start):
+        cfg = self.cfg
+        b, s, _ = x.shape
+        h, dh = cfg.n_heads, cfg.head_dim
+        lin = functools.partial(Linear, cfg.dim, dtype=self.dtype,
+                                param_dtype=self.frozen_dtype)
+        wq, wk, wv, wo = lin(name="wq"), lin(name="wk"), lin(name="wv"), lin(name="wo")
+
+        q = wq(x).reshape(b, s, h, dh)
+        k = wk(x).reshape(b, s, h, dh)
+        v = wv(x).reshape(b, s, h, dh)
+        q = apply_rope(q, rope_cos, rope_sin)
+        k = apply_rope(k, rope_cos, rope_sin)
+
+        # Zero-init tanh gate on the adapter segment; -bias init on the
+        # video-block gate (reference: model.py:84-85).
+        gate1 = self.param("gate1", nn.initializers.zeros, (h,),
+                           self.trainable_dtype)
+        gate2 = self.param(
+            "gate2",
+            lambda key, shape, dtype: jnp.full(shape, -cfg.bias, dtype),
+            (h,), self.trainable_dtype)
+
+        if adapter is None:
+            # Layers below the adapter window run plain causal attention —
+            # same kernel with a zeroed adapter segment (tanh(0)·probs = 0).
+            adapter_k = jnp.zeros((1, h, dh), self.dtype)
+            adapter_v = jnp.zeros((1, h, dh), self.dtype)
+            gate1 = jnp.zeros((h,), self.trainable_dtype)
+        else:
+            # adapter: (L, dim) shared across batch (reference: model.py:99-100)
+            al = adapter.shape[0]
+            adapter_k = wk(adapter.astype(self.dtype)).reshape(al, h, dh)
+            adapter_v = wv(adapter.astype(self.dtype)).reshape(al, h, dh)
+
+        if self.use_flash:
+            out = flash_adapter_attention(
+                q, k, v, adapter_k, adapter_v, gate1, gate2, video_start,
+                cfg.max_feats)
+        else:
+            out = adapter_gated_attention(
+                q, k, v, adapter_k, adapter_v, gate1, gate2, video_start,
+                cfg.max_feats)
+        return wo(out)
+
+
+class FeedForward(nn.Module):
+    """SwiGLU FFN (reference: model.py:131-142)."""
+
+    cfg: ModelConfig
+    dtype: Any = jnp.bfloat16
+    frozen_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = self.cfg.ffn_hidden
+        w1 = Linear(hidden, dtype=self.dtype, param_dtype=self.frozen_dtype,
+                    name="w1")
+        w2 = Linear(self.cfg.dim, dtype=self.dtype,
+                    param_dtype=self.frozen_dtype, name="w2")
+        w3 = Linear(hidden, dtype=self.dtype, param_dtype=self.frozen_dtype,
+                    name="w3")
+        return w2(jax.nn.silu(w1(x)) * w3(x))
+
+
+class TransformerBlock(nn.Module):
+    """Pre-norm residual block (reference: model.py:172-187)."""
+
+    cfg: ModelConfig
+    dtype: Any = jnp.bfloat16
+    frozen_dtype: Any = jnp.bfloat16
+    trainable_dtype: Any = jnp.float32
+    use_flash: bool = False
+
+    @nn.compact
+    def __call__(self, x, rope_cos, rope_sin, adapter, video_start):
+        attn = Attention(self.cfg, self.dtype, self.frozen_dtype,
+                         self.trainable_dtype, self.use_flash,
+                         name="attention")
+        ffn = FeedForward(self.cfg, self.dtype, self.frozen_dtype,
+                          name="feed_forward")
+        attn_norm = RMSNorm(self.cfg.dim, self.cfg.norm_eps,
+                            self.frozen_dtype, name="attention_norm")
+        ffn_norm = RMSNorm(self.cfg.dim, self.cfg.norm_eps,
+                           self.frozen_dtype, name="ffn_norm")
+        h = x + attn(attn_norm(x), rope_cos, rope_sin, adapter, video_start)
+        return h + ffn(ffn_norm(h))
+
+
+class CrossAttentionModule(nn.Module):
+    """Single cross-attention of video queries over audio keys/values for the
+    'attention' audio-merge mode (reference: model.py:145-169)."""
+
+    feature_dim: int = 768
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, video, audio):
+        # torch Linear with bias (reference: model.py:148-150)
+        dense = functools.partial(nn.Dense, self.feature_dim, use_bias=True,
+                                  dtype=self.dtype, param_dtype=self.dtype)
+        q = dense(name="query")(video.astype(self.dtype))
+        k = dense(name="key")(audio.astype(self.dtype))
+        v = dense(name="value")(audio.astype(self.dtype))
+        scores = jnp.einsum("bfd,bad->bfa", q, k) / jnp.sqrt(
+            jnp.asarray(self.feature_dim, self.dtype))
+        probs = jax.nn.softmax(scores, axis=-1)
+        return jnp.einsum("bfa,bad->bfd", probs, v)
+
+
+class FlippedVQAModel(nn.Module):
+    """The full adapter-gated LLaMA (reference: model.py:190-365)."""
+
+    cfg: ModelConfig
+    dtype: Any = jnp.bfloat16
+    frozen_dtype: Any = jnp.bfloat16
+    trainable_dtype: Any = jnp.float32
+    use_flash: bool = False
+    remat: bool = False
+
+    def setup(self):
+        cfg = self.cfg
+        self.tok_embeddings = nn.Embed(
+            cfg.vocab_size, cfg.dim, dtype=self.dtype,
+            param_dtype=self.frozen_dtype,
+            embedding_init=nn.initializers.normal(1.0))
+        block_cls = TransformerBlock
+        if self.remat:
+            block_cls = nn.remat(TransformerBlock, static_argnums=())
+        self.blocks = [
+            block_cls(cfg, self.dtype, self.frozen_dtype,
+                      self.trainable_dtype, self.use_flash, name=f"layers_{i}")
+            for i in range(cfg.n_layers)
+        ]
+        self.norm = RMSNorm(cfg.dim, cfg.norm_eps, self.frozen_dtype,
+                            name="norm")
+        self.output = Linear(cfg.vocab_size, dtype=self.dtype,
+                             param_dtype=self.frozen_dtype, name="output")
+        # Trainables (reference: model.py:208, 229; llama_vqa.py:71-77)
+        self.adapter_query = self.param(
+            "adapter_query", nn.initializers.normal(1.0),
+            (cfg.adapter_len * cfg.adapter_layer, cfg.dim),
+            self.trainable_dtype)
+        self.temporal_emb = self.param(
+            "temporal_emb", nn.initializers.normal(1.0),
+            (cfg.max_feats, cfg.dim), self.trainable_dtype)
+
+        merge = cfg.audio_merge
+        if merge == "audio_only":
+            self.audio_proj = Linear(cfg.dim, dtype=self.dtype,
+                                     param_dtype=self.trainable_dtype,
+                                     name="audio_proj")
+        elif merge == "concat":
+            self.visual_proj = Linear(cfg.dim, dtype=self.dtype,
+                                      param_dtype=self.trainable_dtype,
+                                      name="visual_proj")
+        elif merge == "sum":
+            self.audio_proj = Linear(cfg.dim, dtype=self.dtype,
+                                     param_dtype=self.trainable_dtype,
+                                     name="audio_proj")
+            self.visual_proj = Linear(cfg.dim, dtype=self.dtype,
+                                      param_dtype=self.trainable_dtype,
+                                      name="visual_proj")
+        elif merge == "attention":
+            self.audio_proj = Linear(cfg.visual_dim, dtype=self.dtype,
+                                     param_dtype=self.trainable_dtype,
+                                     name="audio_proj")
+            self.video_audio_cross_attn = CrossAttentionModule(
+                cfg.visual_dim, dtype=jnp.float32,
+                name="video_audio_cross_attn")
+            self.visual_proj = Linear(cfg.dim, dtype=self.dtype,
+                                      param_dtype=self.trainable_dtype,
+                                      name="visual_proj")
+        else:  # video only
+            self.visual_proj = Linear(cfg.dim, dtype=self.dtype,
+                                      param_dtype=self.trainable_dtype,
+                                      name="visual_proj")
+
+    # --- multimodal fusion (reference: model.py:306-322) --------------------
+    def fuse(self, video: Optional[jax.Array],
+             audio: Optional[jax.Array]) -> jax.Array:
+        """Project video/audio features into model space → (B, F, dim).
+        This is the reference's `_video_feature` (pre-temporal-embedding),
+        which the QAV head also consumes (model.py:360)."""
+        merge = self.cfg.audio_merge
+        if merge == "audio_only":
+            return self.audio_proj(audio.astype(self.dtype))
+        if merge == "concat":
+            return self.visual_proj(
+                jnp.concatenate([video, audio], axis=-1).astype(self.dtype))
+        if merge == "sum":
+            return (self.audio_proj(audio.astype(self.dtype))
+                    + self.visual_proj(video.astype(self.dtype)))
+        if merge == "attention":
+            a = self.audio_proj(audio.astype(self.dtype))
+            fused = self.video_audio_cross_attn(video, a)
+            return self.visual_proj(fused.astype(self.dtype))
+        return self.visual_proj(video.astype(self.dtype))
+
+    def add_temporal(self, video_feature: jax.Array) -> jax.Array:
+        # (reference: model.py:324)
+        return (video_feature
+                + self.temporal_emb[None].astype(self.dtype)).astype(self.dtype)
+
+    # --- backbone ------------------------------------------------------------
+    def encode(self, tokens: jax.Array, video_feature: jax.Array,
+               video_start: jax.Array, splice_index: jax.Array) -> jax.Array:
+        """Embed, splice video, run all blocks + final norm → (B, S, dim).
+
+        tokens:        (B, S) int32
+        video_feature: (B, F, dim) — output of fuse() (temporal emb is added
+                       here, reference: model.py:324)
+        video_start:   (B,) int32; -1 → no gate2 video block (QAV rows)
+        splice_index:  (B, F) int32 — positions receiving video features;
+                       indices ≥ S are dropped (truncation-safe, mirroring
+                       the reference's range_limit, base_dataset.py:84-91)
+        """
+        cfg = self.cfg
+        b, s = tokens.shape
+        h = jax.lax.stop_gradient(self.tok_embeddings(tokens))
+
+        vf = self.add_temporal(video_feature)
+        # One-hot scatter: overwrite splice positions with video features.
+        onehot = jax.nn.one_hot(splice_index, s, dtype=self.dtype)  # (B,F,S)
+        is_video = jnp.einsum("bfs->bs", onehot)                    # (B,S)
+        h = (h * (1.0 - is_video[..., None])
+             + jnp.einsum("bfs,bfd->bsd", onehot, vf))
+
+        rope_cos, rope_sin = precompute_rope(cfg.head_dim, s, cfg.rope_theta)
+        adapters = self.adapter_query.reshape(
+            cfg.adapter_layer, cfg.adapter_len, cfg.dim)
+        first_adapted = cfg.n_layers - cfg.adapter_layer
+        for i, block in enumerate(self.blocks):
+            adapter = (adapters[i - first_adapted]
+                       if i >= first_adapted else None)
+            h = block(h, rope_cos, rope_sin, adapter, video_start)
+        return self.norm(h)
+
+    def lm_logits(self, h: jax.Array) -> jax.Array:
+        return self.output(h)
+
+    def qav_logits(self, h: jax.Array, video_feature: jax.Array) -> jax.Array:
+        """Frame-ordering logits: h · video_featureᵀ / tau over the F frames
+        (reference: model.py:358-361 — uses the *pre-temporal* features)."""
+        return (jnp.einsum("bsd,bfd->bsf", h[:, :-1].astype(jnp.float32),
+                           video_feature.astype(jnp.float32))
+                / self.cfg.tau)
+
+    def __call__(self, tokens, video, audio, video_start, splice_index):
+        """Init/compile convenience: fuse → encode → logits."""
+        vf = self.fuse(video, audio)
+        h = self.encode(tokens, vf, video_start, splice_index)
+        return self.lm_logits(h), self.qav_logits(h, vf)

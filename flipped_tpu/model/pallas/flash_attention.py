@@ -1,0 +1,204 @@
+"""Pallas TPU flash attention for the adapter-gated two-segment softmax.
+
+The reference attention (reference: llama/model.py:111-126) softmaxes the
+adapter segment and the text segment independently, then concatenates — so
+the output decomposes exactly into:
+
+    out = softmax(q·k_adapterᵀ)·tanh(gate1) @ v_adapter    (tiny: L=10 keys)
+        + softmax(q·k_textᵀ + causal + gate2·block) @ v_text
+
+Segment B is the O(S²) hot path; this module streams it through a Pallas
+kernel that never materializes the (B, H, S, S) probability tensor in HBM:
+the grid walks (batch, head, q-block) and each program holds one q-block and
+the full K/V for its (batch, head) in VMEM (S ≤ ~1k for this workload, so
+K/V fit comfortably; a K-blocked online-softmax variant is unnecessary).
+The video-block gate2 bias (rows ≥ vs+F) × (vs ≤ cols < vs+F)
+(reference: model.py:116-119) is regenerated inside the kernel from the
+per-sequence scalar `video_start` — no bias tensor ever exists.
+
+Gradients: the op is wrapped in jax.custom_vjp; the backward pass recomputes
+through the exact einsum formulation (attention.py), which XLA fuses — the
+Pallas kernel accelerates the forward (and the remat'd forward inside the
+backward of rematerialized blocks).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..attention import adapter_gated_attention
+
+try:  # Pallas is TPU/GPU-only at runtime but importable everywhere
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(vs_ref, gate2_ref, q_ref, k_ref, v_ref, o_ref, *,
+                  bq: int, s_actual: int, max_feats: int, scale: float):
+    """One (batch, head, q-block) program.
+
+    q_ref: (BQ, Dh)   k_ref/v_ref: (S_pad, Dh)   o_ref: (BQ, Dh)
+    vs_ref: (B,) int32 scalar-prefetch; gate2_ref: (H,) f32 scalar-prefetch.
+    """
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    qi = pl.program_id(2)
+
+    q = q_ref[:].astype(jnp.bfloat16)
+    k = k_ref[:].astype(jnp.bfloat16)
+    s_pad = k.shape[0]
+
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # (BQ, S_pad)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (bq, s_pad), 0) + qi * bq
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, s_pad), 1)
+
+    vs = vs_ref[b]
+    gate2 = gate2_ref[h]
+    # gate2 bias on the (text rows × video cols) block; vs<0 disables it.
+    block = ((row >= vs + max_feats) & (col >= vs)
+             & (col < vs + max_feats) & (vs >= 0))
+    scores = scores + jnp.where(block, gate2, 0.0)
+    # causal + key-padding mask
+    valid = (col <= row) & (col < s_actual)
+    scores = jnp.where(valid, scores, NEG_INF)
+
+    probs = jax.nn.softmax(scores, axis=-1)
+    o_ref[:] = jax.lax.dot_general(
+        probs.astype(jnp.bfloat16), v_ref[:].astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _pad_to(x, size, axis):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def flash_text_attention(q, k, v, gate2, video_start, max_feats,
+                         block_q: int = 128, interpret: bool = False):
+    """Causal attention + gate2 video-block bias via Pallas.
+
+    q, k, v: (B, S, H, Dh); gate2: (H,); video_start: (B,) int32 (-1 → off).
+    Returns (B, S, H, Dh) in q.dtype.
+    """
+    b, s, h, dh = q.shape
+    scale = 1.0 / float(np.sqrt(dh))
+    s_pad = _round_up(s, 128)
+    bq = min(block_q, s_pad)
+    dh_pad = _round_up(dh, 128)
+
+    qt = _pad_to(_pad_to(q.transpose(0, 2, 1, 3), s_pad, 2), dh_pad, 3)
+    kt = _pad_to(_pad_to(k.transpose(0, 2, 1, 3), s_pad, 2), dh_pad, 3)
+    vt = _pad_to(_pad_to(v.transpose(0, 2, 1, 3), s_pad, 2), dh_pad, 3)
+
+    grid = (b, h, s_pad // bq)
+    kernel = functools.partial(_flash_kernel, bq=bq, s_actual=s,
+                               max_feats=max_feats, scale=scale)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, dh_pad),
+                         lambda bi, hi, qi, *_: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, s_pad, dh_pad),
+                         lambda bi, hi, qi, *_: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, s_pad, dh_pad),
+                         lambda bi, hi, qi, *_: (bi, hi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, dh_pad),
+                               lambda bi, hi, qi, *_: (bi, hi, qi, 0)),
+    )
+
+    def kernel_4d(vs_ref, g2_ref, q_ref, k_ref, v_ref, o_ref):
+        kernel(vs_ref, g2_ref, q_ref.at[0, 0], k_ref.at[0, 0],
+               v_ref.at[0, 0], o_ref.at[0, 0])
+
+    out = pl.pallas_call(
+        kernel_4d,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, s_pad, dh_pad), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s * s * dh,
+            bytes_accessed=(3 * b * h * s * dh + b * h * s * dh) * 2,
+            transcendentals=b * h * s * s,
+        ),
+    )(video_start.astype(jnp.int32), gate2.astype(jnp.float32), qt, kt, vt)
+
+    return out[:, :, :s, :dh].transpose(0, 2, 1, 3)
+
+
+def _adapter_segment(q, adapter_k, adapter_v, gate1):
+    """Exact tiny attention over the adapter prefix (L≈10 keys), softmaxed
+    independently and scaled by tanh(gate1) (reference: model.py:115)."""
+    b, s, h, dh = q.shape
+    scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32)).astype(q.dtype)
+    scores = jnp.einsum("bshd,lhd->bhsl", q, adapter_k.astype(q.dtype),
+                        preferred_element_type=jnp.float32) * scale
+    probs = (jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+             * jnp.tanh(gate1.astype(jnp.float32))[None, :, None, None])
+    return jnp.einsum("bhsl,lhd->bshd", probs.astype(q.dtype),
+                      adapter_v.astype(q.dtype),
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def _flash_adapter_attention(q, k, v, adapter_k, adapter_v, gate1, gate2,
+                             video_start, max_feats):
+    text = flash_text_attention(q, k, v, gate2, video_start, max_feats)
+    out = text + _adapter_segment(q, adapter_k, adapter_v, gate1)
+    b, s, h, dh = q.shape
+    return out.reshape(b, s, h * dh)
+
+
+def _fwd(q, k, v, adapter_k, adapter_v, gate1, gate2, video_start, max_feats):
+    out = _flash_adapter_attention(q, k, v, adapter_k, adapter_v, gate1,
+                                   gate2, video_start, max_feats)
+    return out, (q, k, v, adapter_k, adapter_v, gate1, gate2, video_start)
+
+
+def _bwd(max_feats, res, g):
+    q, k, v, adapter_k, adapter_v, gate1, gate2, video_start = res
+    # Recompute-based backward through the exact einsum formulation.
+    def f(q, k, v, ak, av, g1, g2):
+        return adapter_gated_attention(q, k, v, ak, av, g1, g2,
+                                       video_start, max_feats)
+    _, vjp = jax.vjp(f, q, k, v, adapter_k, adapter_v, gate1, gate2)
+    grads = vjp(g)
+    vs_zero = np.zeros(video_start.shape, dtype=jax.dtypes.float0)
+    return (*grads, vs_zero)
+
+
+_flash_adapter_attention.defvjp(_fwd, _bwd)
+
+
+def flash_adapter_attention(q, k, v, adapter_k, adapter_v, gate1, gate2,
+                            video_start, max_feats):
+    """Drop-in replacement for attention.adapter_gated_attention using the
+    Pallas kernel for the O(S²) text segment. Falls back to the exact einsum
+    path off-TPU."""
+    if not _HAS_PALLAS or jax.default_backend() != "tpu":
+        return adapter_gated_attention(q, k, v, adapter_k, adapter_v, gate1,
+                                       gate2, video_start, max_feats)
+    return _flash_adapter_attention(q, k, v, adapter_k, adapter_v, gate1,
+                                    gate2, video_start, max_feats)

@@ -10,6 +10,11 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import pytest  # noqa: E402
+import jax  # noqa: E402
+
+# Numerical parity tests need true-f32 matmuls (JAX's default allows bf16
+# passes even for f32 inputs, which quantizes outputs to the bf16 grid).
+jax.config.update("jax_default_matmul_precision", "highest")
 
 
 @pytest.fixture(scope="session")
