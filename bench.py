@@ -1,0 +1,157 @@
+"""Benchmark: NExT-QA LLaMA-7B fine-tune train-step throughput on one chip.
+
+Measures the reference's headline configuration (README.md:62-64: 7B,
+max_seq_len 128, max_feats 10, --vaq --qav triple objective) as
+examples/sec/chip and MFU, printing ONE JSON line.
+
+vs_baseline: the reference repo publishes no throughput numbers
+(BASELINE.md), so the driver-set north star is used: measured MFU / 0.45
+(the ≥45%-MFU target on TPU).
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from flipped_tpu.core.config import ModelConfig, TrainConfig
+from flipped_tpu.data import add_accum_axis, make_synthetic_items, pack_train_batch
+from flipped_tpu.model import FlippedVQAModel
+from flipped_tpu.text import MockTokenizer
+from flipped_tpu.train import (make_optimizer, make_train_step,
+                               cast_partitions, partition_params)
+
+PRESETS = {
+    "7b": ModelConfig(dim=4096, n_layers=32, n_heads=32, vocab_size=32000,
+                      multiple_of=256, max_seq_len=128, adapter_len=10,
+                      adapter_layer=32, max_feats=10, bias=3.5, tau=100.0),
+    "small": ModelConfig(dim=512, n_layers=4, n_heads=8, vocab_size=32000,
+                         multiple_of=256, max_seq_len=128, adapter_len=10,
+                         adapter_layer=4, max_feats=10),
+    "tiny": ModelConfig(dim=64, n_layers=2, n_heads=4, vocab_size=512,
+                        multiple_of=32, max_seq_len=128, adapter_len=10,
+                        adapter_layer=2, max_feats=10, visual_dim=16),
+}
+
+# bf16 peak FLOPs per chip by TPU generation (for MFU).
+PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,   # v5e
+    "TPU v5": 459e12,        # v5p
+    "TPU v6 lite": 918e12,   # v6e (Trillium)
+    "cpu": 1e12,
+}
+
+
+def peak_flops() -> float:
+    kind = jax.devices()[0].device_kind
+    for k, v in PEAK_FLOPS.items():
+        if kind.startswith(k):
+            return v
+    return PEAK_FLOPS["cpu"]
+
+
+def train_step_flops(cfg: ModelConfig, n_seqs_lm: int, n_seqs_total: int,
+                     s: int) -> float:
+    """Analytic model FLOPs for one fused train step (fwd + frozen bwd).
+
+    Backbone matmul flops per token per layer: QKVO 8·D² + SwiGLU 6·D·Hf,
+    attention 4·S·D (scores+PV, causal halves it → 2·S·D effective; we count
+    the dense 4·S·D the kernel actually performs). LM head 2·D·V on VQA/VAQ
+    rows only. Backward through frozen weights costs ≈1× forward (activation
+    grads only, no weight-grad matmuls for the frozen 7B) → ×2 total.
+    """
+    d, hf, v, l = cfg.dim, cfg.ffn_hidden, cfg.vocab_size, cfg.n_layers
+    per_tok_layer = 8 * d * d + 6 * d * hf + 4 * s * d
+    backbone = n_seqs_total * s * l * per_tok_layer
+    head = n_seqs_lm * s * 2 * d * v
+    return 2.0 * (backbone + head)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="7b", choices=list(PRESETS))
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--accum", type=int, default=1)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--no-flash", action="store_true")
+    args = ap.parse_args()
+
+    cfg = PRESETS[args.preset]
+    on_tpu = jax.default_backend() == "tpu"
+    tok = MockTokenizer(cfg.vocab_size)
+    model = FlippedVQAModel(cfg, use_flash=on_tpu and not args.no_flash,
+                            remat=True)
+
+    b = args.batch * args.accum
+    items = make_synthetic_items(tok, b, max_feats=cfg.max_feats,
+                                 max_seq_len=cfg.max_seq_len,
+                                 visual_dim=cfg.visual_dim, seed=0)
+    batch = pack_train_batch(items, cfg.max_feats)
+
+    print(f"[bench] init {args.preset} on {jax.devices()[0].device_kind}…",
+          file=sys.stderr)
+    rng = jax.random.PRNGKey(0)
+    init_batch = {k: jnp.array(v[:1]) for k, v in batch.items()}
+    params = jax.jit(model.init)(
+        rng, init_batch["vqa_tokens"], init_batch["video"], None,
+        init_batch["vqa_video_start"], init_batch["vqa_splice"])["params"]
+    trainable, frozen = partition_params(params)
+    trainable, frozen = cast_partitions(trainable, frozen)
+
+    tcfg = TrainConfig(epochs=5, warmup_epochs=2, accum_iter=args.accum,
+                       blr=9e-2, weight_decay=0.14, vaq=True, qav=True)
+    tx = make_optimizer(tcfg, steps_per_epoch=100, world_batch=b)
+    opt_state = tx.init(trainable)
+    step = make_train_step(model, tx, vaq=True, qav=True)
+
+    batch = {k: jnp.array(v) for k, v in add_accum_axis(batch, args.accum).items()}
+
+    print("[bench] compiling…", file=sys.stderr)
+    t0 = time.perf_counter()
+    trainable, opt_state, m = step(trainable, opt_state, frozen, batch)
+    jax.block_until_ready(m.loss)
+    print(f"[bench] compile+first step {time.perf_counter()-t0:.1f}s, "
+          f"loss={float(m.loss):.3f}", file=sys.stderr)
+
+    for _ in range(args.warmup):
+        trainable, opt_state, m = step(trainable, opt_state, frozen, batch)
+    jax.block_until_ready(m.loss)
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        trainable, opt_state, m = step(trainable, opt_state, frozen, batch)
+    jax.block_until_ready(m.loss)
+    dt = (time.perf_counter() - t0) / args.steps
+
+    examples_per_sec = b / dt
+    s = cfg.max_seq_len
+    flops = train_step_flops(cfg, n_seqs_lm=2 * b, n_seqs_total=3 * b, s=s)
+    mfu = flops / dt / peak_flops()
+
+    result = {
+        "metric": "nextqa_7b_train_examples_per_sec_per_chip"
+                  if args.preset == "7b" else
+                  f"nextqa_{args.preset}_train_examples_per_sec_per_chip",
+        "value": round(examples_per_sec, 3),
+        "unit": "examples/s/chip",
+        "vs_baseline": round(mfu / 0.45, 4),
+        "extra": {
+            "step_time_s": round(dt, 4),
+            "mfu": round(mfu, 4),
+            "model_flops_per_step": flops,
+            "device": jax.devices()[0].device_kind,
+            "batch": args.batch, "accum": args.accum,
+            "seq_len": s, "loss": round(float(m.loss), 4),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

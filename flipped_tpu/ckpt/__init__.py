@@ -1,0 +1,10 @@
+from .convert import (convert_meta_checkpoint, export_reference_style,
+                      load_frozen_params, merge_shards, needs_transpose,
+                      split_dim_table, torch_name_to_flax_path)
+from .manager import CheckpointManager
+
+__all__ = [
+    "convert_meta_checkpoint", "export_reference_style", "load_frozen_params",
+    "merge_shards", "needs_transpose", "split_dim_table",
+    "torch_name_to_flax_path", "CheckpointManager",
+]

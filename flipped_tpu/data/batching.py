@@ -1,0 +1,134 @@
+"""Fixed-shape batch assembly for jit.
+
+Replaces the reference's batch_collate (reference: dataloader/__init__.py:28-90)
+with a flat dict-of-arrays contract the jit steps consume directly:
+
+Training batch (n_options squeezed to 1, reference: model.py:267):
+  video (B,F,Dv) f32 | audio (B,Fa,Da) f32, and per objective k∈{vqa,vaq,qav}:
+    {k}_tokens       (B,S) int32
+    {k}_labels       (B,S) int32
+    {k}_video_start  (B,)  int32 — gate2 anchor; -1 on qav rows (the
+                     reference passes video_start=None for QAV, model.py:345)
+    {k}_splice       (B,F) int32 — positions receiving video features
+
+Eval batch (option-expanded, reference: tokenizer.py:71-75):
+    vqa_tokens (B,n_opt,S), vqa_labels (B,n_opt,S), vqa_video_start (B,),
+    vqa_splice (B,F), answer (B,), qtype (B,)
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from ..text.masking import TextFeatures
+
+
+@dataclass
+class Item:
+    """Uniform per-example contract for all seven datasets (fixes the
+    reference's inconsistent item dicts, SURVEY.md §2)."""
+
+    features: TextFeatures
+    video: Optional[np.ndarray] = None       # (F, 768)
+    video_len: int = 0
+    audio: Optional[np.ndarray] = None       # (F, 1024) or (1, 1024)
+    audio_len: int = 0
+    answer: int = 0
+    qtype: int = -1
+    vid: str = ""
+    qid: int = 0
+    text: Any = None
+
+
+def pack_train_batch(items: List[Item], max_feats: int) -> Dict[str, np.ndarray]:
+    batch: Dict[str, np.ndarray] = {}
+    if items[0].video is not None:
+        batch["video"] = np.stack([it.video for it in items]).astype(np.float32)
+    if items[0].audio is not None:
+        batch["audio"] = np.stack([it.audio for it in items]).astype(np.float32)
+
+    arange_f = np.arange(max_feats, dtype=np.int32)
+    for k in ("vqa", "vaq", "qav"):
+        f = [it.features for it in items]
+        batch[f"{k}_tokens"] = np.stack([x.text_id[k][0] for x in f])
+        batch[f"{k}_labels"] = np.stack([x.label[k][0] for x in f])
+        if k == "qav":
+            # scatter positions are the QAV video span; no gate2 block
+            batch[f"{k}_video_start"] = np.full(len(items), -1, np.int32)
+            batch[f"{k}_splice"] = np.stack(
+                [x.video_index["qav"] for x in f]).astype(np.int32)
+        else:
+            vs = np.array([x.video_start[k] for x in f], np.int32)
+            batch[f"{k}_video_start"] = vs
+            batch[f"{k}_splice"] = vs[:, None] + arange_f[None]
+    return batch
+
+
+def pack_eval_batch(items: List[Item], max_feats: int) -> Dict[str, np.ndarray]:
+    batch: Dict[str, np.ndarray] = {}
+    if items[0].video is not None:
+        batch["video"] = np.stack([it.video for it in items]).astype(np.float32)
+    if items[0].audio is not None:
+        batch["audio"] = np.stack([it.audio for it in items]).astype(np.float32)
+    f = [it.features for it in items]
+    vs = np.array([x.video_start["vqa"] for x in f], np.int32)
+    batch["vqa_tokens"] = np.stack([x.text_id["vqa"] for x in f])
+    batch["vqa_labels"] = np.stack([x.label["vqa"] for x in f])
+    batch["vqa_video_start"] = vs
+    batch["vqa_splice"] = vs[:, None] + np.arange(max_feats, dtype=np.int32)[None]
+    batch["answer"] = np.array([it.answer for it in items], np.int32)
+    batch["qtype"] = np.array([it.qtype for it in items], np.int32)
+    return batch
+
+
+def add_accum_axis(batch: Dict[str, np.ndarray], accum: int) -> Dict[str, np.ndarray]:
+    """Reshape (accum*B, ...) → (accum, B, ...) for the scan-based
+    gradient accumulation."""
+    out = {}
+    for k, v in batch.items():
+        out[k] = v.reshape(accum, v.shape[0] // accum, *v.shape[1:])
+    return out
+
+
+# --- synthetic data for tests/benchmarks --------------------------------------
+
+_WORDS = ("dog cat man woman child ball car tree house bird water play run "
+          "jump walk talk eat laugh open close red blue green small large").split()
+
+
+def make_synthetic_items(tok, n: int, max_feats: int = 10,
+                         max_seq_len: int = 128, n_options: int = 5,
+                         split: str = "train", visual_dim: int = 768,
+                         audio: bool = False, audio_dim: int = 1024,
+                         seed: int = 0) -> List[Item]:
+    """Random NExT-QA-shaped examples through the real prompt/mask pipeline."""
+    from ..text.prompts import PromptText
+    from ..text.masking import build_text_features
+
+    rs = np.random.RandomState(seed)
+    mapping = {i: f"({chr(65 + i)})" for i in range(n_options)}
+    items = []
+    for qid in range(n):
+        words = rs.choice(_WORDS, size=6)
+        options = [str(rs.choice(_WORDS)) + " " + str(rs.choice(_WORDS))
+                   for _ in range(n_options)]
+        o_text = "Choices: \n" + "".join(
+            f"{mapping[i]} {options[i]}\n" for i in range(n_options))
+        text = PromptText(
+            q_text=f"Question: What does the {words[0]} {words[1]} do near the {words[2]}?\n",
+            o_text=o_text, a_text="Answer: The answer is ", options=options)
+        answer = int(rs.randint(n_options))
+        feats = build_text_features(tok, text, max_feats, max_seq_len, split,
+                                    mapping, answer)
+        items.append(Item(
+            features=feats,
+            video=rs.randn(max_feats, visual_dim).astype(np.float32),
+            video_len=max_feats,
+            audio=(rs.randn(max_feats, audio_dim).astype(np.float32)
+                   if audio else None),
+            audio_len=max_feats if audio else 0,
+            answer=answer, qtype=int(rs.randint(1, 4)), vid=f"v{qid}",
+            qid=qid, text=text))
+    return items

@@ -88,12 +88,20 @@ class MockTokenizer(_SpecialIds):
     """
 
     def __init__(self, n_words: int = 32000):
+        assert n_words >= 64, "MockTokenizer needs at least 64 ids"
         self.n_words = n_words
         self.bos_id = 1
         self.eos_id = 2
         self.pad_id = -1
-        self._fixed = {"Video": V_TOKEN_ID, "Question": Q_TOKEN_ID,
-                       "Answer": A_TOKEN_ID, "\n": NL_ID}
+        if n_words >= 32000:
+            self._fixed = {"Video": V_TOKEN_ID, "Question": Q_TOKEN_ID,
+                           "Answer": A_TOKEN_ID, "\n": NL_ID}
+        else:
+            # Small-vocab mode for tiny test models: anchors at low ids.
+            self.v_token_id, self.q_token_id, self.a_token_id = 14, 15, 16
+            self.nl_id = NL_ID
+            self._fixed = {"Video": 14, "Question": 15, "Answer": 16,
+                           "\n": NL_ID}
         self._id2piece = {v: k for k, v in self._fixed.items()}
         self._id2piece.update({self.bos_id: "<s>", self.eos_id: "</s>", 0: "<unk>"})
 
@@ -108,9 +116,13 @@ class MockTokenizer(_SpecialIds):
         if w in self._fixed:
             return self._fixed[w]
         h = self._stable_hash(w)
-        # Two bands avoiding specials & reserved low ids.
-        band = h % 2
-        wid = 100 + (h // 2) % 14899 if band == 0 else 23000 + (h // 2) % 8900
+        if self.n_words >= 32000:
+            # Two bands avoiding specials & reserved low ids.
+            band = h % 2
+            wid = (100 + (h // 2) % 14899 if band == 0
+                   else 23000 + (h // 2) % 8900)
+        else:
+            wid = 20 + h % (self.n_words - 20)
         self._id2piece.setdefault(wid, w)
         return wid
 

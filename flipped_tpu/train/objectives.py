@@ -1,0 +1,140 @@
+"""The three flipped objectives as one fused forward.
+
+The reference runs three sequential layer sweeps per step — VQA, VAQ, QAV
+share weights but traverse the network one after another (reference:
+llama/model.py:338-345). Here the enabled objectives are stacked on the batch
+axis into a single `encode()` call, so XLA sees one matmul stream per layer
+(3× larger, better MXU utilization) and per-sequence `video_start` sentinels
+replace the Python-level gate2 branch. The LM head runs only on the VQA/VAQ
+rows — QAV needs h·video_featureᵀ, not vocab logits (reference:
+model.py:358-361).
+
+Loss semantics preserved exactly:
+  * VQA/VAQ: cross-entropy on shifted labels with ignore_index=0 — the pad id
+    0 doubles as the mask (reference: model.py:233-234, 347-356).
+  * QAV: CE over max_feats frame indices of (h·vfᵀ)/tau with ignore_index=-1
+    (reference: model.py:235, 358-361), where vf is the *pre-temporal*
+    projected video feature.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Losses(NamedTuple):
+    vqa: jax.Array
+    vaq: jax.Array
+    qav: jax.Array
+
+    @property
+    def total(self):
+        return self.vqa + self.vaq + self.qav
+
+
+def ce_ignore_index(logits: jax.Array, labels: jax.Array,
+                    ignore_index: int) -> jax.Array:
+    """Mean cross-entropy over positions where labels != ignore_index,
+    matching torch.nn.CrossEntropyLoss(ignore_index=...) reduction."""
+    logits = logits.astype(jnp.float32)
+    valid = labels != ignore_index
+    safe_labels = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    tok_ll = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    losses = jnp.where(valid, -tok_ll, 0.0)
+    return losses.sum() / jnp.maximum(valid.sum(), 1)
+
+
+def token_ce_unreduced(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Per-token CE with ignore_index=0 → 0.0, unreduced — the reference's
+    inference_criterion (model.py:236, model_my_original_mod.py:375-377)."""
+    logits = logits.astype(jnp.float32)
+    valid = labels != 0
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    tok_ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    return jnp.where(valid, -tok_ll, 0.0)
+
+
+def fused_forward(model, params, batch: Dict[str, Any], vaq: bool, qav: bool):
+    """Run fuse + stacked encode; returns (h per objective, raw video feats).
+
+    batch keys (training shapes, n_options already squeezed to 1):
+      video (B,F,Dv)|audio (B,Fa,Da), and per objective k:
+      {k}_tokens (B,S) int32, {k}_labels (B,S) int32,
+      {k}_video_start (B,) int32 (-1 on qav rows), {k}_splice (B,F) int32.
+
+    Splitting encode from the loss heads lets eval reuse the same path."""
+    video = batch.get("video")
+    audio = batch.get("audio")
+    vf = model.apply(params, video, audio, method="fuse")  # (B,F,D)
+    b = batch["vqa_tokens"].shape[0]
+
+    keys = ["vqa"] + (["vaq"] if vaq else []) + (["qav"] if qav else [])
+    tokens = jnp.concatenate([batch[f"{k}_tokens"] for k in keys], axis=0)
+    vstart = jnp.concatenate([batch[f"{k}_video_start"] for k in keys], axis=0)
+    splice = jnp.concatenate([batch[f"{k}_splice"] for k in keys], axis=0)
+    vf_rep = jnp.concatenate([vf] * len(keys), axis=0)
+
+    h = model.apply(params, tokens, vf_rep, vstart, splice, method="encode")
+    parts = {k: h[i * b:(i + 1) * b] for i, k in enumerate(keys)}
+    return parts, vf
+
+
+def compute_objective_losses(model, params, batch: Dict[str, Any], vaq: bool,
+                             qav: bool) -> Losses:
+    parts, vf = fused_forward(model, params, batch, vaq, qav)
+    zero = jnp.zeros((), jnp.float32)
+
+    # LM head over VQA (+VAQ) rows only.
+    lm_keys = ["vqa"] + (["vaq"] if vaq else [])
+    lm_h = jnp.concatenate([parts[k] for k in lm_keys], axis=0)
+    logits = model.apply(params, lm_h, method="lm_logits")  # (nB,S,V)
+    b = batch["vqa_tokens"].shape[0]
+
+    def lm_loss(k, idx):
+        lg = logits[idx * b:(idx + 1) * b, :-1]
+        labels = batch[f"{k}_labels"][:, 1:]
+        return ce_ignore_index(lg, labels, ignore_index=0)
+
+    vqa_loss = lm_loss("vqa", 0)
+    vaq_loss = lm_loss("vaq", 1) if vaq else zero
+    if qav:
+        qav_logits = model.apply(params, parts["qav"], vf,
+                                 method="qav_logits")  # (B,S-1,F)
+        qav_loss = ce_ignore_index(qav_logits,
+                                   batch["qav_labels"][:, 1:],
+                                   ignore_index=-1)
+    else:
+        qav_loss = zero
+    return Losses(vqa=vqa_loss, vaq=vaq_loss, qav=qav_loss)
+
+
+def option_scores(model, params, batch: Dict[str, Any]) -> jax.Array:
+    """Classification eval: per-option mean token CE → (B, n_options).
+
+    Reproduces the reference's scoring: unreduced CE per token, count of
+    nonzero losses, prediction = argmin(sum/count) (reference:
+    model_my_original_mod.py:375-377, engine.py:87-93). Returns the per-option
+    score matrix; argmin is taken by the caller.
+    """
+    video = batch.get("video")
+    audio = batch.get("audio")
+    tokens = batch["vqa_tokens"]          # (B, n_opt, S)
+    labels = batch["vqa_labels"]          # (B, n_opt, S)
+    b, n_opt, s = tokens.shape
+
+    vf = model.apply(params, video, audio, method="fuse")       # (B,F,D)
+    vf_rep = jnp.repeat(vf, n_opt, axis=0)                       # (B*n,F,D)
+    vstart = jnp.repeat(batch["vqa_video_start"], n_opt, axis=0)
+    splice = jnp.repeat(batch["vqa_splice"], n_opt, axis=0)
+
+    h = model.apply(params, tokens.reshape(b * n_opt, s), vf_rep, vstart,
+                    splice, method="encode")
+    logits = model.apply(params, h[:, :-1], method="lm_logits")
+    tok_losses = token_ce_unreduced(
+        logits, labels.reshape(b * n_opt, s)[:, 1:])             # (B*n,S-1)
+    tok_losses = tok_losses.reshape(b, n_opt, s - 1)
+    count = jnp.maximum((tok_losses != 0).sum(-1), 1)
+    return tok_losses.sum(-1) / count

@@ -1,0 +1,186 @@
+"""End-to-end training-step tests on a tiny model: loss semantics vs torch,
+overfitting through the adapters only, partial-freeze invariants, and the
+classification eval scoring (reference: engine.py:10-56, 87-93)."""
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from flipped_tpu.core.config import ModelConfig, TrainConfig
+from flipped_tpu.data import (add_accum_axis, make_synthetic_items,
+                              pack_eval_batch, pack_train_batch)
+from flipped_tpu.model import FlippedVQAModel
+from flipped_tpu.text import MockTokenizer
+from flipped_tpu.train import (ce_ignore_index, is_trainable, make_eval_step,
+                               make_optimizer, make_train_step, merge_params,
+                               partition_params, token_ce_unreduced)
+
+CFG = ModelConfig(dim=32, n_layers=2, n_heads=4, vocab_size=512,
+                  multiple_of=16, max_seq_len=96, adapter_len=4,
+                  adapter_layer=2, max_feats=4, visual_dim=16, bias=3.0,
+                  tau=100.0)
+
+
+def build(seed=0, n=4, split="train"):
+    tok = MockTokenizer(CFG.vocab_size)
+    model = FlippedVQAModel(CFG, dtype=jnp.float32, frozen_dtype=jnp.float32,
+                            trainable_dtype=jnp.float32)
+    items = make_synthetic_items(tok, n, max_feats=CFG.max_feats,
+                                 max_seq_len=CFG.max_seq_len, split=split,
+                                 visual_dim=CFG.visual_dim, seed=seed)
+    if split == "train":
+        batch = pack_train_batch(items, CFG.max_feats)
+    else:
+        batch = pack_eval_batch(items, CFG.max_feats)
+    # init params from a dummy call
+    vs = jnp.array(batch["vqa_video_start"])
+    tokens = batch["vqa_tokens"]
+    if split != "train":
+        tokens = tokens[:, 0]
+    params = model.init(jax.random.PRNGKey(seed), jnp.array(tokens),
+                        jnp.array(batch["video"]), None, vs,
+                        jnp.array(batch["vqa_splice"]))
+    return model, params["params"], batch, items
+
+
+def test_ce_matches_torch_ignore_index():
+    rs = np.random.RandomState(0)
+    logits = rs.randn(3, 7, 11).astype(np.float32)
+    labels = rs.randint(0, 11, (3, 7))
+    labels[0, :4] = 0  # ignored
+    ours = ce_ignore_index(jnp.array(logits), jnp.array(labels), 0)
+    ref = torch.nn.functional.cross_entropy(
+        torch.tensor(logits).reshape(-1, 11), torch.tensor(labels).reshape(-1),
+        ignore_index=0)
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+    ours_m1 = ce_ignore_index(jnp.array(logits), jnp.array(labels - 1), -1)
+    ref_m1 = torch.nn.functional.cross_entropy(
+        torch.tensor(logits).reshape(-1, 11),
+        torch.tensor(labels - 1).reshape(-1), ignore_index=-1)
+    np.testing.assert_allclose(float(ours_m1), float(ref_m1), rtol=1e-5)
+
+
+def test_token_ce_unreduced_matches_torch():
+    rs = np.random.RandomState(1)
+    logits = rs.randn(4, 9).astype(np.float32)
+    labels = np.array([0, 3, 8, 0])
+    ours = token_ce_unreduced(jnp.array(logits), jnp.array(labels))
+    ref = torch.nn.functional.cross_entropy(
+        torch.tensor(logits), torch.tensor(labels), ignore_index=0,
+        reduction="none")
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=2e-4,
+                               atol=1e-5)
+
+
+def test_partition_markers():
+    model, params, batch, _ = build()
+    trainable, frozen = partition_params(params)
+    t_paths = {"/".join(str(getattr(k, "key", k)) for k in kp)
+               for kp, _ in jax.tree_util.tree_flatten_with_path(trainable)[0]}
+    # all-and-only the reference's trainables (llama_vqa.py:71-77) + audio fix
+    assert any("adapter_query" in p for p in t_paths)
+    assert any("temporal_emb" in p for p in t_paths)
+    assert any("visual_proj" in p for p in t_paths)
+    assert any("gate1" in p for p in t_paths)
+    assert any("gate2" in p for p in t_paths)
+    assert not any("wq" in p or "w1" in p or "tok_embeddings" in p
+                   or p.endswith("norm/weight") for p in t_paths)
+    # merge restores the exact original tree
+    merged = merge_params(trainable, frozen)
+    jax.tree_util.tree_map(lambda a, b: np.testing.assert_array_equal(a, b),
+                           merged, params)
+
+
+class TestTrainStep:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        model, params, batch, _ = build(n=4)
+        trainable, frozen = partition_params(params)
+        tcfg = TrainConfig(epochs=8, warmup_epochs=1, accum_iter=2, lr=1e-2,
+                           weight_decay=0.1, vaq=True, qav=True)
+        tx = make_optimizer(tcfg, steps_per_epoch=10, world_batch=4)
+        step = make_train_step(model, tx, vaq=True, qav=True)
+        opt_state = tx.init(trainable)
+        batch = add_accum_axis(batch, accum=2)
+        batch = {k: jnp.array(v) for k, v in batch.items()}
+        return model, trainable, frozen, opt_state, step, batch
+
+    def test_overfits_and_freezes(self, setup):
+        model, trainable, frozen, opt_state, step, batch = setup
+        frozen0 = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(), frozen)
+        first = None
+        for i in range(30):
+            trainable, opt_state, m = step(trainable, opt_state, frozen, batch)
+            if first is None:
+                first = float(m.loss)
+            assert np.isfinite(float(m.loss)), f"non-finite loss at step {i}"
+        last = float(m.loss)
+        # learning happens through adapters/gates/projections only — with a
+        # frozen *random* tiny backbone the reachable drop is modest, so we
+        # assert a clear monotone improvement, not convergence
+        assert last < first - 0.1, (first, last)
+        assert np.isfinite(float(m.grad_norm))
+        assert float(m.grad_norm) > 0.0
+        # frozen backbone is bit-identical after 30 updates
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+            frozen, frozen0)
+
+    def test_objective_toggles(self):
+        model, params, batch, _ = build(n=2)
+        trainable, frozen = partition_params(params)
+        tcfg = TrainConfig(vaq=False, qav=False)
+        tx = make_optimizer(tcfg, steps_per_epoch=10, world_batch=2)
+        step = make_train_step(model, tx, vaq=False, qav=False)
+        opt_state = tx.init(trainable)
+        b = {k: jnp.array(v) for k, v in add_accum_axis(batch, 1).items()}
+        _, _, m = step(trainable, opt_state, frozen, b)
+        assert float(m.vaq_loss) == 0.0 and float(m.qav_loss) == 0.0
+        assert float(m.vqa_loss) > 0.0
+
+
+class TestEvalStep:
+    def test_scores_and_prediction_shapes(self):
+        model, params, batch, items = build(n=3, split="val")
+        trainable, frozen = partition_params(params)
+        eval_step = make_eval_step(model)
+        out = eval_step(trainable, frozen,
+                        {k: jnp.array(v) for k, v in batch.items()
+                         if k not in ("answer", "qtype")})
+        assert out["scores"].shape == (3, 5)
+        assert out["prediction"].shape == (3,)
+        assert (np.asarray(out["prediction"]) ==
+                np.asarray(out["scores"]).argmin(-1)).all()
+
+    def test_scoring_prefers_likely_option(self):
+        """Scores must rank a forced-likely option first: train on one item
+        until VQA loss is tiny, then eval must pick the trained answer."""
+        model, params, batch, items = build(n=2, split="train", seed=3)
+        trainable, frozen = partition_params(params)
+        tcfg = TrainConfig(epochs=200, warmup_epochs=2, accum_iter=1,
+                           lr=1e-1, weight_decay=0.0)
+        tx = make_optimizer(tcfg, steps_per_epoch=1, world_batch=2)
+        step = make_train_step(model, tx, vaq=False, qav=False)
+        opt_state = tx.init(trainable)
+        b = {k: jnp.array(v) for k, v in add_accum_axis(batch, 1).items()}
+        for _ in range(150):
+            trainable, opt_state, m = step(trainable, opt_state, frozen, b)
+
+        # eval on the same items, option-expanded
+        tok = MockTokenizer(CFG.vocab_size)
+        eval_items = make_synthetic_items(
+            tok, 2, max_feats=CFG.max_feats, max_seq_len=CFG.max_seq_len,
+            split="val", visual_dim=CFG.visual_dim, seed=3)
+        for it_train, it_eval in zip(items, eval_items):
+            it_eval.video = it_train.video  # same video features
+        ebatch = pack_eval_batch(eval_items, CFG.max_feats)
+        eval_step = make_eval_step(model)
+        out = eval_step(trainable, frozen,
+                        {k: jnp.array(v) for k, v in ebatch.items()
+                         if k not in ("answer", "qtype")})
+        pred = np.asarray(out["prediction"])
+        ans = ebatch["answer"]
+        assert (pred == ans).mean() >= 0.5, (pred, ans, float(m.loss))
