@@ -1,5 +1,15 @@
 from .batching import (Item, add_accum_axis, make_synthetic_items,
                        pack_eval_batch, pack_train_batch)
+from .feature_store import FeatureStore, uniform_downsample
+from .datasets import (DATASETS, NUM_OPTIONS, QTYPE_MAPPINGS, DramaQA,
+                       MusicAVQA, NextQA, STAR, TVQA, Valor32K,
+                       VideoQADataset, VLEP, build_dataset, parse_srt)
+from .pipeline import Loader, load_data
 
-__all__ = ["Item", "add_accum_axis", "make_synthetic_items",
-           "pack_eval_batch", "pack_train_batch"]
+__all__ = [
+    "Item", "add_accum_axis", "make_synthetic_items", "pack_eval_batch",
+    "pack_train_batch", "FeatureStore", "uniform_downsample", "DATASETS",
+    "NUM_OPTIONS", "QTYPE_MAPPINGS", "DramaQA", "MusicAVQA", "NextQA",
+    "STAR", "TVQA", "Valor32K", "VideoQADataset", "VLEP", "build_dataset",
+    "parse_srt", "Loader", "load_data",
+]

@@ -1,0 +1,130 @@
+"""Input pipeline: per-host sharding, epoch shuffling, fixed-shape batches.
+
+TPU-native replacement of the reference's DataLoader + DistributedSampler
+(reference: dataloader/__init__.py:19-24): each JAX process reads its own
+contiguous shard of a seeded permutation (equivalent to DistributedSampler's
+rank slicing), tokenizes on host CPU, and emits fixed-shape numpy batches
+ready for device_put — jit never sees a ragged shape. The final partial batch
+is padded by wrap-around with a `valid` count so eval statistics match
+drop_last=False semantics.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from .batching import Item, add_accum_axis, pack_eval_batch, pack_train_batch
+from .datasets import VideoQADataset
+
+
+class Loader:
+    """Deterministic sharded loader with background prefetch."""
+
+    def __init__(self, dataset: VideoQADataset, batch_size: int,
+                 accum_iter: int = 1, shuffle: bool = True, seed: int = 0,
+                 split: str = "train", process_index: int = 0,
+                 process_count: int = 1, prefetch: int = 2,
+                 drop_last: Optional[bool] = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.accum_iter = accum_iter
+        self.shuffle = shuffle
+        self.seed = seed
+        self.split = split
+        self.process_index = process_index
+        self.process_count = process_count
+        self.prefetch = prefetch
+        self.max_feats = dataset.max_feats
+        # train batches must be full (fixed shapes + accum reshape); eval
+        # pads the tail batch instead of dropping it
+        self.drop_last = (split == "train") if drop_last is None else drop_last
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        # (reference: train.py:132-134 sampler.set_epoch)
+        self.epoch = epoch
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            order = rng.permutation(n)
+        # DistributedSampler-style per-process slice with wrap-around padding
+        per = (n + self.process_count - 1) // self.process_count
+        padded = np.concatenate([order, order[:per * self.process_count - n]])
+        return padded[self.process_index::self.process_count]
+
+    def __len__(self):
+        n = len(self._indices())
+        group = self.batch_size * self.accum_iter
+        if self.drop_last:
+            return n // group
+        return (n + group - 1) // group
+
+    def _batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        idx = self._indices()
+        group = self.batch_size * self.accum_iter
+        n_batches = len(self)
+        for b in range(n_batches):
+            sel = idx[b * group:(b + 1) * group]
+            valid = len(sel)
+            if valid < group:  # pad tail by wrap-around
+                sel = np.concatenate([sel, idx[:group - valid]])
+            items = [self.dataset.get_item(int(i)) for i in sel]
+            if self.split == "train":
+                batch = pack_train_batch(items, self.max_feats)
+                batch = add_accum_axis(batch, self.accum_iter)
+            else:
+                batch = pack_eval_batch(items, self.max_feats)
+            batch["valid"] = np.asarray(valid, np.int32)
+            yield batch
+
+    def __iter__(self):
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        err: list = []
+
+        def worker():
+            try:
+                for b in self._batches():
+                    q.put(b)
+            except BaseException as e:  # surface worker errors on the consumer
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            b = q.get()
+            if b is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield b
+
+
+def load_data(cfg, tokenizer, split: str = "train", accum_iter: int = 1,
+              process_index: Optional[int] = None,
+              process_count: Optional[int] = None) -> Loader:
+    """(reference: dataloader/__init__.py:15-26)"""
+    import jax
+
+    from .datasets import build_dataset
+
+    dataset = build_dataset(cfg, tokenizer, split)
+    return Loader(
+        dataset, cfg.batch_size,
+        accum_iter=accum_iter if split == "train" else 1,
+        shuffle=split == "train", seed=cfg.seed, split=split,
+        process_index=(jax.process_index() if process_index is None
+                       else process_index),
+        process_count=(jax.process_count() if process_count is None
+                       else process_count))

@@ -1,0 +1,248 @@
+"""Dataset reader tests over synthetic fixtures shaped like the reference's
+artifacts (CSV/JSON/JSONL + clipvitl14.pth dicts)."""
+import json
+import os
+
+import numpy as np
+import pytest
+import torch
+
+from flipped_tpu.core.config import DataConfig
+from flipped_tpu.data import (FeatureStore, Loader, build_dataset, parse_srt,
+                              uniform_downsample)
+from flipped_tpu.text import MockTokenizer
+
+
+def _save_features(path, vids, n_frames=16, dim=768, seed=0):
+    rs = np.random.RandomState(seed)
+    torch.save({v: torch.tensor(rs.randn(n_frames, dim).astype(np.float32))
+                for v in vids}, path)
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+
+    # --- nextqa ---------------------------------------------------------------
+    d = root / "nextqa"; d.mkdir()
+    rows = ["video,type,answer,question,a0,a1,a2,a3,a4"]
+    for i in range(6):
+        rows.append(f"vid{i},CW,{i % 5},what does the man do,run,jump,swim,fly,sleep")
+    (d / "train.csv").write_text("\n".join(rows))
+    (d / "val.csv").write_text("\n".join(rows[:4]))
+    _save_features(d / "clipvitl14.pth", [f"vid{i}" for i in range(5)])
+
+    # --- star -----------------------------------------------------------------
+    d = root / "star"; d.mkdir()
+    star = [dict(video_id=f"sv{i}", question_id=f"Interaction_T1_{i}",
+                 question="what did the person do",
+                 choices=[dict(choice_id=j, choice=f"choice {j}")
+                          for j in range(4)],
+                 answer=f"choice {i % 4}", start=1.0, end=9.0)
+            for i in range(4)]
+    (d / "STAR_train.json").write_text(json.dumps(star))
+    _save_features(d / "clipvitl14.pth", [f"sv{i}" for i in range(4)], n_frames=30)
+
+    # --- dramaqa ----------------------------------------------------------------
+    d = root / "dramaqa"; d.mkdir()
+    drama = [dict(vid="AA_0001_0000", que="who opened the door",
+                  answers=[f"ans {j}" for j in range(5)], correct_idx=2,
+                  shot_contained=[1, 3]),
+             dict(vid="AA_0001_0002", que="why did she leave",
+                  answers=[f"ans {j}" for j in range(5)], correct_idx=0,
+                  shot_contained=[2, 2])]
+    (d / "AnotherMissOhQA_train_set.json").write_text(json.dumps(drama))
+    _save_features(d / "clipvitl14.pth",
+                   [f"AA_0001_{i:04d}" for i in range(1, 4)], n_frames=5)
+
+    # --- vlep -------------------------------------------------------------------
+    d = root / "vlep"; d.mkdir()
+    vlep = [dict(vid_name=f"vl{i}", events=["he leaves", "he stays"],
+                 answer=i % 2, ts=[0.0, 5.0]) for i in range(3)]
+    (d / "vlep_train_release.jsonl").write_text(
+        "\n".join(json.dumps(x) for x in vlep))
+    (d / "vlep_dev_release.jsonl").write_text(json.dumps(vlep[0]))
+    subs = [dict(vid_name=f"vl{i}",
+                 sub=[dict(start=0, end=3, text=f"hello there {i}"),
+                      dict(start=4, end=9, text="out of window late")])
+            for i in range(3)]
+    (d / "vlep_subtitles.jsonl").write_text(
+        "\n".join(json.dumps(x) for x in subs))
+    _save_features(d / "clipvitl14.pth", [f"vl{i}" for i in range(3)])
+
+    # --- tvqa -------------------------------------------------------------------
+    d = root / "tvqa"; d.mkdir(); (d / "tvqa_subtitles").mkdir()
+    tvqa = [dict(vid_name=f"tv{i}", q="where is the cup",
+                 a0="table", a1="floor", a2="shelf", a3="bag", a4="car",
+                 answer_idx=i % 5, ts="1.2-8.9") for i in range(3)]
+    (d / "tvqa_train.jsonl").write_text(
+        "\n".join(json.dumps(x) for x in tvqa))
+    for i in range(3):
+        (d / "tvqa_subtitles" / f"tv{i}.srt").write_text(
+            "1\n00:00:01,000 --> 00:00:04,000\nHey come in\n\n"
+            "2\n00:00:05,500 --> 00:00:07,100\nSit down please\n")
+    _save_features(d / "clipvitl14.pth", [f"tv{i}" for i in range(3)],
+                   n_frames=40)
+
+    # --- musicavqa ----------------------------------------------------------------
+    d = root / "musicavqa"; d.mkdir()
+    mus = [dict(video_id=f"mv{i}",
+                question_content="How many <Object> are in the video",
+                anser="two", templ_values="['guitars']",
+                type="['Visual', 'Counting']") for i in range(2)]
+    (d / "avqa-train.json").write_text(json.dumps(mus))
+    _save_features(d / "clipvitl14.pth", [f"mv{i}" for i in range(2)])
+
+    # --- valor32k ------------------------------------------------------------------
+    d = root / "valor32k"; d.mkdir()
+    rows = ["video_id,question,mcq_1,mcq_2,mcq_3,mcq_4,correct_mcq,type,mode"]
+    for i in range(4):
+        rows.append(f"vr{i},what makes the sound,dog,cat,car,wind,{i % 4},desc,audio")
+    rows.append("missing,what is it,a,b,c,d,0,desc,audio")  # filtered out
+    (d / "processed_train_data.csv").write_text("\n".join(rows))
+    _save_features(d / "clipvitl14.pth", [f"vr{i}" for i in range(4)])
+
+    return str(root)
+
+
+def cfg_for(root, name, **kw):
+    return DataConfig(dataset=name, data_root=root, batch_size=2,
+                      max_seq_len=160, max_feats=10, **kw)
+
+
+TOK = MockTokenizer()
+
+
+def test_uniform_downsample():
+    feats = np.arange(40, dtype=np.float32).reshape(20, 2)
+    out, n = uniform_downsample(feats, 8, 2)
+    assert out.shape == (8, 2) and n == 8
+    assert (out[0] == feats[0]).all()
+    short, n = uniform_downsample(feats[:3], 8, 2)
+    assert short.shape == (8, 2) and n == 3
+    assert (short[3:] == 0).all()
+
+
+def test_parse_srt():
+    cues = parse_srt("1\n00:00:01,000 --> 00:00:04,250\nHello\nWorld\n\n"
+                     "2\n00:01:05,000 --> 00:01:07,000\nBye\n")
+    assert cues[0][:2] == (1, 4)
+    assert cues[0][2] == "Hello World"
+    assert cues[1][:2] == (65, 67)
+
+
+@pytest.mark.parametrize("name,n_expected", [
+    ("nextqa", 6), ("star", 4), ("dramaqa", 2), ("vlep", 3), ("tvqa", 3),
+    ("musicavqa", 2), ("valor32k", 4)])
+def test_all_datasets_uniform_contract(data_root, name, n_expected):
+    cfg = cfg_for(data_root, name, sub=name in ("vlep", "tvqa"))
+    ds = build_dataset(cfg, TOK, split="train")
+    assert len(ds) == n_expected
+    for i in range(len(ds)):
+        item = ds.get_item(i)
+        # uniform contract: every objective present with full fields
+        for k in ("vqa", "vaq", "qav"):
+            assert item.features.text_id[k].shape == (1, 160)
+            assert item.features.label[k].shape == (1, 160)
+            assert k in item.features.prefix_index
+        assert item.video.shape == (10, 768)
+        assert 0 <= item.answer < ds.num_options
+
+
+def test_nextqa_qtype_and_missing_video(data_root):
+    ds = build_dataset(cfg_for(data_root, "nextqa"), TOK, "train")
+    item = ds.get_item(0)
+    assert item.qtype == 2  # CW
+    # vid5 has no features → zero-padded fallback (reference: nextqa.py:65-67)
+    item5 = ds.get_item(5)
+    assert (item5.video[1:] == 0).all()
+    assert item5.video_len == 1
+
+
+def test_star_answer_lookup_and_window(data_root):
+    ds = build_dataset(cfg_for(data_root, "star"), TOK, "train")
+    item = ds.get_item(1)
+    assert item.answer == 1  # matched by option text (star.py:23)
+    assert item.qtype == 1
+
+
+def test_dramaqa_scene_concat(data_root):
+    ds = build_dataset(cfg_for(data_root, "dramaqa"), TOK, "train")
+    scene = ds.get_item(0)   # shots 1..3, 5 frames each → 15 frames → 10
+    assert scene.video.shape == (10, 768)
+    assert scene.video_len == 10
+    shot = ds.get_item(1)    # single shot, 5 frames → padded
+    assert shot.video_len == 5
+
+
+def test_vlep_dialogue_window(data_root):
+    cfg = cfg_for(data_root, "vlep", sub=True)
+    ds = build_dataset(cfg, TOK, "train")
+    item = ds.get_item(0)
+    # subtitle cue [0,3] falls inside ts [0,5]; [4,9] does not
+    d = item.text.d_text
+    assert "hello there 0" in d and "out of window" not in d
+
+
+def test_tvqa_subtitles_and_3fps(data_root):
+    cfg = cfg_for(data_root, "tvqa", sub=True)
+    ds = build_dataset(cfg, TOK, "train")
+    item = ds.get_item(0)
+    assert "Hey come in" in item.text.d_text
+    assert item.video.shape == (10, 768)
+
+
+def test_musicavqa_template_fill(data_root):
+    ds = build_dataset(cfg_for(data_root, "musicavqa"), TOK, "train")
+    item = ds.get_item(0)
+    assert "guitars" in item.text.q_text
+    assert item.qtype == 10  # Visual_Counting
+    assert ds.num_options == 1
+
+
+def test_valor32k_filters_missing_features(data_root):
+    ds = build_dataset(cfg_for(data_root, "valor32k"), TOK, "train")
+    assert len(ds) == 4  # 'missing' row dropped
+    assert ds.get_item(0).qtype == 8  # desc_audio
+
+
+class TestLoader:
+    def test_shapes_and_sharding(self, data_root):
+        cfg = cfg_for(data_root, "nextqa")
+        ds = build_dataset(cfg, TOK, "train")
+        loader = Loader(ds, batch_size=2, accum_iter=1, shuffle=True, seed=0,
+                        split="train", process_index=0, process_count=1,
+                        prefetch=0)
+        batches = list(loader)
+        assert len(batches) == 3
+        b = batches[0]
+        assert b["vqa_tokens"].shape == (1, 2, 160)
+        assert b["video"].shape == (1, 2, 10, 768)
+
+        # two-process sharding covers all examples exactly once per epoch
+        seen = []
+        for rank in range(2):
+            ld = Loader(ds, 1, shuffle=False, split="train",
+                        process_index=rank, process_count=2, prefetch=0)
+            for batch in ld:
+                seen.append(int(batch["vqa_tokens"][0, 0, 20]))
+        assert len(seen) == 6
+
+    def test_eval_tail_padding(self, data_root):
+        cfg = cfg_for(data_root, "nextqa")
+        ds = build_dataset(cfg, TOK, "val")  # 3 items, batch 2 → 2 batches
+        loader = Loader(ds, batch_size=2, shuffle=False, split="val",
+                        prefetch=0)
+        batches = list(loader)
+        assert len(batches) == 2
+        assert batches[0]["vqa_tokens"].shape == (2, 5, 160)
+        assert int(batches[1]["valid"]) == 1  # tail: 1 real example
+
+    def test_epoch_shuffling_changes_order(self, data_root):
+        cfg = cfg_for(data_root, "nextqa")
+        ds = build_dataset(cfg, TOK, "train")
+        ld = Loader(ds, 2, shuffle=True, seed=0, split="train", prefetch=0)
+        ld.set_epoch(0); order0 = ld._indices().tolist()
+        ld.set_epoch(1); order1 = ld._indices().tolist()
+        assert order0 != order1
+        assert sorted(order0) == sorted(order1)
