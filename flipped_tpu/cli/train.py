@@ -1,0 +1,217 @@
+"""Training CLI — the reference's train.py + engine.py as one entrypoint.
+
+Run:  python -m flipped_tpu.cli.train --dataset nextqa --batch_size 8
+          --max_seq_len 128 --vaq --qav --bias 3.5 --tau 100 --blr 9e-2 …
+
+Control flow mirrors the reference (train.py:78-152): distributed init →
+loaders → model build → optimizer → epoch loop {train_one_epoch,
+val_one_epoch, best-acc checkpoint, JSON-lines log}. Differences are
+TPU-native: GSPMD mesh instead of DDP/NCCL, no grad scaler (bf16), and the
+jit steps carry grad accumulation inside (engine.py:37-41 semantics).
+"""
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+from typing import Dict
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ckpt.manager import CheckpointManager
+from ..core.config import get_args_parser, run_config_from_args
+from ..core.mesh import DP_AXIS, batch_sharding, make_mesh, replicated
+from ..data.pipeline import load_data
+from ..train.builder import build_train_state
+from ..train.generation import decode_generated, make_generation_step
+from ..train.optim import lr_schedule, make_optimizer
+from ..train.step import make_eval_step, make_train_step
+from ..utils.logging import (is_main_process, save_result,
+                             setup_for_distributed, write_log_line)
+from ..utils.metrics import MetricLogger, SmoothedValue, log_qtype
+
+
+def _shard_batch(batch: Dict[str, np.ndarray], mesh, train: bool):
+    """dp-shard the batch axis (axis 1 under the accum axis for training,
+    axis 0 for eval); scalars replicate."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    out = {}
+    for k, v in batch.items():
+        if (k in ("valid", "answer", "qtype", "gt_answer")
+                or not isinstance(v, np.ndarray) or np.ndim(v) == 0):
+            continue
+        spec = P(None, DP_AXIS) if train else P(DP_AXIS)
+        if np.ndim(v) < (2 if train else 1):
+            spec = P()
+        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out
+
+
+def train_one_epoch(step, trainable, opt_state, frozen, loader, epoch, mesh,
+                    lr_fn, args):
+    """(reference: engine.py:10-56)"""
+    logger = MetricLogger()
+    logger.add_meter("lr", SmoothedValue(window_size=1, fmt="{value:.6f}"))
+    print_freq = max(len(loader) // 4, 1)
+    loader.set_epoch(epoch)
+
+    for it, batch in enumerate(logger.log_every(iter(loader), print_freq,
+                                                f"Epoch: [{epoch}]")):
+        sharded = _shard_batch(batch, mesh, train=True)
+        trainable, opt_state, m = step(trainable, opt_state, frozen, sharded)
+        loss = float(m.loss)
+        if not math.isfinite(loss):
+            # (reference: engine.py:33-35)
+            print(f"Loss is {loss}, stopping training")
+            sys.exit(1)
+        logger.update(loss=loss, vqa_loss=float(m.vqa_loss),
+                      vaq_loss=float(m.vaq_loss), qav_loss=float(m.qav_loss),
+                      grad_norm=float(m.grad_norm))
+        logger.update(lr=float(m.lr))
+        if args.debug:
+            break
+    logger.synchronize_between_processes()
+    print("Averaged stats:", logger)
+    return trainable, opt_state, logger.averages()
+
+
+def val_one_epoch(model, tokenizer, eval_step, gen_step, trainable, frozen,
+                  loader, epoch, mesh, run_cfg, args):
+    """(reference: engine.py:59-145)"""
+    logger = MetricLogger()
+    print_freq = max(len(loader) // 4, 1)
+    extracted_all = []
+    dataset = run_cfg.data.dataset
+
+    for it, batch in enumerate(logger.log_every(iter(loader), print_freq,
+                                                f"Epoch: [{epoch}]")):
+        valid = int(batch.get("valid", batch["answer"].shape[0]))
+        answer = batch["answer"][:valid]
+        qtype = batch["qtype"][:valid]
+        sharded = _shard_batch(
+            {k: v for k, v in batch.items()
+             if k not in ("answer", "qtype", "valid")}, mesh, train=False)
+
+        if run_cfg.train.is_generation_task:
+            out = gen_step(trainable, frozen, sharded)
+            generated = np.asarray(out["generated"])[:valid]
+            prediction = np.asarray(out["prediction"])[:valid]
+            answers = [decode_generated(tokenizer, g, tokenizer.eos_id)
+                       for g in generated]
+            extracted_all += [{"qid": int(it * loader.batch_size + i),
+                               "generated_answer": a}
+                              for i, a in enumerate(answers)]
+            if dataset == "musicavqa":
+                # string-prefix match vs the single GT option
+                # (reference: engine.py:100-116)
+                gt = batch.get("gt_answer", [""] * valid)[:valid]
+                correct = np.array(
+                    [1.0 if a.startswith(str(g)) else 0.0
+                     for a, g in zip(answers, gt)], np.float32)
+            else:
+                correct = (prediction == answer).astype(np.float32)
+        else:
+            out = eval_step(trainable, frozen, sharded)
+            prediction = np.asarray(out["prediction"])[:valid]
+            correct = (prediction == answer).astype(np.float32)
+
+        acc = float(correct.mean()) if valid else 0.0
+        log_qtype(dataset, qtype, correct, logger)
+        logger.update(n=valid, acc=acc)
+        if args.debug:
+            break
+
+    logger.synchronize_between_processes()
+    print("Averaged stats:", logger)
+    if run_cfg.train.is_generation_task and run_cfg.train.output_dir:
+        save_result(extracted_all,
+                    os.path.join(run_cfg.train.output_dir,
+                                 "extracted_answers"),
+                    f"extracted_answers_epoch{epoch}")
+    return logger.averages()
+
+
+def main(args):
+    if "JAX_COORDINATOR_ADDRESS" in os.environ:
+        jax.distributed.initialize()
+    setup_for_distributed()
+
+    run_cfg = run_config_from_args(args)
+    print(f"job dir: {os.path.dirname(os.path.realpath(__file__))}")
+    print(str(run_cfg).replace(", ", ",\n"))
+
+    mesh = make_mesh(run_cfg.mesh)
+    np.random.seed(run_cfg.train.seed + jax.process_index())
+
+    model, cfg, tokenizer, trainable, frozen = build_train_state(run_cfg)
+    with mesh:
+        trainable = jax.device_put(trainable, replicated(mesh))
+        frozen = jax.device_put(frozen, replicated(mesh))
+
+        loader_train = load_data(run_cfg.data, tokenizer, "train",
+                                 accum_iter=run_cfg.train.accum_iter)
+        loader_val = load_data(run_cfg.data, tokenizer, "val")
+
+        world_batch = (run_cfg.data.batch_size * run_cfg.train.accum_iter
+                       * jax.process_count() * mesh.shape[DP_AXIS])
+        print(f"effective batch size: {world_batch}")
+        print(f"actual lr: {run_cfg.train.absolute_lr(world_batch):.2e}")
+
+        steps_per_epoch = max(len(loader_train) * run_cfg.train.accum_iter, 1)
+        lr_fn = lr_schedule(run_cfg.train, steps_per_epoch, world_batch)
+        tx = make_optimizer(run_cfg.train, steps_per_epoch, world_batch)
+        opt_state = tx.init(trainable)
+        opt_state = jax.device_put(opt_state, replicated(mesh))
+
+        train_step = make_train_step(model, tx, vaq=run_cfg.train.vaq,
+                                     qav=run_cfg.train.qav, lr_fn=lr_fn)
+        eval_step = make_eval_step(model)
+        gen_step = (make_generation_step(model, tokenizer.eos_id)
+                    if run_cfg.train.is_generation_task else None)
+
+        mgr = CheckpointManager(run_cfg.train.output_dir)
+        start_epoch, best_acc = run_cfg.train.start_epoch, 0.0
+        if run_cfg.train.resume and mgr.exists(run_cfg.train.resume):
+            trainable, opt_state, meta = mgr.restore(
+                run_cfg.train.resume, trainable, opt_state)
+            start_epoch = meta["epoch"] + 1
+            best_acc = meta.get("best_acc", 0.0)
+            print(f"resumed from {run_cfg.train.resume} at epoch {start_epoch}")
+
+        print(f"Start training for {run_cfg.train.epochs} epochs")
+        t_start = time.time()
+        for epoch in range(start_epoch, run_cfg.train.epochs):
+            trainable, opt_state, train_stats = train_one_epoch(
+                train_step, trainable, opt_state, frozen, loader_train,
+                epoch, mesh, lr_fn, args)
+            val_stats = val_one_epoch(
+                model, tokenizer, eval_step, gen_step, trainable, frozen,
+                loader_val, epoch, mesh, run_cfg, args)
+
+            if run_cfg.train.output_dir and best_acc < val_stats.get("acc", 0):
+                best_acc = val_stats["acc"]
+                if is_main_process():
+                    mgr.save("checkpoint_best", trainable, opt_state, epoch,
+                             best_acc)
+                print(f"saved checkpoint_best (acc={best_acc:.4f})")
+
+            log_stats = {**{f"train_{k}": v for k, v in train_stats.items()},
+                         "epoch": epoch,
+                         **{f"val_{k}": v for k, v in val_stats.items()}}
+            write_log_line(run_cfg.train.output_dir, log_stats)
+            if args.debug:
+                break
+
+        print(f"Training time {time.time() - t_start:.0f}s, "
+              f"best acc {best_acc:.4f}")
+        return best_acc
+
+
+if __name__ == "__main__":
+    parser = get_args_parser()
+    main(parser.parse_args())

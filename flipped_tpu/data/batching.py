@@ -78,8 +78,16 @@ def pack_eval_batch(items: List[Item], max_feats: int) -> Dict[str, np.ndarray]:
     batch["vqa_labels"] = np.stack([x.label["vqa"] for x in f])
     batch["vqa_video_start"] = vs
     batch["vqa_splice"] = vs[:, None] + np.arange(max_feats, dtype=np.int32)[None]
+    # answer-span start of the option-0 sequence, for generation eval
+    # (reference: model.py:434 vqa_prefix_index)
+    batch["prefix"] = np.array([x.prefix_index["vqa"] for x in f], np.int32)
     batch["answer"] = np.array([it.answer for it in items], np.int32)
     batch["qtype"] = np.array([it.qtype for it in items], np.int32)
+    # ground-truth option text for MUSIC-AVQA's string-prefix matching
+    # (reference: engine.py:106-110)
+    batch["gt_answer"] = [
+        it.text.options[0] if getattr(it.text, "options", None) else ""
+        for it in items]
     return batch
 
 

@@ -84,3 +84,47 @@ def adapter_gated_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                            preferred_element_type=jnp.float32)
 
     return jnp.einsum("bhsd->bshd", out.astype(q.dtype)).reshape(b, s, h * dh)
+
+
+def decode_attention(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
+                     adapter_k: jax.Array, adapter_v: jax.Array,
+                     gate1: jax.Array, gate2: jax.Array,
+                     video_start: jax.Array, pos: jax.Array,
+                     max_feats: int) -> jax.Array:
+    """Single-token two-segment attention over a KV cache (the TPU-native
+    generation path; the reference re-runs the full O(S²) forward per token,
+    model.py:429-442).
+
+    q:             (B, 1, H, Dh) — rope already applied at `pos`
+    cache_k/v:     (B, Smax, H, Dh) — positions ≤ pos are live
+    video_start:   (B,) int32 (-1 → no gate2 block)
+    pos:           (B,) int32 — the query's absolute position
+    Returns (B, 1, H*Dh).
+    """
+    b, _, h, dh = q.shape
+    s_max = cache_k.shape[1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32)).astype(q.dtype)
+
+    scores = jnp.einsum("bohd,bthd->bhot", q, cache_k,
+                        preferred_element_type=jnp.float32) * scale
+    cols = jnp.arange(s_max)[None, None, None, :]        # (1,1,1,Smax)
+    p = pos[:, None, None, None]
+    vs = video_start[:, None, None, None]
+    # gate2 video block: this query row is ≥ vs+max_feats whenever decoding
+    # past the prompt; guard anyway (reference: model.py:116-119)
+    block = ((p >= vs + max_feats) & (cols >= vs)
+             & (cols < vs + max_feats) & (vs >= 0))
+    scores = scores + block * gate2.astype(jnp.float32)[None, :, None, None]
+    scores = jnp.where(cols <= p, scores, NEG_INF)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhot,bthd->bohd", probs.astype(q.dtype), cache_v,
+                     preferred_element_type=jnp.float32)
+
+    a_scores = jnp.einsum("bohd,lhd->bhol", q, adapter_k.astype(q.dtype),
+                          preferred_element_type=jnp.float32) * scale
+    a_probs = (jax.nn.softmax(a_scores.astype(jnp.float32), axis=-1)
+               * jnp.tanh(gate1.astype(jnp.float32))[None, :, None, None])
+    out = out + jnp.einsum("bhol,lhd->bohd", a_probs.astype(q.dtype),
+                           adapter_v.astype(q.dtype),
+                           preferred_element_type=jnp.float32)
+    return out.astype(q.dtype).reshape(b, 1, h * dh)

@@ -12,7 +12,10 @@ llama/model.py:172-365) with the same math but idiomatic JAX structure:
     (model.py:326-332) and the scatter_add for QAV (model.py:334-336).
   * Token embeddings are frozen via stop_gradient (reference computes them
     under torch.no_grad, model.py:286-294).
-  * The dead per-layer KV cache (reference: model.py:82-83) is omitted.
+  * Generation runs on a real KV cache (`prefill` + `decode_step`) instead of
+    the reference's full O(S²) re-forward per generated token
+    (model.py:429-442). The dead always-allocated per-layer cache of the
+    reference (model.py:82-83) does not exist — caches are explicit values.
 
 Parameter tree mirrors the reference state_dict names (tok_embeddings,
 layers_N.attention.wq…, norm, output, adapter_query, temporal_emb,
@@ -22,14 +25,14 @@ is a pure rename/transpose (see ckpt/convert.py).
 from __future__ import annotations
 
 import functools
-from typing import Any, Optional
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ..core.config import ModelConfig
-from .attention import adapter_gated_attention
+from .attention import adapter_gated_attention, decode_attention
 from .layers import apply_rope, precompute_rope, rms_norm
 from .pallas import flash_adapter_attention
 
@@ -74,51 +77,96 @@ class Attention(nn.Module):
     trainable_dtype: Any = jnp.float32
     use_flash: bool = False
 
-    @nn.compact
-    def __call__(self, x, rope_cos, rope_sin, adapter, video_start):
+    def setup(self):
         cfg = self.cfg
-        b, s, _ = x.shape
-        h, dh = cfg.n_heads, cfg.head_dim
         lin = functools.partial(Linear, cfg.dim, dtype=self.dtype,
                                 param_dtype=self.frozen_dtype)
-        wq, wk, wv, wo = lin(name="wq"), lin(name="wk"), lin(name="wv"), lin(name="wo")
-
-        q = wq(x).reshape(b, s, h, dh)
-        k = wk(x).reshape(b, s, h, dh)
-        v = wv(x).reshape(b, s, h, dh)
-        q = apply_rope(q, rope_cos, rope_sin)
-        k = apply_rope(k, rope_cos, rope_sin)
-
+        self.wq, self.wk, self.wv, self.wo = (lin(name=n) for n in
+                                              ("wq", "wk", "wv", "wo"))
         # Zero-init tanh gate on the adapter segment; -bias init on the
         # video-block gate (reference: model.py:84-85).
-        gate1 = self.param("gate1", nn.initializers.zeros, (h,),
-                           self.trainable_dtype)
-        gate2 = self.param(
-            "gate2",
-            lambda key, shape, dtype: jnp.full(shape, -cfg.bias, dtype),
-            (h,), self.trainable_dtype)
+        self.gate1 = self.param("gate1", nn.initializers.zeros,
+                                (cfg.n_heads,), self.trainable_dtype)
+        self.gate2 = self.param(
+            "gate2", lambda key, shape, dtype: jnp.full(shape, -cfg.bias,
+                                                        dtype),
+            (cfg.n_heads,), self.trainable_dtype)
 
+    def _qkv(self, x, rope_cos, rope_sin):
+        b, s, _ = x.shape
+        h, dh = self.cfg.n_heads, self.cfg.head_dim
+        q = self.wq(x).reshape(b, s, h, dh)
+        k = self.wk(x).reshape(b, s, h, dh)
+        v = self.wv(x).reshape(b, s, h, dh)
+        cos, sin = rope_cos[:s], rope_sin[:s]
+        return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
+
+    def _adapter_kv(self, adapter):
+        h, dh = self.cfg.n_heads, self.cfg.head_dim
         if adapter is None:
-            # Layers below the adapter window run plain causal attention —
-            # same kernel with a zeroed adapter segment (tanh(0)·probs = 0).
-            adapter_k = jnp.zeros((1, h, dh), self.dtype)
-            adapter_v = jnp.zeros((1, h, dh), self.dtype)
-            gate1 = jnp.zeros((h,), self.trainable_dtype)
-        else:
-            # adapter: (L, dim) shared across batch (reference: model.py:99-100)
-            al = adapter.shape[0]
-            adapter_k = wk(adapter.astype(self.dtype)).reshape(al, h, dh)
-            adapter_v = wv(adapter.astype(self.dtype)).reshape(al, h, dh)
+            # Layers below the adapter window: zeroed segment (tanh(0)·p = 0)
+            ak = jnp.zeros((1, h, dh), self.dtype)
+            av = jnp.zeros((1, h, dh), self.dtype)
+            g1 = jnp.zeros((h,), self.trainable_dtype)
+            return ak, av, g1
+        al = adapter.shape[0]
+        ak = self.wk(adapter.astype(self.dtype)).reshape(al, h, dh)
+        av = self.wv(adapter.astype(self.dtype)).reshape(al, h, dh)
+        return ak, av, self.gate1
 
-        if self.use_flash:
-            out = flash_adapter_attention(
-                q, k, v, adapter_k, adapter_v, gate1, gate2, video_start,
-                cfg.max_feats)
-        else:
-            out = adapter_gated_attention(
-                q, k, v, adapter_k, adapter_v, gate1, gate2, video_start,
-                cfg.max_feats)
-        return wo(out)
+    def __call__(self, x, rope_cos, rope_sin, adapter, video_start):
+        q, k, v = self._qkv(x, rope_cos, rope_sin)
+        ak, av, g1 = self._adapter_kv(adapter)
+        attend = (flash_adapter_attention if self.use_flash
+                  else adapter_gated_attention)
+        out = attend(q, k, v, ak, av, g1, self.gate2, video_start,
+                     self.cfg.max_feats)
+        return self.wo(out)
+
+    def prefill(self, x, rope_cos, rope_sin, adapter, video_start):
+        """Full forward that also returns the rope'd K / V for the cache."""
+        q, k, v = self._qkv(x, rope_cos, rope_sin)
+        ak, av, g1 = self._adapter_kv(adapter)
+        attend = (flash_adapter_attention if self.use_flash
+                  else adapter_gated_attention)
+        out = attend(q, k, v, ak, av, g1, self.gate2, video_start,
+                     self.cfg.max_feats)
+        return self.wo(out), k, v
+
+    def decode(self, x, rope_cos, rope_sin, adapter, video_start,
+               cache_k, cache_v, pos):
+        """Single-token step: x (B,1,D), pos (B,) absolute positions."""
+        b = x.shape[0]
+        h, dh = self.cfg.n_heads, self.cfg.head_dim
+        q = self.wq(x).reshape(b, 1, h, dh)
+        k = self.wk(x).reshape(b, 1, h, dh)
+        v = self.wv(x).reshape(b, 1, h, dh)
+        cos = rope_cos[pos][:, None]          # (B, 1, Dh/2)
+        sin = rope_sin[pos][:, None]
+        q = _rope_batched(q, cos, sin)
+        k = _rope_batched(k, cos, sin)
+        # scatter the new K/V into the cache at per-example pos
+        onehot = jax.nn.one_hot(pos, cache_k.shape[1],
+                                dtype=cache_k.dtype)[:, :, None, None]
+        cache_k = cache_k * (1 - onehot) + onehot * k.astype(cache_k.dtype)
+        cache_v = cache_v * (1 - onehot) + onehot * v.astype(cache_v.dtype)
+        ak, av, g1 = self._adapter_kv(adapter)
+        out = decode_attention(q, cache_k, cache_v, ak, av, g1, self.gate2,
+                               video_start, pos, self.cfg.max_feats)
+        return self.wo(out), cache_k, cache_v
+
+
+def _rope_batched(x, cos, sin):
+    """apply_rope with per-example tables: x (B,1,H,Dh), cos/sin (B,1,Dh/2)."""
+    orig = x.dtype
+    x32 = x.astype(jnp.float32)
+    pairs = x32.reshape(*x.shape[:-1], -1, 2)
+    x0, x1 = pairs[..., 0], pairs[..., 1]
+    c = cos[:, :, None, :].astype(jnp.float32)
+    s = sin[:, :, None, :].astype(jnp.float32)
+    out0 = x0 * c - x1 * s
+    out1 = x0 * s + x1 * c
+    return jnp.stack([out0, out1], axis=-1).reshape(x.shape).astype(orig)
 
 
 class FeedForward(nn.Module):
@@ -149,19 +197,34 @@ class TransformerBlock(nn.Module):
     trainable_dtype: Any = jnp.float32
     use_flash: bool = False
 
-    @nn.compact
+    def setup(self):
+        self.attention = Attention(self.cfg, self.dtype, self.frozen_dtype,
+                                   self.trainable_dtype, self.use_flash)
+        self.feed_forward = FeedForward(self.cfg, self.dtype,
+                                        self.frozen_dtype)
+        self.attention_norm = RMSNorm(self.cfg.dim, self.cfg.norm_eps,
+                                      self.frozen_dtype)
+        self.ffn_norm = RMSNorm(self.cfg.dim, self.cfg.norm_eps,
+                                self.frozen_dtype)
+
     def __call__(self, x, rope_cos, rope_sin, adapter, video_start):
-        attn = Attention(self.cfg, self.dtype, self.frozen_dtype,
-                         self.trainable_dtype, self.use_flash,
-                         name="attention")
-        ffn = FeedForward(self.cfg, self.dtype, self.frozen_dtype,
-                          name="feed_forward")
-        attn_norm = RMSNorm(self.cfg.dim, self.cfg.norm_eps,
-                            self.frozen_dtype, name="attention_norm")
-        ffn_norm = RMSNorm(self.cfg.dim, self.cfg.norm_eps,
-                           self.frozen_dtype, name="ffn_norm")
-        h = x + attn(attn_norm(x), rope_cos, rope_sin, adapter, video_start)
-        return h + ffn(ffn_norm(h))
+        h = x + self.attention(self.attention_norm(x), rope_cos, rope_sin,
+                               adapter, video_start)
+        return h + self.feed_forward(self.ffn_norm(h))
+
+    def prefill(self, x, rope_cos, rope_sin, adapter, video_start):
+        attn, k, v = self.attention.prefill(self.attention_norm(x), rope_cos,
+                                            rope_sin, adapter, video_start)
+        h = x + attn
+        return h + self.feed_forward(self.ffn_norm(h)), k, v
+
+    def decode(self, x, rope_cos, rope_sin, adapter, video_start,
+               cache_k, cache_v, pos):
+        attn, ck, cv = self.attention.decode(
+            self.attention_norm(x), rope_cos, rope_sin, adapter, video_start,
+            cache_k, cache_v, pos)
+        h = x + attn
+        return h + self.feed_forward(self.ffn_norm(h)), ck, cv
 
 
 class CrossAttentionModule(nn.Module):
@@ -201,12 +264,10 @@ class FlippedVQAModel(nn.Module):
             cfg.vocab_size, cfg.dim, dtype=self.dtype,
             param_dtype=self.frozen_dtype,
             embedding_init=nn.initializers.normal(1.0))
-        block_cls = TransformerBlock
-        if self.remat:
-            block_cls = nn.remat(TransformerBlock, static_argnums=())
         self.blocks = [
-            block_cls(cfg, self.dtype, self.frozen_dtype,
-                      self.trainable_dtype, self.use_flash, name=f"layers_{i}")
+            TransformerBlock(cfg, self.dtype, self.frozen_dtype,
+                             self.trainable_dtype, self.use_flash,
+                             name=f"layers_{i}")
             for i in range(cfg.n_layers)
         ]
         self.norm = RMSNorm(cfg.dim, cfg.norm_eps, self.frozen_dtype,
@@ -223,21 +284,15 @@ class FlippedVQAModel(nn.Module):
             (cfg.max_feats, cfg.dim), self.trainable_dtype)
 
         merge = cfg.audio_merge
+        proj = functools.partial(Linear, cfg.dim, dtype=self.dtype,
+                                 param_dtype=self.trainable_dtype)
         if merge == "audio_only":
-            self.audio_proj = Linear(cfg.dim, dtype=self.dtype,
-                                     param_dtype=self.trainable_dtype,
-                                     name="audio_proj")
+            self.audio_proj = proj(name="audio_proj")
         elif merge == "concat":
-            self.visual_proj = Linear(cfg.dim, dtype=self.dtype,
-                                      param_dtype=self.trainable_dtype,
-                                      name="visual_proj")
+            self.visual_proj = proj(name="visual_proj")
         elif merge == "sum":
-            self.audio_proj = Linear(cfg.dim, dtype=self.dtype,
-                                     param_dtype=self.trainable_dtype,
-                                     name="audio_proj")
-            self.visual_proj = Linear(cfg.dim, dtype=self.dtype,
-                                      param_dtype=self.trainable_dtype,
-                                      name="visual_proj")
+            self.audio_proj = proj(name="audio_proj")
+            self.visual_proj = proj(name="visual_proj")
         elif merge == "attention":
             self.audio_proj = Linear(cfg.visual_dim, dtype=self.dtype,
                                      param_dtype=self.trainable_dtype,
@@ -245,13 +300,9 @@ class FlippedVQAModel(nn.Module):
             self.video_audio_cross_attn = CrossAttentionModule(
                 cfg.visual_dim, dtype=jnp.float32,
                 name="video_audio_cross_attn")
-            self.visual_proj = Linear(cfg.dim, dtype=self.dtype,
-                                      param_dtype=self.trainable_dtype,
-                                      name="visual_proj")
+            self.visual_proj = proj(name="visual_proj")
         else:  # video only
-            self.visual_proj = Linear(cfg.dim, dtype=self.dtype,
-                                      param_dtype=self.trainable_dtype,
-                                      name="visual_proj")
+            self.visual_proj = proj(name="visual_proj")
 
     # --- multimodal fusion (reference: model.py:306-322) --------------------
     def fuse(self, video: Optional[jax.Array],
@@ -279,6 +330,24 @@ class FlippedVQAModel(nn.Module):
         return (video_feature
                 + self.temporal_emb[None].astype(self.dtype)).astype(self.dtype)
 
+    def _embed_and_splice(self, tokens, video_feature, splice_index):
+        s = tokens.shape[1]
+        h = jax.lax.stop_gradient(self.tok_embeddings(tokens))
+        vf = self.add_temporal(video_feature)
+        # One-hot scatter: overwrite splice positions with video features;
+        # indices ≥ S drop (truncation-safe, cf. base_dataset.py:84-91).
+        onehot = jax.nn.one_hot(splice_index, s, dtype=self.dtype)  # (B,F,S)
+        is_video = jnp.einsum("bfs->bs", onehot)
+        return (h * (1.0 - is_video[..., None])
+                + jnp.einsum("bfs,bfd->bsd", onehot, vf))
+
+    def _adapters(self):
+        cfg = self.cfg
+        adapters = self.adapter_query.reshape(cfg.adapter_layer,
+                                              cfg.adapter_len, cfg.dim)
+        first_adapted = cfg.n_layers - cfg.adapter_layer
+        return adapters, first_adapted
+
     # --- backbone ------------------------------------------------------------
     def encode(self, tokens: jax.Array, video_feature: jax.Array,
                video_start: jax.Array, splice_index: jax.Array) -> jax.Array:
@@ -288,29 +357,19 @@ class FlippedVQAModel(nn.Module):
         video_feature: (B, F, dim) — output of fuse() (temporal emb is added
                        here, reference: model.py:324)
         video_start:   (B,) int32; -1 → no gate2 video block (QAV rows)
-        splice_index:  (B, F) int32 — positions receiving video features;
-                       indices ≥ S are dropped (truncation-safe, mirroring
-                       the reference's range_limit, base_dataset.py:84-91)
+        splice_index:  (B, F) int32 — positions receiving video features
         """
         cfg = self.cfg
-        b, s = tokens.shape
-        h = jax.lax.stop_gradient(self.tok_embeddings(tokens))
-
-        vf = self.add_temporal(video_feature)
-        # One-hot scatter: overwrite splice positions with video features.
-        onehot = jax.nn.one_hot(splice_index, s, dtype=self.dtype)  # (B,F,S)
-        is_video = jnp.einsum("bfs->bs", onehot)                    # (B,S)
-        h = (h * (1.0 - is_video[..., None])
-             + jnp.einsum("bfs,bfd->bsd", onehot, vf))
-
-        rope_cos, rope_sin = precompute_rope(cfg.head_dim, s, cfg.rope_theta)
-        adapters = self.adapter_query.reshape(
-            cfg.adapter_layer, cfg.adapter_len, cfg.dim)
-        first_adapted = cfg.n_layers - cfg.adapter_layer
+        h = self._embed_and_splice(tokens, video_feature, splice_index)
+        rope_cos, rope_sin = precompute_rope(cfg.head_dim, tokens.shape[1],
+                                             cfg.rope_theta)
+        adapters, first_adapted = self._adapters()
+        block_call = (nn.remat(TransformerBlock.__call__) if self.remat
+                      else TransformerBlock.__call__)
         for i, block in enumerate(self.blocks):
             adapter = (adapters[i - first_adapted]
                        if i >= first_adapted else None)
-            h = block(h, rope_cos, rope_sin, adapter, video_start)
+            h = block_call(block, h, rope_cos, rope_sin, adapter, video_start)
         return self.norm(h)
 
     def lm_logits(self, h: jax.Array) -> jax.Array:
@@ -322,6 +381,55 @@ class FlippedVQAModel(nn.Module):
         return (jnp.einsum("bsd,bfd->bsf", h[:, :-1].astype(jnp.float32),
                            video_feature.astype(jnp.float32))
                 / self.cfg.tau)
+
+    # --- KV-cache generation --------------------------------------------------
+    def prefill(self, tokens: jax.Array, video_feature: jax.Array,
+                video_start: jax.Array, splice_index: jax.Array,
+                cache_len: int):
+        """Run the prompt once, filling a KV cache of length cache_len.
+        Returns (h_normed (B,S,D), cache_k (L,B,Smax,H,Dh), cache_v)."""
+        cfg = self.cfg
+        b, s = tokens.shape
+        h = self._embed_and_splice(tokens, video_feature, splice_index)
+        rope_cos, rope_sin = precompute_rope(cfg.head_dim, cache_len,
+                                             cfg.rope_theta)
+        adapters, first_adapted = self._adapters()
+        ck_all, cv_all = [], []
+        pad = cache_len - s
+        for i, block in enumerate(self.blocks):
+            adapter = (adapters[i - first_adapted]
+                       if i >= first_adapted else None)
+            h, k, v = block.prefill(h, rope_cos, rope_sin, adapter,
+                                    video_start)
+            ck_all.append(jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0))))
+            cv_all.append(jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0))))
+        return (self.norm(h), jnp.stack(ck_all), jnp.stack(cv_all))
+
+    def decode_step(self, token: jax.Array, cache_k: jax.Array,
+                    cache_v: jax.Array, pos: jax.Array,
+                    video_start: jax.Array):
+        """One greedy-decode step.
+
+        token: (B,) int32 — the token AT position pos (just generated or the
+        last prompt token); returns logits predicting position pos+1 and the
+        updated caches.
+        """
+        cfg = self.cfg
+        cache_len = cache_k.shape[2]
+        h = jax.lax.stop_gradient(self.tok_embeddings(token[:, None]))
+        rope_cos, rope_sin = precompute_rope(cfg.head_dim, cache_len,
+                                             cfg.rope_theta)
+        adapters, first_adapted = self._adapters()
+        new_ck, new_cv = [], []
+        for i, block in enumerate(self.blocks):
+            adapter = (adapters[i - first_adapted]
+                       if i >= first_adapted else None)
+            h, ck, cv = block.decode(h, rope_cos, rope_sin, adapter,
+                                     video_start, cache_k[i], cache_v[i], pos)
+            new_ck.append(ck)
+            new_cv.append(cv)
+        logits = self.output(self.norm(h))[:, 0]
+        return logits, jnp.stack(new_ck), jnp.stack(new_cv)
 
     def __call__(self, tokens, video, audio, video_start, splice_index):
         """Init/compile convenience: fuse → encode → logits."""

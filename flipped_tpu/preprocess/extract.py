@@ -1,0 +1,136 @@
+"""Offline feature extraction: videos → CLIP ViT-L/14 features, audio →
+mel-as-image CLIP features.
+
+Replaces the reference's preprocess/ scripts (reference: preprocess/extract.py,
+extract_audio_features.py, extract_raw_audio.py): frames are read at 1 fps via
+OpenCV (moviepy dropped), the image encoder is CLIP ViT-L/14 via HuggingFace
+transformers (the `clip` pip package dropped), and audio mels come from the
+numpy pipeline in mel.py (torchaudio dropped). This is an offline CPU/GPU
+job — its outputs are the `clipvitl14.pth` / audio feature stores the
+training data layer consumes.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from pathlib import Path
+from typing import Dict, List
+
+import numpy as np
+
+CLIP_MODEL = "openai/clip-vit-large-patch14"
+CLIP_INPUT = 224
+_CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+_CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def read_frames(video_path: str, fps: float = 1.0) -> np.ndarray:
+    """Decode ~fps frames/sec → (n, 224, 224, 3) float in [0,1] (reference
+    samples 1 fps for clipvitl14 features)."""
+    import cv2
+
+    cap = cv2.VideoCapture(video_path)
+    native = cap.get(cv2.CAP_PROP_FPS) or 25.0
+    step = max(int(round(native / fps)), 1)
+    frames: List[np.ndarray] = []
+    i = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if i % step == 0:
+            frame = cv2.resize(frame, (CLIP_INPUT, CLIP_INPUT))
+            frames.append(frame[:, :, ::-1].astype(np.float32) / 255.0)
+        i += 1
+    cap.release()
+    if not frames:
+        return np.zeros((1, CLIP_INPUT, CLIP_INPUT, 3), np.float32)
+    return np.stack(frames)
+
+
+def _load_clip():
+    import torch
+    from transformers import CLIPVisionModelWithProjection
+
+    model = CLIPVisionModelWithProjection.from_pretrained(CLIP_MODEL)
+    model.eval()
+    return model, torch
+
+
+def encode_images(frames: np.ndarray, model=None, batch: int = 32) -> np.ndarray:
+    """(n, 224, 224, 3) in [0,1] → (n, 768) CLIP image embeddings
+    (reference: extract.py:151-186, fp16 output)."""
+    if model is None:
+        model = _load_clip()
+    clip_model, torch = model
+    x = (frames - _CLIP_MEAN) / _CLIP_STD
+    x = np.transpose(x, (0, 3, 1, 2))
+    outs = []
+    with torch.no_grad():
+        for i in range(0, len(x), batch):
+            t = torch.tensor(x[i:i + batch], dtype=torch.float32)
+            outs.append(clip_model(pixel_values=t).image_embeds.numpy())
+    return np.concatenate(outs).astype(np.float16)
+
+
+def extract_video_features(video_dir: str, out_path: str, fps: float = 1.0):
+    import torch
+
+    model = _load_clip()
+    feats: Dict[str, "torch.Tensor"] = {}
+    videos = sorted(p for p in Path(video_dir).iterdir()
+                    if p.suffix.lower() in (".mp4", ".avi", ".mkv", ".webm"))
+    for p in videos:
+        frames = read_frames(str(p), fps)
+        feats[p.stem] = torch.tensor(encode_images(frames, model))
+        print(f"{p.stem}: {tuple(feats[p.stem].shape)}")
+    torch.save(feats, out_path)
+    print(f"saved {len(feats)} videos → {out_path}")
+
+
+def extract_audio_features(wav_dir: str, out_path: str, n_chunks: int = 10):
+    """wav → log-mel → 10 chunk images → CLIP image encoder → (10, 768)
+    (reference: extract.py:151-186 over audio_loader.py chunks)."""
+    import wave
+
+    import torch
+
+    from .mel import chunk_and_stack, log_mel_spectrogram
+
+    model = _load_clip()
+    feats: Dict[str, "torch.Tensor"] = {}
+    for p in sorted(Path(wav_dir).glob("*.wav")):
+        with wave.open(str(p)) as w:
+            data = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+            wavf = data.astype(np.float32) / 32768.0
+        mel = log_mel_spectrogram(wavf)
+        chunks = chunk_and_stack(mel, n_chunks)           # (10,3,224,224)
+        imgs = np.transpose(chunks, (0, 2, 3, 1))
+        # chunks are already normalized; bypass CLIP renorm
+        imgs = imgs * _CLIP_STD + _CLIP_MEAN
+        feats[p.stem] = torch.tensor(encode_images(imgs, model))
+        print(f"{p.stem}: {tuple(feats[p.stem].shape)}")
+    torch.save(feats, out_path)
+    print(f"saved {len(feats)} clips → {out_path}")
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    v = sub.add_parser("video")
+    v.add_argument("--video_dir", required=True)
+    v.add_argument("--out", required=True)
+    v.add_argument("--fps", type=float, default=1.0)
+    a = sub.add_parser("audio")
+    a.add_argument("--wav_dir", required=True)
+    a.add_argument("--out", required=True)
+    a.add_argument("--n_chunks", type=int, default=10)
+    args = ap.parse_args()
+    if args.cmd == "video":
+        extract_video_features(args.video_dir, args.out, args.fps)
+    else:
+        extract_audio_features(args.wav_dir, args.out, args.n_chunks)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Log-mel fbank pipeline for audio features — pure numpy.
+
+Re-implements the reference's offline audio pipeline (reference:
+preprocess/audio_loader.py:35-87): kaldi-style log-mel fbank (25 ms window,
+10 ms shift, 128 mel bins, 16 kHz), split into `n_chunks` time chunks,
+stacked to 3 channels, and mean/std normalized — producing the
+"audio-mel-as-image" tensors the reference feeds to CLIP's image encoder
+(preprocess/extract.py:151-186). torchaudio is replaced by a numpy STFT +
+HTK mel filterbank so extraction runs anywhere.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+SAMPLE_RATE = 16000
+N_MELS = 128
+WIN_LENGTH = int(0.025 * SAMPLE_RATE)   # 25 ms
+HOP_LENGTH = int(0.010 * SAMPLE_RATE)   # 10 ms
+N_FFT = 512
+
+
+def hz_to_mel(f):
+    return 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+
+
+def mel_to_hz(m):
+    return 700.0 * (10.0 ** (np.asarray(m, np.float64) / 2595.0) - 1.0)
+
+
+def mel_filterbank(n_mels: int = N_MELS, n_fft: int = N_FFT,
+                   sr: int = SAMPLE_RATE, fmin: float = 20.0,
+                   fmax: float | None = None) -> np.ndarray:
+    """(n_mels, n_fft//2+1) triangular HTK-mel filterbank."""
+    fmax = fmax or sr / 2
+    mel_pts = np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2)
+    hz_pts = mel_to_hz(mel_pts)
+    bins = np.floor((n_fft + 1) * hz_pts / sr).astype(int)
+    fb = np.zeros((n_mels, n_fft // 2 + 1), np.float32)
+    for m in range(1, n_mels + 1):
+        lo, c, hi = bins[m - 1], bins[m], bins[m + 1]
+        for k in range(lo, c):
+            if c > lo:
+                fb[m - 1, k] = (k - lo) / (c - lo)
+        for k in range(c, hi):
+            if hi > c:
+                fb[m - 1, k] = (hi - k) / (hi - c)
+    return fb
+
+
+def log_mel_spectrogram(wav: np.ndarray, sr: int = SAMPLE_RATE,
+                        n_mels: int = N_MELS, n_fft: int = N_FFT,
+                        win_length: int = WIN_LENGTH,
+                        hop_length: int = HOP_LENGTH) -> np.ndarray:
+    """wav (n_samples,) float → (n_frames, n_mels) log-mel (natural log,
+    like kaldi fbank)."""
+    wav = np.asarray(wav, np.float32)
+    if wav.ndim > 1:
+        wav = wav.mean(axis=-1)
+    n_frames = max(1 + (len(wav) - win_length) // hop_length, 1)
+    if len(wav) < win_length:
+        wav = np.pad(wav, (0, win_length - len(wav)))
+    window = np.hanning(win_length).astype(np.float32)
+    idx = (np.arange(win_length)[None, :]
+           + hop_length * np.arange(n_frames)[:, None])
+    frames = wav[idx] * window[None]
+    spec = np.abs(np.fft.rfft(frames, n=n_fft, axis=1)) ** 2
+    fb = mel_filterbank(n_mels, n_fft, sr)
+    mel = spec @ fb.T
+    return np.log(np.maximum(mel, 1e-10)).astype(np.float32)
+
+
+def chunk_and_stack(mel: np.ndarray, n_chunks: int = 10,
+                    image_size: int = 224) -> np.ndarray:
+    """Split a (T, 128) mel into n_chunks time chunks, resize each to a
+    3-channel image tensor (n_chunks, 3, image_size, image_size), normalized
+    per chunk (reference: audio_loader.py:52-87 — chunk, 3-channel stack,
+    mean/std normalize)."""
+    t = mel.shape[0]
+    per = max(t // n_chunks, 1)
+    chunks = []
+    for i in range(n_chunks):
+        c = mel[i * per:(i + 1) * per]
+        if len(c) == 0:
+            c = np.zeros((1, mel.shape[1]), np.float32)
+        img = _resize_bilinear(c, image_size, image_size)
+        mean, std = img.mean(), img.std() + 1e-6
+        img = (img - mean) / std
+        chunks.append(np.stack([img, img, img]))
+    return np.stack(chunks).astype(np.float32)
+
+
+def _resize_bilinear(x: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Minimal bilinear resize (avoid cv2/PIL dependency in the hot path)."""
+    sh, sw = x.shape
+    ys = np.linspace(0, sh - 1, h)
+    xs = np.linspace(0, sw - 1, w)
+    y0 = np.floor(ys).astype(int)
+    x0 = np.floor(xs).astype(int)
+    y1 = np.minimum(y0 + 1, sh - 1)
+    x1 = np.minimum(x0 + 1, sw - 1)
+    wy = (ys - y0)[:, None]
+    wx = (xs - x0)[None, :]
+    a = x[np.ix_(y0, x0)]
+    b = x[np.ix_(y0, x1)]
+    c = x[np.ix_(y1, x0)]
+    d = x[np.ix_(y1, x1)]
+    return ((a * (1 - wx) + b * wx) * (1 - wy)
+            + (c * (1 - wx) + d * wx) * wy).astype(np.float32)

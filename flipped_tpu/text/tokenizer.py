@@ -133,11 +133,12 @@ class MockTokenizer(_SpecialIds):
         return " ".join(self._id2piece.get(int(i), f"<{int(i)}>") for i in ids)
 
 
-def load_tokenizer(model_path: str = "") -> TokenizerLike:
-    """SentencePiece when available + a model file is given, else the mock."""
+def load_tokenizer(model_path: str = "", n_words: int = 32000) -> TokenizerLike:
+    """SentencePiece when available + a model file is given, else the mock
+    (sized to the model vocab so ids stay in range)."""
     if model_path:
         try:
             return SentencePieceTokenizer(model_path)
         except ImportError:
             pass
-    return MockTokenizer()
+    return MockTokenizer(n_words)

@@ -1,0 +1,119 @@
+"""Model + parameter assembly (the reference's LLaMA_VQA, llama_vqa.py:6-78).
+
+Builds the Flax model from params.json (or a named preset), loads the frozen
+backbone from a converted safetensors checkpoint (converting Meta's
+consolidated.*.pth on the fly if torch is available), initializes fresh
+trainables, and returns the partitioned (trainable f32, frozen bf16) trees.
+Falls back to random frozen weights when no checkpoint exists (synthetic
+runs / tests)."""
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ckpt.convert import convert_meta_checkpoint, load_frozen_params
+from ..core.config import MODEL_PRESETS, ModelConfig, RunConfig
+from ..model import FlippedVQAModel
+from ..text import load_tokenizer
+from .optim import cast_partitions, merge_params, partition_params
+
+
+def resolve_model_config(run_cfg: RunConfig) -> ModelConfig:
+    name = run_cfg.model_name.replace("_adapter", "")
+    model_dir = Path(run_cfg.llama_model_path) / run_cfg.model_name
+    overrides = dict(
+        max_seq_len=run_cfg.data.max_seq_len,
+        adapter_len=run_cfg.model.adapter_len,
+        adapter_layer=run_cfg.model.adapter_layer,
+        max_feats=run_cfg.model.max_feats, bias=run_cfg.model.bias,
+        tau=run_cfg.model.tau, audio_merge=run_cfg.model.audio_merge)
+    if (model_dir / "params.json").exists():
+        # (reference: llama_vqa.py:8-9)
+        return ModelConfig.from_params_json(str(model_dir / "params.json"),
+                                            **overrides)
+    preset = MODEL_PRESETS.get(name)
+    if preset is not None:
+        return ModelConfig(**{**preset, **overrides})
+    return run_cfg.model
+
+
+def build_model(run_cfg: RunConfig, use_flash: bool | None = None,
+                remat: bool = True):
+    cfg = resolve_model_config(run_cfg)
+    if use_flash is None:
+        use_flash = (run_cfg.train.flash_attention
+                     and jax.default_backend() == "tpu")
+    model = FlippedVQAModel(cfg, use_flash=use_flash,
+                            remat=remat and run_cfg.train.remat)
+    return model, cfg
+
+
+def init_params(model, cfg: ModelConfig, seed: int = 0):
+    tokens = jnp.zeros((1, min(cfg.max_seq_len, 16)), jnp.int32)
+    merge = cfg.audio_merge
+    video = (None if merge == "audio_only"
+             else jnp.zeros((1, cfg.max_feats, cfg.visual_dim), jnp.float32))
+    if merge == "attention":
+        audio = jnp.zeros((1, 1, cfg.audio_dim), jnp.float32)
+    elif merge in ("sum", "concat", "audio_only"):
+        audio = jnp.zeros((1, cfg.max_feats, cfg.audio_dim), jnp.float32)
+    else:
+        audio = None
+    vs = jnp.zeros((1,), jnp.int32)
+    splice = jnp.zeros((1, cfg.max_feats), jnp.int32)
+    return jax.jit(model.init)(jax.random.PRNGKey(seed), tokens, video,
+                               audio, vs, splice)["params"]
+
+
+def load_or_convert_frozen(run_cfg: RunConfig) -> dict | None:
+    """Find (or produce) the converted safetensors for the frozen backbone."""
+    model_dir = Path(run_cfg.llama_model_path) / run_cfg.model_name
+    st = model_dir / "model.flax.safetensors"
+    if st.exists():
+        return load_frozen_params(str(st))
+    if list(model_dir.glob("*.pth")):
+        print(f"converting Meta checkpoint under {model_dir} → {st}")
+        convert_meta_checkpoint(str(model_dir), str(st))
+        return load_frozen_params(str(st))
+    return None
+
+
+def build_train_state(run_cfg: RunConfig, seed: int = 0,
+                      use_flash: bool | None = None, remat: bool = True):
+    """→ (model, cfg, tokenizer, trainable, frozen). Frozen comes from the
+    converted checkpoint when present (reference: llama_vqa.py:63-77), else
+    stays at random init with a warning."""
+    model, cfg = build_model(run_cfg, use_flash=use_flash, remat=remat)
+    tok_path = run_cfg.tokenizer_path or os.path.join(
+        run_cfg.llama_model_path, "tokenizer.model")
+    tokenizer = load_tokenizer(tok_path if os.path.exists(tok_path) else "",
+                               n_words=cfg.vocab_size)
+
+    params = init_params(model, cfg, seed)
+    trainable, frozen = partition_params(params)
+    loaded = load_or_convert_frozen(run_cfg)
+    if loaded is not None:
+        # graft loaded leaves into the frozen tree (strict on missing keys
+        # that the reference would load; extra keys ignored like
+        # load_state_dict(strict=False), llama_vqa.py:68)
+        def graft(dst, src):
+            out = {}
+            for k, v in dst.items():
+                if v is None:
+                    out[k] = None
+                elif isinstance(v, dict):
+                    out[k] = graft(v, src.get(k, {}))
+                else:
+                    out[k] = src.get(k, v)
+            return out
+
+        frozen = graft(frozen, loaded)
+    else:
+        print("WARNING: no LLaMA checkpoint found — frozen backbone stays "
+              "randomly initialized (synthetic mode)")
+    trainable, frozen = cast_partitions(trainable, frozen)
+    return model, cfg, tokenizer, trainable, frozen

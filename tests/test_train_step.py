@@ -149,7 +149,7 @@ class TestEvalStep:
         eval_step = make_eval_step(model)
         out = eval_step(trainable, frozen,
                         {k: jnp.array(v) for k, v in batch.items()
-                         if k not in ("answer", "qtype")})
+                         if k not in ("answer", "qtype", "gt_answer")})
         assert out["scores"].shape == (3, 5)
         assert out["prediction"].shape == (3,)
         assert (np.asarray(out["prediction"]) ==
@@ -180,7 +180,7 @@ class TestEvalStep:
         eval_step = make_eval_step(model)
         out = eval_step(trainable, frozen,
                         {k: jnp.array(v) for k, v in ebatch.items()
-                         if k not in ("answer", "qtype")})
+                         if k not in ("answer", "qtype", "gt_answer")})
         pred = np.asarray(out["prediction"])
         ans = ebatch["answer"]
         assert (pred == ans).mean() >= 0.5, (pred, ans, float(m.loss))
