@@ -29,6 +29,11 @@ PRESETS = {
     "7b": ModelConfig(dim=4096, n_layers=32, n_heads=32, vocab_size=32000,
                       multiple_of=256, max_seq_len=128, adapter_len=10,
                       adapter_layer=32, max_feats=10, bias=3.5, tau=100.0),
+    # TVQA long-context recipe (reference: README.md:94-96 — seq 650, bs 1)
+    "7b_tvqa": ModelConfig(dim=4096, n_layers=32, n_heads=32,
+                           vocab_size=32000, multiple_of=256,
+                           max_seq_len=650, adapter_len=10, adapter_layer=32,
+                           max_feats=10, bias=3.0, tau=100.0),
     "small": ModelConfig(dim=512, n_layers=4, n_heads=8, vocab_size=32000,
                          multiple_of=256, max_seq_len=128, adapter_len=10,
                          adapter_layer=4, max_feats=10),
@@ -80,6 +85,8 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--no-flash", action="store_true")
+    ap.add_argument("--trace_dir", default="",
+                    help="write a jax.profiler trace of the timed steps")
     args = ap.parse_args()
 
     cfg = PRESETS[args.preset]
@@ -123,11 +130,15 @@ def main():
         trainable, opt_state, m = step(trainable, opt_state, frozen, batch)
     jax.block_until_ready(m.loss)
 
+    if args.trace_dir:
+        jax.profiler.start_trace(args.trace_dir)
     t0 = time.perf_counter()
     for _ in range(args.steps):
         trainable, opt_state, m = step(trainable, opt_state, frozen, batch)
     jax.block_until_ready(m.loss)
     dt = (time.perf_counter() - t0) / args.steps
+    if args.trace_dir:
+        jax.profiler.stop_trace()
 
     examples_per_sec = b / dt
     s = cfg.max_seq_len

@@ -8,7 +8,6 @@ writing is handled by Orbax's multihost logic.
 """
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 from typing import Any, Dict, Optional

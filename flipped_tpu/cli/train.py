@@ -20,11 +20,10 @@ from typing import Dict
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 from ..ckpt.manager import CheckpointManager
 from ..core.config import get_args_parser, run_config_from_args
-from ..core.mesh import DP_AXIS, batch_sharding, make_mesh, replicated
+from ..core.mesh import DP_AXIS, make_mesh, replicated
 from ..data.pipeline import load_data
 from ..train.builder import build_train_state
 from ..train.generation import decode_generated, make_generation_step
@@ -60,11 +59,18 @@ def train_one_epoch(step, trainable, opt_state, frozen, loader, epoch, mesh,
     print_freq = max(len(loader) // 4, 1)
     loader.set_epoch(epoch)
 
+    trace_dir = getattr(args, "trace_dir", "")
     for it, batch in enumerate(logger.log_every(iter(loader), print_freq,
                                                 f"Epoch: [{epoch}]")):
+        if trace_dir and epoch == 0 and it == 1:
+            # skip step 0 (compile); trace a handful of steady-state steps
+            jax.profiler.start_trace(trace_dir)
         sharded = _shard_batch(batch, mesh, train=True)
         trainable, opt_state, m = step(trainable, opt_state, frozen, sharded)
         loss = float(m.loss)
+        if trace_dir and epoch == 0 and it == 4:
+            jax.profiler.stop_trace()
+            trace_dir = ""
         if not math.isfinite(loss):
             # (reference: engine.py:33-35)
             print(f"Loss is {loss}, stopping training")

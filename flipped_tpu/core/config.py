@@ -12,7 +12,7 @@ import argparse
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from typing import Optional
 
 
 @dataclass(frozen=True)
@@ -197,6 +197,8 @@ def get_args_parser() -> argparse.ArgumentParser:
                    choices=["sum", "concat", "attention", "none"])
     p.add_argument("--dp", type=int, default=-1)
     p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--trace_dir", default="",
+                   help="write a jax.profiler trace of early train steps")
     p.add_argument("--no_remat", action="store_true")
     p.add_argument("--no_flash", action="store_true")
     p.add_argument("--clip_grad", type=float, default=None)

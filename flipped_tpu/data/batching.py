@@ -17,7 +17,7 @@ Eval batch (option-expanded, reference: tokenizer.py:71-75):
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field  # field used in Item defaults
 from typing import Any, Dict, List, Optional
 
 import numpy as np

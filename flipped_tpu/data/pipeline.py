@@ -16,7 +16,7 @@ from typing import Dict, Iterator, Optional
 
 import numpy as np
 
-from .batching import Item, add_accum_axis, pack_eval_batch, pack_train_batch
+from .batching import add_accum_axis, pack_eval_batch, pack_train_batch
 from .datasets import VideoQADataset
 
 

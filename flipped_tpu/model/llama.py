@@ -25,7 +25,7 @@ is a pure rename/transpose (see ckpt/convert.py).
 from __future__ import annotations
 
 import functools
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -8,10 +8,9 @@ Falls back to random frozen weights when no checkpoint exists (synthetic
 runs / tests)."""
 from __future__ import annotations
 
+import dataclasses
 import os
 from pathlib import Path
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 
@@ -19,7 +18,7 @@ from ..ckpt.convert import convert_meta_checkpoint, load_frozen_params
 from ..core.config import MODEL_PRESETS, ModelConfig, RunConfig
 from ..model import FlippedVQAModel
 from ..text import load_tokenizer
-from .optim import cast_partitions, merge_params, partition_params
+from .optim import cast_partitions, partition_params
 
 
 def resolve_model_config(run_cfg: RunConfig) -> ModelConfig:
@@ -33,12 +32,18 @@ def resolve_model_config(run_cfg: RunConfig) -> ModelConfig:
         tau=run_cfg.model.tau, audio_merge=run_cfg.model.audio_merge)
     if (model_dir / "params.json").exists():
         # (reference: llama_vqa.py:8-9)
-        return ModelConfig.from_params_json(str(model_dir / "params.json"),
-                                            **overrides)
-    preset = MODEL_PRESETS.get(name)
-    if preset is not None:
-        return ModelConfig(**{**preset, **overrides})
-    return run_cfg.model
+        cfg = ModelConfig.from_params_json(str(model_dir / "params.json"),
+                                           **overrides)
+    elif (preset := MODEL_PRESETS.get(name)) is not None:
+        cfg = ModelConfig(**{**preset, **overrides})
+    else:
+        cfg = run_cfg.model
+    if cfg.adapter_layer > cfg.n_layers:
+        # "last adapter_layer layers" can't exceed the model; clamping avoids
+        # dead adapter rows when e.g. the 7B default --adapter_layer 32 is
+        # used with a smaller model
+        cfg = dataclasses.replace(cfg, adapter_layer=cfg.n_layers)
+    return cfg
 
 
 def build_model(run_cfg: RunConfig, use_flash: bool | None = None,

@@ -18,7 +18,7 @@ Instead of torch's requires_grad flags, the param tree is *partitioned* into
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

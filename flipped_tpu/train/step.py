@@ -11,7 +11,7 @@ grad-norm metric is kept (reference: util/misc.py:253-294).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, NamedTuple
+from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -9,10 +9,9 @@ with NCCL all_reduce replaced by host-side aggregation +
 from __future__ import annotations
 
 import datetime
-import sys
 import time
 from collections import defaultdict, deque
-from typing import Dict, Iterable, Optional
+from typing import Dict, Iterable
 
 import numpy as np
 

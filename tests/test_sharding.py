@@ -1,0 +1,117 @@
+"""Mesh + tensor-parallel sharding tests on the 8-virtual-CPU-device mesh
+(the TPU-native analog of multi-node tests without a cluster, SURVEY.md §4).
+
+TP rules mirror the reference checkpoint's split-dim table
+(reference: llama_vqa.py:42-58)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from flipped_tpu.core.config import MeshConfig, ModelConfig, TrainConfig
+from flipped_tpu.core.mesh import (DP_AXIS, TP_AXIS, make_mesh, param_pspec,
+                                   param_shardings)
+from flipped_tpu.data import add_accum_axis, make_synthetic_items, pack_train_batch
+from flipped_tpu.model import FlippedVQAModel
+from flipped_tpu.text import MockTokenizer
+from flipped_tpu.train import (make_optimizer, make_train_step,
+                               partition_params)
+
+
+def cpu8():
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    return devs[:8]
+
+
+def test_param_pspec_rules():
+    # column-parallel → out-features axis (flax kernel axis 1)
+    assert param_pspec("layers_0/attention/wq/kernel") == P(None, TP_AXIS)
+    assert param_pspec("layers_3/feed_forward/w1/kernel") == P(None, TP_AXIS)
+    assert param_pspec("output/kernel") == P(None, TP_AXIS)
+    # row-parallel → in-features axis (flax kernel axis 0)
+    assert param_pspec("layers_0/attention/wo/kernel") == P(TP_AXIS, None)
+    assert param_pspec("layers_9/feed_forward/w2/kernel") == P(TP_AXIS, None)
+    # embeddings split their feature dim; everything else replicates
+    assert param_pspec("tok_embeddings/embedding") == P(None, TP_AXIS)
+    assert param_pspec("norm/weight") == P()
+    assert param_pspec("adapter_query") == P()
+    assert param_pspec("layers_0/attention/gate1") == P()
+
+
+def test_mesh_shapes():
+    devs = cpu8()
+    m = make_mesh(MeshConfig(dp=4, tp=2), devices=devs)
+    assert m.shape == {"dp": 4, "tp": 2}
+    m = make_mesh(MeshConfig(dp=-1, tp=2), devices=devs)
+    assert m.shape == {"dp": 4, "tp": 2}
+    with pytest.raises(ValueError):
+        make_mesh(MeshConfig(dp=3, tp=2), devices=devs)
+
+
+def test_tp_sharded_train_step_matches_single_device():
+    """Identical losses on a dp4×tp2 mesh vs one device — GSPMD collectives
+    must not change the math."""
+    devs = cpu8()
+    cfg = ModelConfig(dim=32, n_layers=2, n_heads=4, vocab_size=128,
+                      multiple_of=16, max_seq_len=64, adapter_len=4,
+                      adapter_layer=2, max_feats=4, visual_dim=16)
+    tok = MockTokenizer(cfg.vocab_size)
+    model = FlippedVQAModel(cfg, dtype=jnp.float32, frozen_dtype=jnp.float32)
+    items = make_synthetic_items(tok, 8, max_feats=4, max_seq_len=64,
+                                 visual_dim=16, seed=0)
+    batch = pack_train_batch(items, 4)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.array(batch["vqa_tokens"][:1]),
+                        jnp.array(batch["video"][:1]), None,
+                        jnp.array(batch["vqa_video_start"][:1]),
+                        jnp.array(batch["vqa_splice"][:1]))["params"]
+    trainable, frozen = partition_params(params)
+    tcfg = TrainConfig(lr=1e-2, vaq=True, qav=True)
+    tx = make_optimizer(tcfg, steps_per_epoch=4, world_batch=8)
+    opt_state = tx.init(trainable)
+    step = make_train_step(model, tx, vaq=True, qav=True)
+    b = {k: jnp.array(v) for k, v in add_accum_axis(batch, 2).items()}
+
+    # single (CPU) device baseline
+    cpu0 = devs[0]
+    with jax.default_device(cpu0):
+        t1, o1, m1 = jax.jit(step)(
+            jax.device_put(trainable, cpu0), jax.device_put(opt_state, cpu0),
+            jax.device_put(frozen, cpu0),
+            {k: jax.device_put(v, cpu0) for k, v in b.items()})
+        loss_1dev = float(m1.loss)
+
+    # dp4×tp2 mesh
+    mesh = make_mesh(MeshConfig(dp=4, tp=2), devices=devs)
+    from jax.sharding import NamedSharding
+    with mesh:
+        ts = param_shardings(mesh, trainable)
+        fs = param_shardings(mesh, frozen)
+        t_sh = jax.device_put(trainable, ts)
+        f_sh = jax.device_put(frozen, fs)
+        o_sh = jax.device_put(opt_state, NamedSharding(mesh, P()))
+        b_sh = {k: jax.device_put(v, NamedSharding(mesh, P(None, DP_AXIS)))
+                for k, v in b.items()}
+        t2, o2, m2 = step(t_sh, o_sh, f_sh, b_sh)
+        loss_mesh = float(m2.loss)
+        # wq really is TP-sharded (dim 32 over tp=2 divides)
+        assert fs["layers_0"]["attention"]["wq"]["kernel"].spec == P(None, TP_AXIS)
+
+    np.testing.assert_allclose(loss_mesh, loss_1dev, rtol=2e-5, atol=2e-5)
+    # updated trainables agree too
+    jax.tree_util.tree_map(
+        lambda a, b_: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=5e-5, atol=5e-5), t1, t2)
+
+
+def test_indivisible_dims_fall_back_to_replication():
+    devs = cpu8()
+    mesh = make_mesh(MeshConfig(dp=2, tp=4), devices=devs)
+    # vocab 126 not divisible by 4 → replicate instead of error
+    params = {"output": {"kernel": jnp.zeros((32, 126))}}
+    sh = param_shardings(mesh, params)
+    assert sh["output"]["kernel"].spec == P()
