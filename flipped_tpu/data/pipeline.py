@@ -111,20 +111,93 @@ class Loader:
             yield b
 
 
+class GrainLoader:
+    """Grain-backed variant of Loader: multiprocess workers tokenize and
+    pack batches off the main process (the TPU-native analog of the
+    reference's num_workers DataLoader, dataloader/__init__.py:23)."""
+
+    def __init__(self, dataset: VideoQADataset, batch_size: int,
+                 accum_iter: int = 1, shuffle: bool = True, seed: int = 0,
+                 split: str = "train", process_index: int = 0,
+                 process_count: int = 1, num_workers: int = 0):
+        import grain.python as gp
+
+        self._gp = gp
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.accum_iter = accum_iter if split == "train" else 1
+        self.shuffle = shuffle
+        self.seed = seed
+        self.split = split
+        self.process_index = process_index
+        self.process_count = process_count
+        self.num_workers = num_workers
+        self.max_feats = dataset.max_feats
+        self.epoch = 0
+        self.group = self.batch_size * self.accum_iter
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        per = (len(self.dataset) + self.process_count - 1) // self.process_count
+        if self.split == "train":
+            return per // self.group
+        return (per + self.group - 1) // self.group
+
+    def __iter__(self):
+        gp = self._gp
+        outer = self
+
+        class _Source:
+            def __len__(self):
+                return len(outer.dataset)
+
+            def __getitem__(self, idx):
+                return outer.dataset.get_item(int(idx))
+
+        def pack(items):
+            if outer.split == "train":
+                b = pack_train_batch(list(items), outer.max_feats)
+                b = add_accum_axis(b, outer.accum_iter)
+            else:
+                b = pack_eval_batch(list(items), outer.max_feats)
+            b["valid"] = np.asarray(len(items), np.int32)
+            return b
+
+        ds = gp.MapDataset.source(_Source())
+        if self.shuffle:
+            ds = ds.shuffle(seed=self.seed + self.epoch)
+        ds = ds[self.process_index::self.process_count]
+        n_batches = len(self)
+        ds = ds[:n_batches * self.group]
+        ds = ds.batch(self.group, drop_remainder=self.split == "train",
+                      batch_fn=pack)
+        it = ds.to_iter_dataset()
+        if self.num_workers > 0:
+            it = it.mp_prefetch(
+                gp.MultiprocessingOptions(num_workers=self.num_workers))
+        yield from it
+
+
 def load_data(cfg, tokenizer, split: str = "train", accum_iter: int = 1,
               process_index: Optional[int] = None,
-              process_count: Optional[int] = None) -> Loader:
+              process_count: Optional[int] = None,
+              backend: str = "thread"):
     """(reference: dataloader/__init__.py:15-26)"""
     import jax
 
     from .datasets import build_dataset
 
     dataset = build_dataset(cfg, tokenizer, split)
-    return Loader(
-        dataset, cfg.batch_size,
+    kwargs = dict(
         accum_iter=accum_iter if split == "train" else 1,
         shuffle=split == "train", seed=cfg.seed, split=split,
         process_index=(jax.process_index() if process_index is None
                        else process_index),
         process_count=(jax.process_count() if process_count is None
                        else process_count))
+    if backend == "grain":
+        return GrainLoader(dataset, cfg.batch_size,
+                           num_workers=cfg.num_workers, **kwargs)
+    return Loader(dataset, cfg.batch_size, **kwargs)

@@ -40,6 +40,9 @@ except Exception:  # pragma: no cover
 
 NEG_INF = -1e30
 
+# Set True (tests) to run the kernels through the Pallas interpreter on CPU.
+INTERPRET = False
+
 
 def _flash_kernel(vs_ref, gate2_ref, q_ref, k_ref, v_ref, o_ref, *,
                   bq: int, s_actual: int, max_feats: int, scale: float):
@@ -94,7 +97,8 @@ def _round_up(x, m):
 
 
 def flash_text_attention(q, k, v, gate2, video_start, max_feats,
-                         block_q: int = 128, interpret: bool = False):
+                         block_q: int = 128, interpret: bool | None = None):
+    interpret = INTERPRET if interpret is None else interpret
     """Causal attention + gate2 video-block bias via Pallas.
 
     q, k, v: (B, S, H, Dh); gate2: (H,); video_start: (B,) int32 (-1 → off).
@@ -148,6 +152,128 @@ def flash_text_attention(q, k, v, gate2, video_start, max_feats,
     return out[:, :, :s, :dh].transpose(0, 2, 1, 3)
 
 
+def _flash_bwd_kernel(vs_ref, gate2_ref, q_ref, k_ref, v_ref, do_ref,
+                      dq_ref, dk_ref, dv_ref, dg2_ref, *,
+                      s_actual: int, max_feats: int, scale: float):
+    """Backward for the text segment, one (batch, head) per program.
+
+    For this workload S ≤ ~1k, so the full (S_pad, S_pad) probability matrix
+    fits in VMEM — the backward is five MXU matmuls with no online-softmax
+    bookkeeping:
+        P  = softmax(qKᵀ·scale + gate2·block + causal)
+        D  = rowsum(dO ∘ (P V))
+        dS = P ∘ (P dOVᵀ-wise: dP − D)
+        dq = dS K · scale,  dk = dSᵀ Q · scale,  dv = Pᵀ dO
+        dgate2 = Σ_block dS           (bias is additive pre-softmax)
+    """
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    q = q_ref[:].astype(jnp.bfloat16)
+    k = k_ref[:].astype(jnp.bfloat16)
+    v = v_ref[:].astype(jnp.bfloat16)
+    do = do_ref[:].astype(jnp.bfloat16)
+    s_pad = q.shape[0]
+
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
+    vs = vs_ref[b]
+    gate2 = gate2_ref[h]
+    block = ((row >= vs + max_feats) & (col >= vs)
+             & (col < vs + max_feats) & (vs >= 0))
+    scores = scores + jnp.where(block, gate2, 0.0)
+    valid = (col <= row) & (col < s_actual) & (row < s_actual)
+    scores = jnp.where(valid, scores, NEG_INF)
+    p = jax.nn.softmax(scores, axis=-1)            # (S_pad, S_pad) f32
+    p_bf = p.astype(jnp.bfloat16)
+
+    o = jax.lax.dot_general(p_bf, v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    d = jnp.sum(o * do.astype(jnp.float32), axis=-1, keepdims=True)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - d)                               # (S_pad, S_pad) f32
+    ds = jnp.where(valid, ds, 0.0)
+    ds_bf = ds.astype(jnp.bfloat16)
+
+    dq_ref[:] = (jax.lax.dot_general(
+        ds_bf, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
+    dk_ref[:] = (jax.lax.dot_general(
+        ds_bf, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype)
+    dv_ref[:] = jax.lax.dot_general(
+        p_bf, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+    dg2_ref[0, 0] = jnp.sum(jnp.where(block, ds, 0.0))
+
+
+def flash_text_attention_bwd(q, k, v, gate2, video_start, max_feats, g,
+                             interpret: bool | None = None):
+    """Pallas backward for flash_text_attention.
+
+    q,k,v,g: (B, S, H, Dh); returns (dq, dk, dv, dgate2)."""
+    interpret = INTERPRET if interpret is None else interpret
+    b, s, h, dh = q.shape
+    scale = 1.0 / float(np.sqrt(dh))
+    s_pad = _round_up(s, 128)
+    dh_pad = _round_up(dh, 128)
+
+    def prep(x):
+        return _pad_to(_pad_to(x.transpose(0, 2, 1, 3), s_pad, 2), dh_pad, 3)
+
+    qt, kt, vt, gt = prep(q), prep(k), prep(v), prep(g)
+    kernel = functools.partial(_flash_bwd_kernel, s_actual=s,
+                               max_feats=max_feats, scale=scale)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, h),
+        in_specs=[pl.BlockSpec((1, 1, s_pad, dh_pad),
+                               lambda bi, hi, *_: (bi, hi, 0, 0))] * 4,
+        out_specs=[
+            pl.BlockSpec((1, 1, s_pad, dh_pad),
+                         lambda bi, hi, *_: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, s_pad, dh_pad),
+                         lambda bi, hi, *_: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, s_pad, dh_pad),
+                         lambda bi, hi, *_: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1), lambda bi, hi, *_: (bi, hi),
+                         memory_space=pltpu.SMEM),
+        ],
+    )
+
+    def kernel_4d(vs_ref, g2_ref, q_ref, k_ref, v_ref, do_ref,
+                  dq_ref, dk_ref, dv_ref, dg2_ref):
+        kernel(vs_ref, g2_ref, q_ref.at[0, 0], k_ref.at[0, 0],
+               v_ref.at[0, 0], do_ref.at[0, 0], dq_ref.at[0, 0],
+               dk_ref.at[0, 0], dv_ref.at[0, 0], dg2_ref)
+
+    dq, dk, dv, dg2 = pl.pallas_call(
+        kernel_4d,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, s_pad, dh_pad), q.dtype),
+            jax.ShapeDtypeStruct((b, h, s_pad, dh_pad), q.dtype),
+            jax.ShapeDtypeStruct((b, h, s_pad, dh_pad), q.dtype),
+            jax.ShapeDtypeStruct((b, h), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * h * s * s * dh,
+            bytes_accessed=7 * b * h * s * dh * 2,
+            transcendentals=b * h * s * s,
+        ),
+    )(video_start.astype(jnp.int32), gate2.astype(jnp.float32),
+      qt, kt, vt, gt)
+
+    unprep = lambda x: x[:, :, :s, :dh].transpose(0, 2, 1, 3)
+    return unprep(dq), unprep(dk), unprep(dv), dg2.sum(axis=0)
+
+
 def _adapter_segment(q, adapter_k, adapter_v, gate1):
     """Exact tiny attention over the adapter prefix (L≈10 keys), softmaxed
     independently and scaled by tanh(gate1) (reference: model.py:115)."""
@@ -179,14 +305,17 @@ def _fwd(q, k, v, adapter_k, adapter_v, gate1, gate2, video_start, max_feats):
 
 def _bwd(max_feats, res, g):
     q, k, v, adapter_k, adapter_v, gate1, gate2, video_start = res
-    # Recompute-based backward through the exact einsum formulation.
-    def f(q, k, v, ak, av, g1, g2):
-        return adapter_gated_attention(q, k, v, ak, av, g1, g2,
-                                       video_start, max_feats)
-    _, vjp = jax.vjp(f, q, k, v, adapter_k, adapter_v, gate1, gate2)
-    grads = vjp(g)
+    b, s, h, dh = q.shape
+    g4 = g.reshape(b, s, h, dh)
+    # text segment: Pallas backward kernel (recompute, no HBM probs)
+    dq_t, dk, dv, dg2 = flash_text_attention_bwd(
+        q, k, v, gate2, video_start, max_feats, g4)
+    # adapter segment: exact tiny attention, autodiffed
+    _, avjp = jax.vjp(_adapter_segment, q, adapter_k, adapter_v, gate1)
+    dq_a, dak, dav, dg1 = avjp(g4.astype(q.dtype))
     vs_zero = np.zeros(video_start.shape, dtype=jax.dtypes.float0)
-    return (*grads, vs_zero)
+    return (dq_t + dq_a, dk, dv, dak, dav, dg1,
+            dg2.astype(gate2.dtype), vs_zero)
 
 
 _flash_adapter_attention.defvjp(_fwd, _bwd)

@@ -12,6 +12,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import pytest  # noqa: E402
 import jax  # noqa: E402
 
+# The env's sitecustomize force-registers the 'axon' TPU backend, overriding
+# JAX_PLATFORMS from the environment — pin the cpu backend via config so
+# tests run locally (fast, deterministic) instead of through the TPU tunnel
+# with its minutes-long remote compiles.
+jax.config.update("jax_platforms", "cpu")
+
 # Numerical parity tests need true-f32 matmuls (JAX's default allows bf16
 # passes even for f32 inputs, which quantizes outputs to the bf16 grid).
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -52,6 +52,37 @@ def test_flash_nonmultiple_seq_len():
                                rtol=2e-2, atol=2e-2)
 
 
+def test_pallas_backward_matches_einsum_grads():
+    """The full custom_vjp (Pallas fwd + Pallas bwd for the text segment +
+    exact adapter vjp) must match autodiff through the einsum formulation."""
+    import flipped_tpu.model.pallas.flash_attention as fa
+
+    c = _rand_case(b=2, s=20, h=2, dh=8, al=3, seed=7)
+    vs = jnp.array([4, -1], jnp.int32)  # one gated row, one qav-style row
+    mf = 3
+
+    def loss_ref(q, k, v, ak, av, g1, g2):
+        out = adapter_gated_attention(q, k, v, ak, av, g1, g2, vs, mf)
+        return jnp.sum(out * jnp.cos(out))
+
+    def loss_flash(q, k, v, ak, av, g1, g2):
+        out = fa._flash_adapter_attention(q, k, v, ak, av, g1, g2, vs, mf)
+        return jnp.sum(out * jnp.cos(out))
+
+    args = (c["q"], c["k"], c["v"], c["ak"], c["av"], c["g1"], c["g2"])
+    ref = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    old = fa.INTERPRET
+    fa.INTERPRET = True
+    try:
+        got = jax.grad(loss_flash, argnums=tuple(range(7)))(*args)
+    finally:
+        fa.INTERPRET = old
+    names = ["dq", "dk", "dv", "dak", "dav", "dg1", "dg2"]
+    for n, r, g in zip(names, ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=4e-2,
+                                   atol=4e-2, err_msg=n)
+
+
 def test_flash_gradients_flow():
     """custom_vjp backward (recompute path) produces finite grads for all
     differentiable inputs including the gates."""
