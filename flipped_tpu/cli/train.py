@@ -159,9 +159,12 @@ def main(args):
         trainable = jax.device_put(trainable, replicated(mesh))
         frozen = jax.device_put(frozen, replicated(mesh))
 
+        backend = getattr(args, "loader", "thread")
         loader_train = load_data(run_cfg.data, tokenizer, "train",
-                                 accum_iter=run_cfg.train.accum_iter)
-        loader_val = load_data(run_cfg.data, tokenizer, "val")
+                                 accum_iter=run_cfg.train.accum_iter,
+                                 backend=backend)
+        loader_val = load_data(run_cfg.data, tokenizer, "val",
+                               backend=backend)
 
         world_batch = (run_cfg.data.batch_size * run_cfg.train.accum_iter
                        * jax.process_count() * mesh.shape[DP_AXIS])

@@ -199,6 +199,8 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--trace_dir", default="",
                    help="write a jax.profiler trace of early train steps")
+    p.add_argument("--loader", default="thread", choices=["thread", "grain"],
+                   help="input pipeline backend")
     p.add_argument("--no_remat", action="store_true")
     p.add_argument("--no_flash", action="store_true")
     p.add_argument("--clip_grad", type=float, default=None)

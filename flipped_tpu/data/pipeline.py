@@ -157,12 +157,16 @@ class GrainLoader:
                 return outer.dataset.get_item(int(idx))
 
         def pack(items):
+            items = list(items)
+            valid = len(items)
+            while len(items) < outer.group:  # fixed shapes: pad eval tail
+                items.append(items[len(items) % valid])
             if outer.split == "train":
-                b = pack_train_batch(list(items), outer.max_feats)
+                b = pack_train_batch(items, outer.max_feats)
                 b = add_accum_axis(b, outer.accum_iter)
             else:
-                b = pack_eval_batch(list(items), outer.max_feats)
-            b["valid"] = np.asarray(len(items), np.int32)
+                b = pack_eval_batch(items, outer.max_feats)
+            b["valid"] = np.asarray(valid, np.int32)
             return b
 
         ds = gp.MapDataset.source(_Source())

@@ -238,6 +238,24 @@ class TestLoader:
         assert batches[0]["vqa_tokens"].shape == (2, 5, 160)
         assert int(batches[1]["valid"]) == 1  # tail: 1 real example
 
+    def test_grain_backend_matches_contract(self, data_root):
+        from flipped_tpu.data.pipeline import GrainLoader
+        cfg = cfg_for(data_root, "nextqa")
+        ds = build_dataset(cfg, TOK, "train")
+        gl = GrainLoader(ds, 2, accum_iter=1, shuffle=True, seed=0,
+                         split="train")
+        batches = list(gl)
+        assert len(batches) == len(gl) == 3
+        assert batches[0]["vqa_tokens"].shape == (1, 2, 160)
+        assert batches[0]["video"].shape == (1, 2, 10, 768)
+        # eval mode expands options and pads the tail
+        dsv = build_dataset(cfg, TOK, "val")  # 3 items
+        glv = GrainLoader(dsv, 2, shuffle=False, split="val")
+        ev = list(glv)
+        assert ev[0]["vqa_tokens"].shape == (2, 5, 160)
+        assert ev[-1]["vqa_tokens"].shape == (2, 5, 160)  # padded tail
+        assert int(ev[-1]["valid"]) == 1
+
     def test_epoch_shuffling_changes_order(self, data_root):
         cfg = cfg_for(data_root, "nextqa")
         ds = build_dataset(cfg, TOK, "train")
