@@ -32,9 +32,10 @@ def make_mesh(cfg: MeshConfig | None = None, devices=None) -> Mesh:
     n = len(devices)
     tp = max(1, cfg.tp)
     dp = cfg.dp if cfg.dp > 0 else n // tp
-    if dp * tp != n:
-        raise ValueError(f"mesh {dp}x{tp} != {n} devices")
-    dev_array = np.asarray(devices).reshape(dp, tp)
+    if dp * tp > n:
+        raise ValueError(f"mesh {dp}x{tp} > {n} devices")
+    # an explicit smaller mesh uses the first dp*tp devices
+    dev_array = np.asarray(devices[:dp * tp]).reshape(dp, tp)
     return Mesh(dev_array, (DP_AXIS, TP_AXIS))
 
 

@@ -208,7 +208,8 @@ def _flash_bwd_kernel(vs_ref, gate2_ref, q_ref, k_ref, v_ref, do_ref,
     dv_ref[:] = jax.lax.dot_general(
         p_bf, do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dv_ref.dtype)
-    dg2_ref[0, 0] = jnp.sum(jnp.where(block, ds, 0.0))
+    # full (B,H) SMEM block shared across programs; each writes its own cell
+    dg2_ref[b, h] = jnp.sum(jnp.where(block, ds, 0.0))
 
 
 def flash_text_attention_bwd(q, k, v, gate2, video_start, max_feats, g,
@@ -241,7 +242,7 @@ def flash_text_attention_bwd(q, k, v, gate2, video_start, max_feats, g,
                          lambda bi, hi, *_: (bi, hi, 0, 0)),
             pl.BlockSpec((1, 1, s_pad, dh_pad),
                          lambda bi, hi, *_: (bi, hi, 0, 0)),
-            pl.BlockSpec((1, 1), lambda bi, hi, *_: (bi, hi),
+            pl.BlockSpec((b, h), lambda bi, hi, *_: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
     )

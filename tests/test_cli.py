@@ -1,0 +1,77 @@
+"""End-to-end trainer CLI tests, in-process on the CPU backend: train → eval
+→ best checkpoint → log.txt → resume, for classification and generation
+(reference control flow: train.py:78-152)."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from flipped_tpu.core.config import get_args_parser
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_data")
+    subprocess.run(
+        [sys.executable, "scripts/make_synthetic_data.py", "--root",
+         str(root), "--n", "8"], check=True, capture_output=True)
+    return str(root)
+
+
+def run_main(argv):
+    from flipped_tpu.cli import train as cli_train
+    args = get_args_parser().parse_args(argv)
+    return cli_train.main(args)
+
+
+def test_classification_train_eval_ckpt_resume(synth_root, tmp_path):
+    out = str(tmp_path / "out")
+    argv = ["--model", "tiny", "--dataset", "nextqa", "--data_root",
+            synth_root, "--batch_size", "2", "--max_seq_len", "128",
+            "--epochs", "1", "--warmup_epochs", "0.5", "--blr", "9e-1",
+            "--vaq", "--qav", "--accum_iter", "2", "--dp", "1", "--output_dir", out]
+    run_main(argv)
+    # JSON-lines log with train + val stats
+    lines = [json.loads(l) for l in open(os.path.join(out, "log.txt"))]
+    assert len(lines) == 1
+    assert "train_loss" in lines[0] and "val_acc" in lines[0]
+    assert np.isfinite(lines[0]["train_loss"])
+    assert "val_Total" in lines[0]  # qtype buckets (overall bucket 0)
+    # best checkpoint written
+    assert os.path.isdir(os.path.join(out, "checkpoint_best"))
+    meta = json.load(open(os.path.join(out, "checkpoint_best.meta.json")))
+    assert meta["epoch"] == 0
+
+    # resume continues at epoch 1
+    run_main(argv + ["--epochs", "2", "--resume", "checkpoint_best"])
+    lines = [json.loads(l) for l in open(os.path.join(out, "log.txt"))]
+    assert lines[-1]["epoch"] == 1
+
+
+def test_generation_task_cli(synth_root, tmp_path):
+    out = str(tmp_path / "out_gen")
+    argv = ["--model", "tiny", "--dataset", "musicavqa", "--data_root",
+            synth_root, "--batch_size", "2", "--max_seq_len", "128",
+            "--epochs", "1", "--warmup_epochs", "0.5", "--blr", "9e-1",
+            "--is_generation_task", "--dp", "1", "--output_dir", out]
+    run_main(argv)
+    merged = os.path.join(out, "extracted_answers",
+                          "extracted_answers_epoch0.json")
+    assert os.path.exists(merged)
+    answers = json.load(open(merged))
+    assert answers and "generated_answer" in answers[0]
+    lines = [json.loads(l) for l in open(os.path.join(out, "log.txt"))]
+    assert "val_counting" in lines[0]  # musicavqa qtype buckets
+
+
+def test_grain_loader_cli(synth_root, tmp_path):
+    out = str(tmp_path / "out_grain")
+    argv = ["--model", "tiny", "--dataset", "nextqa", "--data_root",
+            synth_root, "--batch_size", "2", "--max_seq_len", "128",
+            "--epochs", "1", "--warmup_epochs", "0.5", "--blr", "9e-1",
+            "--loader", "grain", "--dp", "1", "--output_dir", out, "--debug"]
+    run_main(argv)
+    assert os.path.exists(os.path.join(out, "log.txt"))

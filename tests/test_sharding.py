@@ -48,8 +48,11 @@ def test_mesh_shapes():
     assert m.shape == {"dp": 4, "tp": 2}
     m = make_mesh(MeshConfig(dp=-1, tp=2), devices=devs)
     assert m.shape == {"dp": 4, "tp": 2}
+    # explicit smaller mesh → first dp*tp devices
+    m = make_mesh(MeshConfig(dp=3, tp=2), devices=devs)
+    assert m.shape == {"dp": 3, "tp": 2}
     with pytest.raises(ValueError):
-        make_mesh(MeshConfig(dp=3, tp=2), devices=devs)
+        make_mesh(MeshConfig(dp=5, tp=2), devices=devs)
 
 
 def test_tp_sharded_train_step_matches_single_device():
