@@ -208,6 +208,12 @@ def main(args):
                     mgr.save("checkpoint_best", trainable, opt_state, epoch,
                              best_acc)
                 print(f"saved checkpoint_best (acc={best_acc:.4f})")
+            if run_cfg.train.output_dir and is_main_process():
+                # preemption-safe rolling checkpoint (adapter-only, ~MBs) —
+                # an addition over the reference's best-only policy
+                # (SURVEY.md §5: no elastic recovery in the reference)
+                mgr.save("checkpoint_last", trainable, opt_state, epoch,
+                         best_acc)
 
             log_stats = {**{f"train_{k}": v for k, v in train_stats.items()},
                          "epoch": epoch,
