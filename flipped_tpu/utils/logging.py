@@ -20,7 +20,9 @@ def is_main_process() -> bool:
 
 def setup_for_distributed(force: bool = False):
     """Silence prints on non-zero processes, prefix timestamps
-    (reference: util/misc.py:174-188)."""
+    (reference: util/misc.py:174-188). Idempotent."""
+    if getattr(builtins.print, "_flipped_wrapped", False):
+        return
     builtin_print = builtins.print
     main = is_main_process()
 
@@ -29,6 +31,7 @@ def setup_for_distributed(force: bool = False):
             now = datetime.datetime.now().time()
             builtin_print(f"[{now}]", *args, **kwargs)
 
+    print_fn._flipped_wrapped = True
     builtins.print = print_fn
 
 
