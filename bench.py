@@ -85,6 +85,7 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--no-flash", action="store_true")
+    ap.add_argument("--remat_policy", default="full", choices=["full", "qkv"])
     ap.add_argument("--trace_dir", default="",
                     help="write a jax.profiler trace of the timed steps")
     args = ap.parse_args()
@@ -93,7 +94,7 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     tok = MockTokenizer(cfg.vocab_size)
     model = FlippedVQAModel(cfg, use_flash=on_tpu and not args.no_flash,
-                            remat=True)
+                            remat=True, remat_policy=args.remat_policy)
 
     b = args.batch * args.accum
     items = make_synthetic_items(tok, b, max_feats=cfg.max_feats,

@@ -30,6 +30,7 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from ..core.config import ModelConfig
 from .attention import adapter_gated_attention, decode_attention
@@ -99,7 +100,15 @@ class Attention(nn.Module):
         k = self.wk(x).reshape(b, s, h, dh)
         v = self.wv(x).reshape(b, s, h, dh)
         cos, sin = rope_cos[:s], rope_sin[:s]
-        return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        # Named for selective remat: with a frozen backbone, attention
+        # backward needs no weight grads — saving rope'd q/k/v makes the
+        # whole attention recompute-free under the 'qkv' remat policy.
+        q = checkpoint_name(q, "attn_q")
+        k = checkpoint_name(k, "attn_k")
+        v = checkpoint_name(v, "attn_v")
+        return q, k, v
 
     def _adapter_kv(self, adapter):
         h, dh = self.cfg.n_heads, self.cfg.head_dim
@@ -121,6 +130,7 @@ class Attention(nn.Module):
                   else adapter_gated_attention)
         out = attend(q, k, v, ak, av, g1, self.gate2, video_start,
                      self.cfg.max_feats)
+        out = checkpoint_name(out, "attn_out")
         return self.wo(out)
 
     def prefill(self, x, rope_cos, rope_sin, adapter, video_start):
@@ -257,6 +267,11 @@ class FlippedVQAModel(nn.Module):
     trainable_dtype: Any = jnp.float32
     use_flash: bool = False
     remat: bool = False
+    # 'full' recomputes whole blocks in backward; 'qkv' additionally saves
+    # the rope'd q/k/v and attention outputs so the (weight-grad-free, frozen)
+    # attention never recomputes — ~2.4 GB extra at 7B/S=128 for less
+    # recompute FLOPs.
+    remat_policy: str = "full"
 
     def setup(self):
         cfg = self.cfg
@@ -364,8 +379,14 @@ class FlippedVQAModel(nn.Module):
         rope_cos, rope_sin = precompute_rope(cfg.head_dim, tokens.shape[1],
                                              cfg.rope_theta)
         adapters, first_adapted = self._adapters()
-        block_call = (nn.remat(TransformerBlock.__call__) if self.remat
-                      else TransformerBlock.__call__)
+        if self.remat and self.remat_policy == "qkv":
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "attn_q", "attn_k", "attn_v", "attn_out")
+            block_call = nn.remat(TransformerBlock.__call__, policy=policy)
+        elif self.remat:
+            block_call = nn.remat(TransformerBlock.__call__)
+        else:
+            block_call = TransformerBlock.__call__
         for i, block in enumerate(self.blocks):
             adapter = (adapters[i - first_adapted]
                        if i >= first_adapted else None)
