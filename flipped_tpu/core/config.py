@@ -122,6 +122,7 @@ class TrainConfig:
     clip_grad: Optional[float] = None
     # Rematerialize transformer blocks to trade FLOPs for HBM
     remat: bool = True
+    remat_policy: str = "full"
     # Use the Pallas flash-attention kernel on TPU (einsum fallback otherwise)
     flash_attention: bool = True
 
@@ -201,6 +202,9 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="write a jax.profiler trace of early train steps")
     p.add_argument("--loader", default="thread", choices=["thread", "grain"],
                    help="input pipeline backend")
+    p.add_argument("--remat_policy", default="full", choices=["full", "qkv"],
+                   help="'qkv' saves attention q/k/v+out (no attention "
+                        "recompute; +~2.4GB at 7B) — use when HBM allows")
     p.add_argument("--no_remat", action="store_true")
     p.add_argument("--no_flash", action="store_true")
     p.add_argument("--clip_grad", type=float, default=None)
@@ -252,6 +256,7 @@ def run_config_from_args(args: argparse.Namespace) -> RunConfig:
         seed=args.seed, output_dir=args.output_dir, resume=args.resume,
         start_epoch=args.start_epoch, clip_grad=args.clip_grad,
         remat=not args.no_remat, flash_attention=not args.no_flash,
+        remat_policy=args.remat_policy,
     )
     mesh = MeshConfig(dp=args.dp, tp=args.tp)
     return RunConfig(model=model, data=data, train=train, mesh=mesh,

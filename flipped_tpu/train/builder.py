@@ -53,7 +53,8 @@ def build_model(run_cfg: RunConfig, use_flash: bool | None = None,
         use_flash = (run_cfg.train.flash_attention
                      and jax.default_backend() == "tpu")
     model = FlippedVQAModel(cfg, use_flash=use_flash,
-                            remat=remat and run_cfg.train.remat)
+                            remat=remat and run_cfg.train.remat,
+                            remat_policy=run_cfg.train.remat_policy)
     return model, cfg
 
 
