@@ -86,6 +86,68 @@ def adapter_gated_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return jnp.einsum("bhsd->bshd", out.astype(q.dtype)).reshape(b, s, h * dh)
 
 
+def chunk_extend_attention(q: jax.Array, k_chunk: jax.Array,
+                           v_chunk: jax.Array, cache_k: jax.Array,
+                           cache_v: jax.Array, adapter_k: jax.Array,
+                           adapter_v: jax.Array, gate1: jax.Array,
+                           gate2: jax.Array, video_start: jax.Array,
+                           prefix: jax.Array, n_opt: int,
+                           max_feats: int) -> jax.Array:
+    """Prefix-shared option scoring: n_opt short chunks per example attend a
+    SHARED prompt cache plus themselves (option-local causal) — the
+    TPU-native replacement for re-running the full sequence once per answer
+    option (reference: model_my_original_mod.py:249-377 runs (B·n_opt, S)).
+
+    q/k_chunk/v_chunk: (B, n_opt*L, H, Dh) — rope'd at positions prefix+j.
+    cache_k/v:         (B, Smax, H, Dh) — prompt cache; only columns
+                       < prefix[b] are visible (identical across options).
+    prefix:            (B,) int32 — the shared-prompt length per example.
+    Returns (B, n_opt*L, H*Dh).
+    """
+    b, nl, h, dh = q.shape
+    chunk_len = nl // n_opt
+    s_max = cache_k.shape[1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32)).astype(q.dtype)
+
+    # --- cache segment: visible strictly below prefix --------------------
+    cache_scores = jnp.einsum("bqhd,bthd->bhqt", q, cache_k,
+                              preferred_element_type=jnp.float32) * scale
+    cols = jnp.arange(s_max)[None, None, None, :]
+    pfx = prefix[:, None, None, None]
+    vs = video_start[:, None, None, None]
+    block = ((cols >= vs) & (cols < vs + max_feats) & (vs >= 0))
+    # every chunk row sits at position ≥ prefix > vs+max_feats → gate2 rows
+    cache_scores = cache_scores + block * gate2.astype(jnp.float32)[None, :, None, None]
+    cache_scores = jnp.where(cols < pfx, cache_scores, NEG_INF)
+
+    # --- intra-chunk segment: option-local causal -------------------------
+    intra_scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_chunk,
+                              preferred_element_type=jnp.float32) * scale
+    qi = jnp.arange(nl)
+    same_opt = (qi[:, None] // chunk_len) == (qi[None, :] // chunk_len)
+    causal = qi[None, :] <= qi[:, None]
+    intra_mask = same_opt & causal
+    intra_scores = jnp.where(intra_mask[None, None], intra_scores, NEG_INF)
+
+    # one softmax over [cache ; intra] keys (one attention row)
+    scores = jnp.concatenate([cache_scores, intra_scores], axis=-1)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = (jnp.einsum("bhqt,bthd->bqhd", probs[..., :s_max], cache_v,
+                      preferred_element_type=jnp.float32)
+           + jnp.einsum("bhqk,bkhd->bqhd", probs[..., s_max:], v_chunk,
+                        preferred_element_type=jnp.float32))
+
+    # adapter prefix segment (independent softmax × tanh(gate1))
+    a_scores = jnp.einsum("bqhd,lhd->bhql", q, adapter_k.astype(q.dtype),
+                          preferred_element_type=jnp.float32) * scale
+    a_probs = (jax.nn.softmax(a_scores.astype(jnp.float32), axis=-1)
+               * jnp.tanh(gate1.astype(jnp.float32))[None, :, None, None])
+    out = out + jnp.einsum("bhql,lhd->bqhd", a_probs.astype(q.dtype),
+                           adapter_v.astype(q.dtype),
+                           preferred_element_type=jnp.float32)
+    return out.astype(q.dtype).reshape(b, nl, h * dh)
+
+
 def decode_attention(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
                      adapter_k: jax.Array, adapter_v: jax.Array,
                      gate1: jax.Array, gate2: jax.Array,

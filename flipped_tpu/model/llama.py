@@ -33,7 +33,8 @@ from flax import linen as nn
 from jax.ad_checkpoint import checkpoint_name
 
 from ..core.config import ModelConfig
-from .attention import adapter_gated_attention, decode_attention
+from .attention import (adapter_gated_attention, chunk_extend_attention,
+                        decode_attention)
 from .layers import apply_rope, precompute_rope, rms_norm
 from .pallas import flash_adapter_attention
 
@@ -143,6 +144,28 @@ class Attention(nn.Module):
                      self.cfg.max_feats)
         return self.wo(out), k, v
 
+    def extend(self, x, rope_cos, rope_sin, adapter, video_start,
+               cache_k, cache_v, prefix, n_opt):
+        """Prefix-shared chunk attention: x (B, n_opt*L, D), per-example
+        shared-prompt length prefix (B,). Chunk rows at absolute positions
+        prefix + (row % L)."""
+        b, nl, _ = x.shape
+        h, dh = self.cfg.n_heads, self.cfg.head_dim
+        chunk_len = nl // n_opt
+        q = self.wq(x).reshape(b, nl, h, dh)
+        k = self.wk(x).reshape(b, nl, h, dh)
+        v = self.wv(x).reshape(b, nl, h, dh)
+        pos = prefix[:, None] + (jnp.arange(nl) % chunk_len)[None]  # (B,nl)
+        cos = rope_cos[pos]
+        sin = rope_sin[pos]
+        q = _rope_batched(q, cos, sin)
+        k = _rope_batched(k, cos, sin)
+        ak, av, g1 = self._adapter_kv(adapter)
+        out = chunk_extend_attention(q, k, v, cache_k, cache_v, ak, av, g1,
+                                     self.gate2, video_start, prefix, n_opt,
+                                     self.cfg.max_feats)
+        return self.wo(out)
+
     def decode(self, x, rope_cos, rope_sin, adapter, video_start,
                cache_k, cache_v, pos):
         """Single-token step: x (B,1,D), pos (B,) absolute positions."""
@@ -235,6 +258,14 @@ class TransformerBlock(nn.Module):
             cache_k, cache_v, pos)
         h = x + attn
         return h + self.feed_forward(self.ffn_norm(h)), ck, cv
+
+    def extend(self, x, rope_cos, rope_sin, adapter, video_start,
+               cache_k, cache_v, prefix, n_opt):
+        attn = self.attention.extend(self.attention_norm(x), rope_cos,
+                                     rope_sin, adapter, video_start,
+                                     cache_k, cache_v, prefix, n_opt)
+        h = x + attn
+        return h + self.feed_forward(self.ffn_norm(h))
 
 
 class CrossAttentionModule(nn.Module):
@@ -425,6 +456,33 @@ class FlippedVQAModel(nn.Module):
             ck_all.append(jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0))))
             cv_all.append(jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0))))
         return (self.norm(h), jnp.stack(ck_all), jnp.stack(cv_all))
+
+    def extend_logits(self, tokens: jax.Array, cache_k: jax.Array,
+                      cache_v: jax.Array, prefix: jax.Array,
+                      video_start: jax.Array) -> jax.Array:
+        """Score n_opt candidate continuations against a shared prompt cache.
+
+        tokens: (B, n_opt, L) int32 — per-option answer-span tokens starting
+        at absolute position prefix (B,). Returns logits (B, n_opt, L, V).
+        Together with `prefill`, this replaces the reference's per-option
+        full forwards (model_my_original_mod.py:249-377) at ~n_opt× lower
+        FLOPs for prompt-dominated sequences.
+        """
+        cfg = self.cfg
+        b, n_opt, chunk_len = tokens.shape
+        cache_len = cache_k.shape[2]
+        h = jax.lax.stop_gradient(
+            self.tok_embeddings(tokens.reshape(b, n_opt * chunk_len)))
+        rope_cos, rope_sin = precompute_rope(cfg.head_dim, cache_len,
+                                             cfg.rope_theta)
+        adapters, first_adapted = self._adapters()
+        for i, block in enumerate(self.blocks):
+            adapter = (adapters[i - first_adapted]
+                       if i >= first_adapted else None)
+            h = block.extend(h, rope_cos, rope_sin, adapter, video_start,
+                             cache_k[i], cache_v[i], prefix, n_opt)
+        logits = self.output(self.norm(h))
+        return logits.reshape(b, n_opt, chunk_len, cfg.vocab_size)
 
     def decode_step(self, token: jax.Array, cache_k: jax.Array,
                     cache_v: jax.Array, pos: jax.Array,

@@ -1,5 +1,6 @@
 from .objectives import (Losses, ce_ignore_index, compute_objective_losses,
-                         fused_forward, option_scores, token_ce_unreduced)
+                         fused_forward, option_scores, option_scores_cached,
+                         token_ce_unreduced)
 from .optim import (TRAINABLE_MARKERS, cast_partitions, is_trainable,
                     lr_schedule, make_optimizer, merge_params,
                     partition_params)

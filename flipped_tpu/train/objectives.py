@@ -138,3 +138,65 @@ def option_scores(model, params, batch: Dict[str, Any]) -> jax.Array:
     tok_losses = tok_losses.reshape(b, n_opt, s - 1)
     count = jnp.maximum((tok_losses != 0).sum(-1), 1)
     return tok_losses.sum(-1) / count
+
+
+def option_scores_cached(model, params, batch: Dict[str, Any],
+                         span_len: int = 32) -> jax.Array:
+    """Prefix-shared option scoring — same scores as `option_scores` at
+    ~n_opt× fewer FLOPs for prompt-dominated sequences.
+
+    The reference scores options by running every candidate's FULL sequence
+    through the network (model_my_original_mod.py:249-377); but candidates
+    are identical up to the answer span (tokenizer.py:71-75), so here the
+    shared prompt prefills one KV cache per example and all options' short
+    answer spans (≤ span_len tokens) are scored against it in one
+    chunk-extend forward. Requires batch['prefix'] (B,) — the answer-span
+    start. Exact for answer spans of length ≤ span_len + 1.
+    """
+    video = batch.get("video")
+    audio = batch.get("audio")
+    tokens = batch["vqa_tokens"]          # (B, n_opt, S)
+    labels = batch["vqa_labels"]          # (B, n_opt, S)
+    prefix = batch["prefix"].astype(jnp.int32)
+    b, n_opt, s = tokens.shape
+
+    vf = model.apply(params, video, audio, method="fuse")
+    h, ck, cv = model.apply(params, tokens[:, 0], vf,
+                            batch["vqa_video_start"], batch["vqa_splice"],
+                            s, method="prefill")
+
+    # shared last-prompt logits predict each option's FIRST answer token
+    h_last = jnp.take_along_axis(h, (prefix - 1)[:, None, None], axis=1)
+    first_logits = model.apply(params, h_last, method="lm_logits")[:, 0]
+
+    # per-option answer-span tokens, gathered at prefix..prefix+L-1
+    j = jnp.arange(span_len)
+    tok_idx = jnp.clip(prefix[:, None, None] + j[None, None], 0, s - 1)
+    span_tokens = jnp.take_along_axis(
+        tokens, jnp.broadcast_to(tok_idx, (b, n_opt, span_len)), axis=2)
+    in_range = (prefix[:, None, None] + j[None, None]) < s
+    span_tokens = jnp.where(in_range, span_tokens, 0)
+
+    chunk_logits = model.apply(params, span_tokens, ck, cv, prefix,
+                               batch["vqa_video_start"],
+                               method="extend_logits")   # (B,n,L,V)
+
+    # targets: label at prefix (first) and prefix+1+j (chunk position j)
+    first_tgt = jnp.take_along_axis(
+        labels, jnp.broadcast_to(prefix[:, None, None], (b, n_opt, 1)),
+        axis=2)[..., 0]                                   # (B,n)
+    tgt_idx = jnp.clip(prefix[:, None, None] + 1 + j[None, None], 0, s - 1)
+    span_tgts = jnp.take_along_axis(
+        labels, jnp.broadcast_to(tgt_idx, (b, n_opt, span_len)), axis=2)
+    tgt_in_range = (prefix[:, None, None] + 1 + j[None, None]) < s
+    span_tgts = jnp.where(tgt_in_range, span_tgts, 0)
+
+    l_first = token_ce_unreduced(
+        jnp.broadcast_to(first_logits[:, None], (b, n_opt,
+                                                 first_logits.shape[-1])),
+        first_tgt)                                        # (B,n)
+    l_chunk = token_ce_unreduced(chunk_logits, span_tgts)  # (B,n,L)
+
+    total = l_first + l_chunk.sum(-1)
+    count = (l_first != 0).astype(jnp.int32) + (l_chunk != 0).sum(-1)
+    return total / jnp.maximum(count, 1)

@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from .objectives import compute_objective_losses, option_scores
+from .objectives import (compute_objective_losses, option_scores,
+                         option_scores_cached)
 from .optim import merge_params
 
 
@@ -81,14 +82,22 @@ def _opt_count(opt_state):
     return jnp.zeros((), jnp.int32)
 
 
-def make_eval_step(model):
+def make_eval_step(model, cached: bool = True, span_len: int = 32):
     """Classification eval: per-option scores → predictions
-    (reference: engine.py:87-93)."""
+    (reference: engine.py:87-93).
+
+    cached=True scores options against a shared prompt-prefix KV cache
+    (~n_opt× fewer FLOPs, exact for answer spans ≤ span_len+1 tokens —
+    hold for every benchmark's "(X)"-style answers); cached=False runs the
+    reference-style dense per-option forward."""
 
     @jax.jit
     def eval_step(trainable, frozen, batch) -> Dict[str, jax.Array]:
         params = {"params": merge_params(trainable, frozen)}
-        scores = option_scores(model, params, batch)   # (B, n_opt)
+        if cached:
+            scores = option_scores_cached(model, params, batch, span_len)
+        else:
+            scores = option_scores(model, params, batch)   # (B, n_opt)
         return {"scores": scores, "prediction": jnp.argmin(scores, axis=-1)}
 
     return eval_step

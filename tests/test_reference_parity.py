@@ -251,3 +251,10 @@ def test_eval_option_scores_match_reference(reference_modules, tmp_path):
     np.testing.assert_allclose(mine, ref_scores, rtol=2e-3, atol=2e-3)
     # and the resulting predictions agree exactly
     assert (mine.argmin(-1) == ref_scores.argmin(-1)).all()
+
+    # the prefix-shared cached scorer matches the reference oracle too
+    from flipped_tpu.train import option_scores_cached
+    cached = np.asarray(option_scores_cached(model, {"params": params},
+                                             jbatch, span_len=16))
+    np.testing.assert_allclose(cached, ref_scores, rtol=2e-3, atol=2e-3)
+    assert (cached.argmin(-1) == ref_scores.argmin(-1)).all()

@@ -143,6 +143,19 @@ class TestTrainStep:
 
 
 class TestEvalStep:
+    def test_cached_scoring_matches_dense(self):
+        """Prefix-shared option scoring (one prompt prefill + chunk extend)
+        must equal the dense per-option forward exactly."""
+        from flipped_tpu.train import option_scores, option_scores_cached
+
+        model, params, batch, _ = build(n=3, split="val", seed=9)
+        jb = {k: jnp.array(v) for k, v in batch.items()
+              if isinstance(v, np.ndarray)}
+        p = {"params": params}
+        dense = np.asarray(option_scores(model, p, jb))
+        cached = np.asarray(option_scores_cached(model, p, jb, span_len=16))
+        np.testing.assert_allclose(cached, dense, rtol=1e-5, atol=1e-5)
+
     def test_scores_and_prediction_shapes(self):
         model, params, batch, items = build(n=3, split="val")
         trainable, frozen = partition_params(params)
