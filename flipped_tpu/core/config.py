@@ -123,6 +123,8 @@ class TrainConfig:
     # Rematerialize transformer blocks to trade FLOPs for HBM
     remat: bool = True
     remat_policy: str = "full"
+    # int8 weight-only quantization of the frozen backbone ('none' | 'int8')
+    quantize: str = "none"
     # Use the Pallas flash-attention kernel on TPU (einsum fallback otherwise)
     flash_attention: bool = True
 
@@ -205,6 +207,9 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat_policy", default="full", choices=["full", "qkv"],
                    help="'qkv' saves attention q/k/v+out (no attention "
                         "recompute; +~2.4GB at 7B) — use when HBM allows")
+    p.add_argument("--quantize", default="none", choices=["none", "int8"],
+                   help="int8 weight-only quantization of the frozen "
+                        "backbone (halves its HBM)")
     p.add_argument("--no_remat", action="store_true")
     p.add_argument("--no_flash", action="store_true")
     p.add_argument("--clip_grad", type=float, default=None)
@@ -256,7 +261,7 @@ def run_config_from_args(args: argparse.Namespace) -> RunConfig:
         seed=args.seed, output_dir=args.output_dir, resume=args.resume,
         start_epoch=args.start_epoch, clip_grad=args.clip_grad,
         remat=not args.no_remat, flash_attention=not args.no_flash,
-        remat_policy=args.remat_policy,
+        remat_policy=args.remat_policy, quantize=args.quantize,
     )
     mesh = MeshConfig(dp=args.dp, tp=args.tp)
     return RunConfig(model=model, data=data, train=train, mesh=mesh,

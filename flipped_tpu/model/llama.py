@@ -45,14 +45,27 @@ def _torch_linear_init(fan_in: int):
 
 
 class Linear(nn.Module):
-    """Bias-free linear with the kernel stored (in, out)."""
+    """Bias-free linear with the kernel stored (in, out).
+
+    quantized=True stores the kernel as int8 with per-output-channel f32
+    scales (weight-only quantization): the frozen 7B backbone drops from
+    ~12.6 GB to ~6.3 GB of HBM, dequantizing one layer at a time into the
+    matmul. Opt-in (--quantize int8) — small numerical deltas vs bf16."""
 
     features: int
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.bfloat16
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.quantized:
+            kq = self.param("kernel_q", nn.initializers.zeros,
+                            (x.shape[-1], self.features), jnp.int8)
+            scale = self.param("scale", nn.initializers.ones,
+                               (self.features,), jnp.float32)
+            kernel = kq.astype(self.dtype) * scale.astype(self.dtype)[None, :]
+            return x @ kernel
         kernel = self.param("kernel", _torch_linear_init(x.shape[-1]),
                             (x.shape[-1], self.features), self.param_dtype)
         return x @ kernel.astype(self.dtype)
@@ -78,11 +91,13 @@ class Attention(nn.Module):
     frozen_dtype: Any = jnp.bfloat16
     trainable_dtype: Any = jnp.float32
     use_flash: bool = False
+    quantized: bool = False
 
     def setup(self):
         cfg = self.cfg
         lin = functools.partial(Linear, cfg.dim, dtype=self.dtype,
-                                param_dtype=self.frozen_dtype)
+                                param_dtype=self.frozen_dtype,
+                                quantized=self.quantized)
         self.wq, self.wk, self.wv, self.wo = (lin(name=n) for n in
                                               ("wq", "wk", "wv", "wo"))
         # Zero-init tanh gate on the adapter segment; -bias init on the
@@ -208,16 +223,18 @@ class FeedForward(nn.Module):
     cfg: ModelConfig
     dtype: Any = jnp.bfloat16
     frozen_dtype: Any = jnp.bfloat16
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x):
         hidden = self.cfg.ffn_hidden
         w1 = Linear(hidden, dtype=self.dtype, param_dtype=self.frozen_dtype,
-                    name="w1")
+                    quantized=self.quantized, name="w1")
         w2 = Linear(self.cfg.dim, dtype=self.dtype,
-                    param_dtype=self.frozen_dtype, name="w2")
+                    param_dtype=self.frozen_dtype,
+                    quantized=self.quantized, name="w2")
         w3 = Linear(hidden, dtype=self.dtype, param_dtype=self.frozen_dtype,
-                    name="w3")
+                    quantized=self.quantized, name="w3")
         return w2(jax.nn.silu(w1(x)) * w3(x))
 
 
@@ -229,12 +246,14 @@ class TransformerBlock(nn.Module):
     frozen_dtype: Any = jnp.bfloat16
     trainable_dtype: Any = jnp.float32
     use_flash: bool = False
+    quantized: bool = False
 
     def setup(self):
         self.attention = Attention(self.cfg, self.dtype, self.frozen_dtype,
-                                   self.trainable_dtype, self.use_flash)
+                                   self.trainable_dtype, self.use_flash,
+                                   self.quantized)
         self.feed_forward = FeedForward(self.cfg, self.dtype,
-                                        self.frozen_dtype)
+                                        self.frozen_dtype, self.quantized)
         self.attention_norm = RMSNorm(self.cfg.dim, self.cfg.norm_eps,
                                       self.frozen_dtype)
         self.ffn_norm = RMSNorm(self.cfg.dim, self.cfg.norm_eps,
@@ -303,6 +322,8 @@ class FlippedVQAModel(nn.Module):
     # attention never recomputes — ~2.4 GB extra at 7B/S=128 for less
     # recompute FLOPs.
     remat_policy: str = "full"
+    # int8 weight-only quantization of the frozen backbone matmuls
+    quantized: bool = False
 
     def setup(self):
         cfg = self.cfg
@@ -313,13 +334,14 @@ class FlippedVQAModel(nn.Module):
         self.blocks = [
             TransformerBlock(cfg, self.dtype, self.frozen_dtype,
                              self.trainable_dtype, self.use_flash,
-                             name=f"layers_{i}")
+                             self.quantized, name=f"layers_{i}")
             for i in range(cfg.n_layers)
         ]
         self.norm = RMSNorm(cfg.dim, cfg.norm_eps, self.frozen_dtype,
                             name="norm")
         self.output = Linear(cfg.vocab_size, dtype=self.dtype,
-                             param_dtype=self.frozen_dtype, name="output")
+                             param_dtype=self.frozen_dtype,
+                             quantized=self.quantized, name="output")
         # Trainables (reference: model.py:208, 229; llama_vqa.py:71-77)
         self.adapter_query = self.param(
             "adapter_query", nn.initializers.normal(1.0),

@@ -54,7 +54,8 @@ def build_model(run_cfg: RunConfig, use_flash: bool | None = None,
                      and jax.default_backend() == "tpu")
     model = FlippedVQAModel(cfg, use_flash=use_flash,
                             remat=remat and run_cfg.train.remat,
-                            remat_policy=run_cfg.train.remat_policy)
+                            remat_policy=run_cfg.train.remat_policy,
+                            quantized=run_cfg.train.quantize == "int8")
     return model, cfg
 
 
@@ -102,11 +103,17 @@ def build_train_state(run_cfg: RunConfig, seed: int = 0,
     params = init_params(model, cfg, seed)
     trainable, frozen = partition_params(params)
     loaded = load_or_convert_frozen(run_cfg)
+    quantized = run_cfg.train.quantize == "int8"
     if loaded is not None:
         # graft loaded leaves into the frozen tree (strict on missing keys
         # that the reference would load; extra keys ignored like
-        # load_state_dict(strict=False), llama_vqa.py:68)
+        # load_state_dict(strict=False), llama_vqa.py:68); bf16 kernels are
+        # quantized on the fly when the model runs int8
+        from ..ckpt.quantize import quantize_kernel
+
         def graft(dst, src):
+            if quantized and "kernel_q" in dst and "kernel" in src:
+                return quantize_kernel(src["kernel"])
             out = {}
             for k, v in dst.items():
                 if v is None:
@@ -121,5 +128,8 @@ def build_train_state(run_cfg: RunConfig, seed: int = 0,
     else:
         print("WARNING: no LLaMA checkpoint found — frozen backbone stays "
               "randomly initialized (synthetic mode)")
+        if quantized:
+            from ..ckpt.quantize import randomize_quantized
+            frozen = randomize_quantized(frozen, seed)
     trainable, frozen = cast_partitions(trainable, frozen)
     return model, cfg, tokenizer, trainable, frozen

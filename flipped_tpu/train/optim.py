@@ -59,9 +59,23 @@ def partition_params(params) -> Tuple[Dict, Dict]:
 
 
 def merge_params(trainable, frozen):
-    return jax.tree_util.tree_map(
-        lambda t, f: t if t is not None else f, trainable, frozen,
-        is_leaf=lambda x: x is None)
+    """Recursive union of the two partitions; None placeholders defer to the
+    other side and vanish. Tolerates structural differences inside a subtree
+    (e.g. quantized frozen kernels: {'kernel_q','scale'} vs a trainable
+    placeholder {'kernel': None})."""
+    if trainable is None:
+        return frozen
+    if frozen is None:
+        return trainable
+    if isinstance(trainable, dict) and isinstance(frozen, dict):
+        out = {}
+        for k in set(trainable) | set(frozen):
+            v = merge_params(trainable.get(k), frozen.get(k))
+            if v is None or (isinstance(v, dict) and not v):
+                continue
+            out[k] = v
+        return out
+    return trainable
 
 
 def cast_partitions(trainable, frozen, trainable_dtype=jnp.float32,

@@ -1,0 +1,87 @@
+"""int8 weight-only quantization of the frozen backbone."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from flipped_tpu.ckpt.quantize import (dequantize_kernel, quantize_frozen,
+                                       quantize_kernel, randomize_quantized)
+from flipped_tpu.core.config import ModelConfig
+from flipped_tpu.model import FlippedVQAModel
+from flipped_tpu.train import merge_params, partition_params
+
+CFG = ModelConfig(dim=32, n_layers=2, n_heads=4, vocab_size=128,
+                  multiple_of=16, max_seq_len=48, adapter_len=4,
+                  adapter_layer=2, max_feats=4, visual_dim=16)
+
+
+def test_kernel_roundtrip_error():
+    rs = np.random.RandomState(0)
+    k = rs.randn(64, 32).astype(np.float32) * 0.05
+    q = quantize_kernel(k)
+    assert q["kernel_q"].dtype == jnp.int8
+    deq = dequantize_kernel(q)
+    # per-channel absmax int8: worst-case error ≤ scale/2 per element
+    err = np.abs(deq - k)
+    assert (err <= np.asarray(q["scale"])[None, :] * 0.5 + 1e-7).all()
+    rel = np.abs(deq - k).max() / np.abs(k).max()
+    assert rel < 0.01
+
+
+def test_quantize_frozen_structure():
+    model = FlippedVQAModel(CFG, dtype=jnp.float32, frozen_dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                        jnp.zeros((1, 4, 16)), None, jnp.zeros((1,), jnp.int32),
+                        jnp.zeros((1, 4), jnp.int32))["params"]
+    _, frozen = partition_params(params)
+    qfrozen = quantize_frozen(frozen)
+    att = qfrozen["layers_0"]["attention"]["wq"]
+    assert set(att) == {"kernel_q", "scale"}
+    assert qfrozen["output"]["kernel_q"].dtype == jnp.int8
+    # norms and embeddings untouched
+    assert "weight" in qfrozen["layers_0"]["attention_norm"]
+    assert "embedding" in qfrozen["tok_embeddings"]
+
+
+def test_quantized_model_forward_close_to_full():
+    """int8 forward stays close to the bf16/f32 forward and training
+    losses stay finite through the quantized backbone."""
+    full = FlippedVQAModel(CFG, dtype=jnp.float32, frozen_dtype=jnp.float32)
+    quant = FlippedVQAModel(CFG, dtype=jnp.float32, frozen_dtype=jnp.float32,
+                            quantized=True)
+    rng = jax.random.PRNGKey(1)
+    tokens = jax.random.randint(rng, (2, 24), 0, CFG.vocab_size)
+    video = jax.random.normal(rng, (2, 4, 16)) * 0.5
+    vs = jnp.full((2,), 3, jnp.int32)
+    splice = vs[:, None] + jnp.arange(4)[None]
+
+    params = full.init(rng, tokens, video, None, vs, splice)["params"]
+    trainable, frozen = partition_params(params)
+    qparams = merge_params(trainable, quantize_frozen(frozen))
+
+    logits_f, qav_f = full.apply({"params": params}, tokens, video, None,
+                                 vs, splice)
+    logits_q, qav_q = quant.apply({"params": qparams}, tokens, video, None,
+                                  vs, splice)
+    # int8 error compounds over layers; require close agreement, not bitwise
+    denom = np.abs(np.asarray(logits_f)).max()
+    rel = np.abs(np.asarray(logits_q) - np.asarray(logits_f)).max() / denom
+    assert rel < 0.05, rel
+    # top-1 predictions overwhelmingly agree
+    agree = (np.asarray(logits_f).argmax(-1)
+             == np.asarray(logits_q).argmax(-1)).mean()
+    assert agree > 0.9, agree
+
+
+def test_randomize_quantized_fills_weights():
+    model = FlippedVQAModel(CFG, quantized=True, dtype=jnp.float32,
+                            frozen_dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                        jnp.zeros((1, 4, 16)), None,
+                        jnp.zeros((1,), jnp.int32),
+                        jnp.zeros((1, 4), jnp.int32))["params"]
+    _, frozen = partition_params(params)
+    filled = randomize_quantized(frozen, seed=0)
+    kq = np.asarray(filled["layers_0"]["attention"]["wq"]["kernel_q"])
+    assert np.abs(kq).sum() > 0
