@@ -150,9 +150,12 @@ def main():
                             quantized=args.quantize == "int8")
 
     b = args.batch * args.accum
+    # per-run-unique data: the env's TPU relay content-caches execution
+    # results, and a repeated (weights, batch) trajectory could replay
     items = make_synthetic_items(tok, b, max_feats=cfg.max_feats,
                                  max_seq_len=cfg.max_seq_len,
-                                 visual_dim=cfg.visual_dim, seed=0)
+                                 visual_dim=cfg.visual_dim,
+                                 seed=int.from_bytes(os.urandom(4), "little"))
     batch = pack_train_batch(items, cfg.max_feats)
 
     print(f"[bench] init {args.preset} on {jax.devices()[0].device_kind}…",
