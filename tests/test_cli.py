@@ -67,6 +67,32 @@ def test_generation_task_cli(synth_root, tmp_path):
     assert "val_counting" in lines[0]  # musicavqa qtype buckets
 
 
+def test_evaluate_cli_from_checkpoint(synth_root, tmp_path):
+    out = str(tmp_path / "out_eval")
+    base = ["--model", "tiny", "--dataset", "nextqa", "--data_root",
+            synth_root, "--batch_size", "2", "--max_seq_len", "128",
+            "--dp", "1", "--output_dir", out]
+    run_main(base + ["--epochs", "1", "--warmup_epochs", "0.5",
+                     "--blr", "9e-1"])
+    from flipped_tpu.cli import evaluate
+    args = get_args_parser().parse_args(base + ["--resume",
+                                                "checkpoint_best"])
+    stats = evaluate.main(args)
+    assert "acc" in stats and 0.0 <= stats["acc"] <= 1.0
+
+
+def test_quantized_cli_trains(synth_root, tmp_path):
+    """int8 frozen backbone through the full trainer (synthetic weights)."""
+    out = str(tmp_path / "out_q")
+    argv = ["--model", "tiny", "--dataset", "nextqa", "--data_root",
+            synth_root, "--batch_size", "2", "--max_seq_len", "128",
+            "--epochs", "1", "--warmup_epochs", "0.5", "--blr", "9e-1",
+            "--quantize", "int8", "--dp", "1", "--output_dir", out]
+    run_main(argv)
+    lines = [json.loads(l) for l in open(os.path.join(out, "log.txt"))]
+    assert np.isfinite(lines[0]["train_loss"])
+
+
 def test_grain_loader_cli(synth_root, tmp_path):
     out = str(tmp_path / "out_grain")
     argv = ["--model", "tiny", "--dataset", "nextqa", "--data_root",
