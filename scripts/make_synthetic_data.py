@@ -69,6 +69,26 @@ def make_musicavqa(root, n, rs):
     _audio(os.path.join(d, "audio_imagebind_clip.pth"), vids, n=1)
 
 
+def make_vlep(root, n, rs):
+    d = os.path.join(root, "vlep")
+    os.makedirs(d, exist_ok=True)
+    for split, count in (("train", n), ("dev", max(n // 4, 2))):
+        data = [dict(vid_name=f"vl{i % n}",
+                     events=[f"{rs.choice(WORDS)} happens",
+                             f"{rs.choice(WORDS)} stops"],
+                     answer=int(rs.randint(2)), ts=[0.0, 6.0])
+                for i in range(count)]
+        with open(os.path.join(d, f"vlep_{split}_release.jsonl"), "w") as f:
+            f.write("\n".join(json.dumps(x) for x in data))
+    subs = [dict(vid_name=f"vl{i}",
+                 sub=[dict(start=0, end=4,
+                           text=" ".join(rs.choice(WORDS, 8)))])
+            for i in range(n)]
+    with open(os.path.join(d, "vlep_subtitles.jsonl"), "w") as f:
+        f.write("\n".join(json.dumps(x) for x in subs))
+    _features(os.path.join(d, "clipvitl14.pth"), [f"vl{i}" for i in range(n)])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="./data")
@@ -78,6 +98,7 @@ def main():
     rs = np.random.RandomState(args.seed)
     make_nextqa(args.root, args.n, rs)
     make_musicavqa(args.root, args.n, rs)
+    make_vlep(args.root, args.n, rs)
     print(f"synthetic data written under {args.root}")
 
 

