@@ -127,6 +127,45 @@ def bench_eval(args, cfg, model, trainable, frozen, tok):
     }))
 
 
+def bench_generation(args, cfg, model, trainable, frozen, tok):
+    """Generation-eval throughput: batched prefill + 31 KV-cached decode
+    steps (the reference re-runs the full O(S²) forward per token per
+    example, model.py:429-442 — ~31·S/(S+31) ≈ 25× more attention-layer
+    work at S=128)."""
+    from flipped_tpu.data import pack_eval_batch
+    from flipped_tpu.train.generation import make_generation_step
+
+    nonce = int.from_bytes(os.urandom(4), "little")
+    batches = []
+    for i in range(args.steps):
+        items = make_synthetic_items(tok, args.batch, max_feats=cfg.max_feats,
+                                     max_seq_len=cfg.max_seq_len, split="val",
+                                     visual_dim=cfg.visual_dim,
+                                     seed=nonce + i)
+        batch = pack_eval_batch(items, cfg.max_feats)
+        batches.append({k: jnp.array(v) for k, v in batch.items()
+                        if isinstance(v, np.ndarray)
+                        and k not in ("answer", "qtype")})
+
+    gen_step = make_generation_step(model, tok.eos_id)
+    out = gen_step(trainable, frozen, batches[-1])
+    int(out["generated"][0, 0])  # force completion (relay: fetch, not block)
+    t0 = time.perf_counter()
+    for jb in batches:
+        out = gen_step(trainable, frozen, jb)
+        int(out["generated"][0, 0])
+    dt = (time.perf_counter() - t0) / args.steps
+    print(json.dumps({
+        "metric": f"nextqa_{args.preset}_generation_examples_per_sec_per_chip",
+        "value": round(args.batch / dt, 3),
+        "unit": "examples/s/chip",
+        "vs_baseline": 1.0,
+        "extra": {"step_time_s": round(dt, 4), "new_tokens": 31,
+                  "batch": args.batch, "seq_len": cfg.max_seq_len,
+                  "device": jax.devices()[0].device_kind},
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="7b", choices=list(PRESETS))
@@ -137,7 +176,8 @@ def main():
     ap.add_argument("--no-flash", action="store_true")
     ap.add_argument("--remat_policy", default="full", choices=["full", "qkv"])
     ap.add_argument("--quantize", default="none", choices=["none", "int8"])
-    ap.add_argument("--mode", default="train", choices=["train", "eval"])
+    ap.add_argument("--mode", default="train",
+                    choices=["train", "eval", "generation"])
     ap.add_argument("--trace_dir", default="",
                     help="write a jax.profiler trace of the timed steps")
     args = ap.parse_args()
@@ -173,6 +213,9 @@ def main():
 
     if args.mode == "eval":
         bench_eval(args, cfg, model, trainable, frozen, tok)
+        return
+    if args.mode == "generation":
+        bench_generation(args, cfg, model, trainable, frozen, tok)
         return
 
     tcfg = TrainConfig(epochs=5, warmup_epochs=2, accum_iter=args.accum,

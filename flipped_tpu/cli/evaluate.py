@@ -13,7 +13,7 @@ import json
 import os
 
 import jax
-import numpy as np
+
 
 from ..ckpt.manager import CheckpointManager
 from ..core.config import get_args_parser, run_config_from_args
