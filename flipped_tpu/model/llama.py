@@ -193,11 +193,11 @@ class Attention(nn.Module):
         sin = rope_sin[pos][:, None]
         q = _rope_batched(q, cos, sin)
         k = _rope_batched(k, cos, sin)
-        # scatter the new K/V into the cache at per-example pos
-        onehot = jax.nn.one_hot(pos, cache_k.shape[1],
-                                dtype=cache_k.dtype)[:, :, None, None]
-        cache_k = cache_k * (1 - onehot) + onehot * k.astype(cache_k.dtype)
-        cache_v = cache_v * (1 - onehot) + onehot * v.astype(cache_v.dtype)
+        # in-place-able scatter of the new K/V at per-example pos (XLA can
+        # alias this into the scan carry, unlike a one-hot blend)
+        batch_idx = jnp.arange(b)
+        cache_k = cache_k.at[batch_idx, pos].set(k[:, 0].astype(cache_k.dtype))
+        cache_v = cache_v.at[batch_idx, pos].set(v[:, 0].astype(cache_v.dtype))
         ak, av, g1 = self._adapter_kv(adapter)
         out = decode_attention(q, cache_k, cache_v, ak, av, g1, self.gate2,
                                video_start, pos, self.cfg.max_feats)
