@@ -35,6 +35,10 @@ PRESETS = {
                            vocab_size=32000, multiple_of=256,
                            max_seq_len=650, adapter_len=10, adapter_layer=32,
                            max_feats=10, bias=3.0, tau=100.0),
+    # 13B (reference 13B runs use --adapter_layer 40, run-nextqa13B-array.sh)
+    "13b": ModelConfig(dim=5120, n_layers=40, n_heads=40, vocab_size=32000,
+                       multiple_of=256, max_seq_len=128, adapter_len=10,
+                       adapter_layer=40, max_feats=10, bias=3.5, tau=100.0),
     "small": ModelConfig(dim=512, n_layers=4, n_heads=8, vocab_size=32000,
                          multiple_of=256, max_seq_len=128, adapter_len=10,
                          adapter_layer=4, max_feats=10),
