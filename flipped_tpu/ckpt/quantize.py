@@ -51,7 +51,8 @@ def quantize_frozen(frozen: dict) -> dict:
 
 def randomize_quantized(frozen: dict, seed: int = 0) -> dict:
     """Fill zero-initialized int8 kernels with random weights (synthetic /
-    benchmark runs without a real checkpoint)."""
+    benchmark runs without a real checkpoint). Frees each zero buffer as it
+    is replaced so peak HBM stays ~1× the tree (13B fits on one chip)."""
     rs = np.random.RandomState(seed)
 
     def walk(node):
@@ -60,13 +61,20 @@ def randomize_quantized(frozen: dict, seed: int = 0) -> dict:
         if "kernel_q" in node:
             q = node["kernel_q"]
             fan_in = q.shape[0]
-            return {
+            new = {
                 "kernel_q": jnp.asarray(
                     rs.randint(-127, 128, q.shape).astype(np.int8)),
                 "scale": jnp.full(q.shape[1:],
                                   1.0 / (127.0 * np.sqrt(fan_in)),
                                   jnp.float32),
             }
+            for old in (q, node.get("scale")):
+                if hasattr(old, "delete"):
+                    try:
+                        old.delete()
+                    except Exception:
+                        pass
+            return new
         return {k: walk(v) for k, v in node.items()}
 
     return walk(frozen)
