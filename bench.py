@@ -178,6 +178,7 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--no-flash", action="store_true")
+    ap.add_argument("--no_remat", action="store_true")
     ap.add_argument("--remat_policy", default="full", choices=["full", "qkv"])
     ap.add_argument("--quantize", default="none", choices=["none", "int8"])
     ap.add_argument("--mode", default="train",
@@ -190,7 +191,8 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     tok = MockTokenizer(cfg.vocab_size)
     model = FlippedVQAModel(cfg, use_flash=on_tpu and not args.no_flash,
-                            remat=True, remat_policy=args.remat_policy,
+                            remat=not args.no_remat,
+                            remat_policy=args.remat_policy,
                             quantized=args.quantize == "int8")
 
     b = args.batch * args.accum
