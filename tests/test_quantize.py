@@ -74,6 +74,37 @@ def test_quantized_model_forward_close_to_full():
     assert agree > 0.9, agree
 
 
+def test_quantized_eval_predictions_agree_with_bf16():
+    """The eval decision (argmin option score) must be stable under int8
+    weight-only quantization on a trained-ish model."""
+    from flipped_tpu.data import make_synthetic_items, pack_eval_batch
+    from flipped_tpu.text import MockTokenizer
+    from flipped_tpu.train import option_scores
+
+    cfg = ModelConfig(dim=32, n_layers=2, n_heads=4, vocab_size=512,
+                      multiple_of=16, max_seq_len=96, adapter_len=4,
+                      adapter_layer=2, max_feats=4, visual_dim=16)
+    tok = MockTokenizer(cfg.vocab_size)
+    full = FlippedVQAModel(cfg, dtype=jnp.float32, frozen_dtype=jnp.float32)
+    quant = FlippedVQAModel(cfg, dtype=jnp.float32, frozen_dtype=jnp.float32,
+                            quantized=True)
+    items = make_synthetic_items(tok, 4, max_feats=4, max_seq_len=96,
+                                 split="val", visual_dim=16, seed=31)
+    batch = pack_eval_batch(items, 4)
+    jb = {k: jnp.array(v) for k, v in batch.items()
+          if isinstance(v, np.ndarray) and k not in ("answer", "qtype")}
+    params = full.init(jax.random.PRNGKey(4), jb["vqa_tokens"][:, 0],
+                       jb["video"], None, jb["vqa_video_start"],
+                       jb["vqa_splice"])["params"]
+    trainable, frozen = partition_params(params)
+    qparams = merge_params(trainable, quantize_frozen(frozen))
+
+    s_full = np.asarray(option_scores(full, {"params": params}, jb))
+    s_q = np.asarray(option_scores(quant, {"params": qparams}, jb))
+    np.testing.assert_allclose(s_q, s_full, rtol=0.02, atol=0.02)
+    assert (s_q.argmin(-1) == s_full.argmin(-1)).all()
+
+
 def test_randomize_quantized_fills_weights():
     model = FlippedVQAModel(CFG, quantized=True, dtype=jnp.float32,
                             frozen_dtype=jnp.float32)
