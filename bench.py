@@ -173,13 +173,16 @@ def bench_generation(args, cfg, model, trainable, frozen, tok):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="7b", choices=list(PRESETS))
-    ap.add_argument("--batch", type=int, default=8)
+    # defaults = the fastest bf16 (parity-safe) configuration measured on a
+    # 16 GB v5e: per-chip microbatch 4 with the frozen-aware 'qkv' remat
+    # policy (57.2% MFU) — see docs/PERF.md for the full ladder
+    ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--accum", type=int, default=1)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--no-flash", action="store_true")
     ap.add_argument("--no_remat", action="store_true")
-    ap.add_argument("--remat_policy", default="full", choices=["full", "qkv"])
+    ap.add_argument("--remat_policy", default="qkv", choices=["full", "qkv"])
     ap.add_argument("--quantize", default="none", choices=["none", "int8"])
     ap.add_argument("--mode", default="train",
                     choices=["train", "eval", "generation"])
