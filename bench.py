@@ -86,26 +86,32 @@ def bench_eval(args, cfg, model, trainable, frozen, tok):
     """Classification-eval throughput: dense per-option forwards vs the
     prefix-shared cached scorer."""
     from flipped_tpu.data import pack_eval_batch
-    from flipped_tpu.train import make_eval_step
+    from flipped_tpu.train import make_eval_step, required_eval_span
 
     # distinct, per-run-unique batches — this environment's TPU relay caches
     # execution RESULTS content-addressed across processes, which fakes
     # sub-ms step times for any previously-seen (program, inputs) pair
     nonce = int.from_bytes(os.urandom(4), "little")
     batches = []
+    span = 1
     for i in range(args.steps):
         items = make_synthetic_items(tok, args.batch, max_feats=cfg.max_feats,
                                      max_seq_len=cfg.max_seq_len, split="val",
                                      visual_dim=cfg.visual_dim,
                                      seed=nonce + i)
         batch = pack_eval_batch(items, cfg.max_feats)
+        need, exact = required_eval_span(batch)  # host-side, before device put
+        assert exact
+        span = max(span, need)
         batches.append({k: jnp.array(v) for k, v in batch.items()
                         if isinstance(v, np.ndarray)
                         and k not in ("answer", "qtype")})
+    span = -(-span // 8) * 8  # pin one compile shape across all batches
 
     results = {}
     for name, cached in (("cached", True), ("dense", False)):
-        step = make_eval_step(model, cached=cached)
+        step = make_eval_step(model, cached=cached,
+                              span_len=span if cached else None)
         out = step(trainable, frozen, batches[-1])
         float(out["scores"].sum())  # block_until_ready doesn't truly wait
         t0 = time.perf_counter()    # on this env's relay; a host fetch does

@@ -4,12 +4,13 @@ from .objectives import (Losses, ce_ignore_index, compute_objective_losses,
 from .optim import (TRAINABLE_MARKERS, cast_partitions, is_trainable,
                     lr_schedule, make_optimizer, merge_params,
                     partition_params)
-from .step import TrainMetrics, make_eval_step, make_train_step
+from .step import (TrainMetrics, make_eval_step, make_train_step,
+                   required_eval_span)
 
 __all__ = [
     "Losses", "ce_ignore_index", "compute_objective_losses", "fused_forward",
     "option_scores", "token_ce_unreduced", "TRAINABLE_MARKERS",
     "cast_partitions", "is_trainable", "lr_schedule", "make_optimizer",
     "merge_params", "partition_params", "TrainMetrics", "make_eval_step",
-    "make_train_step",
+    "make_train_step", "required_eval_span",
 ]

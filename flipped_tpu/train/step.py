@@ -15,6 +15,7 @@ from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from .objectives import (compute_objective_losses, option_scores,
@@ -82,22 +83,70 @@ def _opt_count(opt_state):
     return jnp.zeros((), jnp.int32)
 
 
-def make_eval_step(model, cached: bool = True, span_len: int = 32):
+def required_eval_span(batch) -> tuple:
+    """Host-side exactness bound for the cached option scorer.
+
+    Returns (span_len, exact): the smallest L such that every nonzero label
+    lies in [prefix, prefix+L], and whether such an L exists (False when a
+    nonzero label precedes `prefix`, in which case only the dense scorer is
+    exact). Cheap: reads labels/prefix, which originate on the host loader.
+    """
+    lab = np.asarray(batch["vqa_labels"])         # (B, n_opt, S)
+    pre = np.asarray(batch["prefix"]).astype(np.int64)  # (B,)
+    s = lab.shape[-1]
+    nz = lab != 0
+    pos = np.arange(s)
+    max_pos = np.where(nz, pos, -1).max(axis=-1)        # (B, n_opt)
+    min_pos = np.where(nz, pos, s).min(axis=-1)
+    has = max_pos >= 0
+    exact = not bool(((min_pos < pre[:, None]) & has).any())
+    need = int(np.maximum(max_pos - pre[:, None], 0).max(initial=0))
+    return max(need, 1), exact
+
+
+def _bucket_span(n: int, s: int) -> int:
+    """Round up to a multiple of 8 to bound the number of compiled shapes."""
+    return min(max(8, -(-n // 8) * 8), max(s - 1, 1))
+
+
+def make_eval_step(model, cached: bool = True, span_len: int | None = None):
     """Classification eval: per-option scores → predictions
     (reference: engine.py:87-93).
 
     cached=True scores options against a shared prompt-prefix KV cache
-    (~n_opt× fewer FLOPs, exact for answer spans ≤ span_len+1 tokens —
-    hold for every benchmark's "(X)"-style answers); cached=False runs the
-    reference-style dense per-option forward."""
+    (~n_opt× fewer FLOPs — reference runs every option's full sequence,
+    model_my_original_mod.py:249-377). span_len=None auto-sizes the scored
+    answer window per batch from the labels (bucketed to multiples of 8 to
+    bound recompiles) so the cached path is ALWAYS exact; if a batch has
+    labeled tokens before `prefix` (impossible under this repo's masking,
+    defensive only) it falls back to the dense scorer. An explicit span_len
+    pins the compile shape WITHOUT per-batch checks — for hot loops whose
+    caller has already verified fit via `required_eval_span` (device-array
+    batches would otherwise pay a host fetch per step).
+    cached=False always runs the reference-style dense per-option forward."""
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def cached_step(trainable, frozen, batch, L) -> Dict[str, jax.Array]:
+        params = {"params": merge_params(trainable, frozen)}
+        scores = option_scores_cached(model, params, batch, L)
+        return {"scores": scores, "prediction": jnp.argmin(scores, axis=-1)}
 
     @jax.jit
-    def eval_step(trainable, frozen, batch) -> Dict[str, jax.Array]:
+    def dense_step(trainable, frozen, batch) -> Dict[str, jax.Array]:
         params = {"params": merge_params(trainable, frozen)}
-        if cached:
-            scores = option_scores_cached(model, params, batch, span_len)
-        else:
-            scores = option_scores(model, params, batch)   # (B, n_opt)
+        scores = option_scores(model, params, batch)   # (B, n_opt)
         return {"scores": scores, "prediction": jnp.argmin(scores, axis=-1)}
+
+    if not cached:
+        return dense_step
+
+    def eval_step(trainable, frozen, batch) -> Dict[str, jax.Array]:
+        if span_len is not None:
+            return cached_step(trainable, frozen, batch, span_len)
+        need, exact = required_eval_span(batch)
+        if not exact:
+            return dense_step(trainable, frozen, batch)
+        s = batch["vqa_labels"].shape[-1]
+        return cached_step(trainable, frozen, batch, _bucket_span(need, s))
 
     return eval_step

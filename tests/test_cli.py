@@ -116,7 +116,7 @@ def test_audio_sum_cli(synth_root, tmp_path):
             "--audio", "--audio_merge", "sum", "--dp", "1",
             "--output_dir", out, "--debug"]
     run_main(argv)
-    assert os.path.exists(os.path.join(out, "log.txt")) or True  # debug mode
+    assert os.path.exists(os.path.join(out, "log.txt"))
 
 
 def test_grain_loader_cli(synth_root, tmp_path):

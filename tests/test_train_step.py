@@ -197,3 +197,53 @@ class TestEvalStep:
         pred = np.asarray(out["prediction"])
         ans = ebatch["answer"]
         assert (pred == ans).mean() >= 0.5, (pred, ans, float(m.loss))
+
+    def test_long_answer_spans_autosize(self):
+        """Answer spans longer than the old fixed span_len=32 must still score
+        exactly: make_eval_step auto-sizes the cached window from the labels
+        (would truncate and silently flip argmin otherwise)."""
+        from flipped_tpu.train import required_eval_span
+
+        model, params, batch, _ = build(n=2, split="val", seed=11)
+        rng = np.random.default_rng(0)
+        b, n_opt, s = batch["vqa_labels"].shape
+        # relocate the answer span so it is LONG (45 > the old fixed 32)
+        batch["vqa_labels"][:] = 0
+        batch["prefix"][:] = 20
+        span = 45
+        for i in range(b):
+            for o in range(n_opt):
+                ids = rng.integers(5, 200, size=span).astype(np.int32)
+                batch["vqa_tokens"][i, o, 20:20 + span] = ids
+                batch["vqa_labels"][i, o, 20:20 + span] = ids
+
+        need, exact = required_eval_span(batch)
+        assert exact and need >= 40
+
+        trainable, frozen = partition_params(params)
+        jb = {k: jnp.array(v) for k, v in batch.items()
+              if k not in ("answer", "qtype", "gt_answer")}
+        auto = make_eval_step(model)(trainable, frozen, jb)
+        dense = make_eval_step(model, cached=False)(trainable, frozen, jb)
+        np.testing.assert_allclose(np.asarray(auto["scores"]),
+                                   np.asarray(dense["scores"]),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_label_before_prefix_falls_back_to_dense(self):
+        """Defensive: a nonzero label before `prefix` breaks the cached
+        scorer's premise — the wrapper must route to the dense scorer."""
+        from flipped_tpu.train import required_eval_span
+
+        model, params, batch, _ = build(n=2, split="val", seed=12)
+        batch["vqa_labels"][0, 0, 1] = 7  # labeled token inside the prompt
+        _, exact = required_eval_span(batch)
+        assert not exact
+
+        trainable, frozen = partition_params(params)
+        jb = {k: jnp.array(v) for k, v in batch.items()
+              if k not in ("answer", "qtype", "gt_answer")}
+        auto = make_eval_step(model)(trainable, frozen, jb)
+        dense = make_eval_step(model, cached=False)(trainable, frozen, jb)
+        np.testing.assert_allclose(np.asarray(auto["scores"]),
+                                   np.asarray(dense["scores"]),
+                                   rtol=1e-6, atol=1e-6)
