@@ -57,6 +57,17 @@ PEAK_FLOPS = {
 }
 
 
+def _hbm_extra() -> dict:
+    """{'hbm_live_gib', 'hbm_peak_gib'} when the backend reports HBM stats
+    (reference logs max GPU memory per print, util/misc.py:162-170)."""
+    from flipped_tpu.utils.metrics import device_memory_gib
+
+    mem = device_memory_gib()
+    if mem is None:
+        return {}
+    return {"hbm_live_gib": round(mem[0], 3), "hbm_peak_gib": round(mem[1], 3)}
+
+
 def peak_flops() -> float:
     kind = jax.devices()[0].device_kind
     for k, v in PEAK_FLOPS.items():
@@ -133,7 +144,8 @@ def bench_eval(args, cfg, model, trainable, frozen, tok):
                   "cached_vs_dense_speedup": round(speedup, 3),
                   "batch": args.batch, "n_options": 5,
                   "seq_len": cfg.max_seq_len,
-                  "device": jax.devices()[0].device_kind},
+                  "device": jax.devices()[0].device_kind,
+                  **_hbm_extra()},
     }))
 
 
@@ -172,7 +184,8 @@ def bench_generation(args, cfg, model, trainable, frozen, tok):
         "vs_baseline": 1.0,
         "extra": {"step_time_s": round(dt, 4), "new_tokens": 31,
                   "batch": args.batch, "seq_len": cfg.max_seq_len,
-                  "device": jax.devices()[0].device_kind},
+                  "device": jax.devices()[0].device_kind,
+                  **_hbm_extra()},
     }))
 
 
@@ -281,6 +294,7 @@ def main():
             "device": jax.devices()[0].device_kind,
             "batch": args.batch, "accum": args.accum,
             "seq_len": s, "loss": round(float(m.loss), 4),
+            **_hbm_extra(),
         },
     }
     print(json.dumps(result))

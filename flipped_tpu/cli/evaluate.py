@@ -17,6 +17,7 @@ import jax
 
 from ..ckpt.manager import CheckpointManager
 from ..core.config import get_args_parser, run_config_from_args
+from ..core.distributed import init_distributed_mode
 from ..core.mesh import make_mesh, replicated
 from ..data.pipeline import load_data
 from ..train.builder import build_train_state
@@ -28,8 +29,7 @@ from .train import val_one_epoch
 
 
 def main(args):
-    if "JAX_COORDINATOR_ADDRESS" in os.environ:
-        jax.distributed.initialize()
+    init_distributed_mode()
     setup_for_distributed()
     run_cfg = run_config_from_args(args)
     mesh = make_mesh(run_cfg.mesh)

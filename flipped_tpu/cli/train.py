@@ -23,22 +23,30 @@ import jax
 
 from ..ckpt.manager import CheckpointManager
 from ..core.config import get_args_parser, run_config_from_args
+from ..core.distributed import init_distributed_mode
 from ..core.mesh import DP_AXIS, make_mesh, replicated
 from ..data.pipeline import load_data
 from ..train.builder import build_train_state
 from ..train.generation import decode_generated, make_generation_step
 from ..train.optim import lr_schedule, make_optimizer
 from ..train.step import make_eval_step, make_train_step
-from ..utils.logging import (is_main_process, save_result,
-                             setup_for_distributed, write_log_line)
+from ..utils.logging import (save_result, setup_for_distributed,
+                             write_log_line)
 from ..utils.metrics import MetricLogger, SmoothedValue, log_qtype
 
 
 def _shard_batch(batch: Dict[str, np.ndarray], mesh, train: bool):
     """dp-shard the batch axis (axis 1 under the accum axis for training,
-    axis 0 for eval); scalars replicate."""
+    axis 0 for eval); scalars replicate.
+
+    Multi-process: each process's loader yields only its OWN shard of the
+    global batch (DistributedSampler semantics, reference:
+    dataloader/__init__.py:21), so the global array is assembled from
+    process-local data — the per-process rows land on that process's dp
+    slots of the mesh."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    multi = jax.process_count() > 1
     out = {}
     for k, v in batch.items():
         if (k in ("valid", "answer", "qtype", "gt_answer")
@@ -47,8 +55,35 @@ def _shard_batch(batch: Dict[str, np.ndarray], mesh, train: bool):
         spec = P(None, DP_AXIS) if train else P(DP_AXIS)
         if np.ndim(v) < (2 if train else 1):
             spec = P()
-        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multi:
+            out[k] = jax.make_array_from_process_local_data(sharding, v)
+        else:
+            out[k] = jax.device_put(v, sharding)
     return out
+
+
+def _fetch_local_rows(x, n_rows: int) -> np.ndarray:
+    """Host-fetch this process's rows of a jit output whose leading axis is
+    the (possibly process-sharded) batch axis. Single-process: plain
+    np.asarray. Multi-process: concatenate the addressable shards (each
+    process's loader rows live on its own devices), deduping replicas (tp);
+    for fully-replicated outputs, slice this process's contiguous block."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    if x.is_fully_replicated:
+        g = np.asarray(x)
+        p = jax.process_index()
+        return g[p * n_rows:(p + 1) * n_rows]
+    seen, parts = set(), []
+    for s in x.addressable_shards:
+        start = s.index[0].start or 0
+        if start in seen:
+            continue
+        seen.add(start)
+        parts.append((start, np.asarray(s.data)))
+    parts.sort(key=lambda t: t[0])
+    return np.concatenate([d for _, d in parts], axis=0)
 
 
 def train_one_epoch(step, trainable, opt_state, frozen, loader, epoch, mesh,
@@ -103,10 +138,11 @@ def val_one_epoch(model, tokenizer, eval_step, gen_step, trainable, frozen,
             {k: v for k, v in batch.items()
              if k not in ("answer", "qtype", "valid")}, mesh, train=False)
 
+        n_local = batch["answer"].shape[0]
         if run_cfg.train.is_generation_task:
             out = gen_step(trainable, frozen, sharded)
-            generated = np.asarray(out["generated"])[:valid]
-            prediction = np.asarray(out["prediction"])[:valid]
+            generated = _fetch_local_rows(out["generated"], n_local)[:valid]
+            prediction = _fetch_local_rows(out["prediction"], n_local)[:valid]
             answers = [decode_generated(tokenizer, g, tokenizer.eos_id)
                        for g in generated]
             extracted_all += [{"qid": int(it * loader.batch_size + i),
@@ -123,7 +159,7 @@ def val_one_epoch(model, tokenizer, eval_step, gen_step, trainable, frozen,
                 correct = (prediction == answer).astype(np.float32)
         else:
             out = eval_step(trainable, frozen, sharded)
-            prediction = np.asarray(out["prediction"])[:valid]
+            prediction = _fetch_local_rows(out["prediction"], n_local)[:valid]
             correct = (prediction == answer).astype(np.float32)
 
         acc = float(correct.mean()) if valid else 0.0
@@ -143,8 +179,7 @@ def val_one_epoch(model, tokenizer, eval_step, gen_step, trainable, frozen,
 
 
 def main(args):
-    if "JAX_COORDINATOR_ADDRESS" in os.environ:
-        jax.distributed.initialize()
+    init_distributed_mode()
     setup_for_distributed()
 
     run_cfg = run_config_from_args(args)
@@ -166,8 +201,13 @@ def main(args):
         loader_val = load_data(run_cfg.data, tokenizer, "val",
                                backend=backend)
 
+        # examples per optimizer update (reference eff_bs = bs·accum·world,
+        # train.py:104-107): batch_size is PER PROCESS here — the loader
+        # yields batch_size rows per process and dp-sharding splits those
+        # rows over this process's share of the dp axis, so dp must NOT be
+        # multiplied in again.
         world_batch = (run_cfg.data.batch_size * run_cfg.train.accum_iter
-                       * jax.process_count() * mesh.shape[DP_AXIS])
+                       * jax.process_count())
         print(f"effective batch size: {world_batch}")
         print(f"actual lr: {run_cfg.train.absolute_lr(world_batch):.2e}")
 
@@ -202,13 +242,16 @@ def main(args):
                 model, tokenizer, eval_step, gen_step, trainable, frozen,
                 loader_val, epoch, mesh, run_cfg, args)
 
+            # mgr.save is called on ALL processes — Orbax's multihost logic
+            # elects the writer and barriers internally; val_stats are synced
+            # so every process takes the same branch. (A process-0-only call
+            # would deadlock Orbax's internal sync when process_count > 1.)
             if run_cfg.train.output_dir and best_acc < val_stats.get("acc", 0):
                 best_acc = val_stats["acc"]
-                if is_main_process():
-                    mgr.save("checkpoint_best", trainable, opt_state, epoch,
-                             best_acc)
+                mgr.save("checkpoint_best", trainable, opt_state, epoch,
+                         best_acc)
                 print(f"saved checkpoint_best (acc={best_acc:.4f})")
-            if run_cfg.train.output_dir and is_main_process():
+            if run_cfg.train.output_dir:
                 # preemption-safe rolling checkpoint (adapter-only, ~MBs) —
                 # an addition over the reference's best-only policy
                 # (SURVEY.md §5: no elastic recovery in the reference)

@@ -83,6 +83,23 @@ def _opt_count(opt_state):
     return jnp.zeros((), jnp.int32)
 
 
+def _host_view(x) -> np.ndarray:
+    """Local host view of an array: plain np.asarray, or for a multi-process
+    sharded jax.Array, this process's rows (unique addressable shards in
+    index order — row alignment across same-sharded arrays is preserved)."""
+    if getattr(x, "is_fully_addressable", True) or x.is_fully_replicated:
+        return np.asarray(x)
+    seen, parts = set(), []
+    for s in x.addressable_shards:
+        start = s.index[0].start or 0
+        if start in seen:
+            continue
+        seen.add(start)
+        parts.append((start, np.asarray(s.data)))
+    parts.sort(key=lambda t: t[0])
+    return np.concatenate([d for _, d in parts], axis=0)
+
+
 def required_eval_span(batch) -> tuple:
     """Host-side exactness bound for the cached option scorer.
 
@@ -90,9 +107,11 @@ def required_eval_span(batch) -> tuple:
     lies in [prefix, prefix+L], and whether such an L exists (False when a
     nonzero label precedes `prefix`, in which case only the dense scorer is
     exact). Cheap: reads labels/prefix, which originate on the host loader.
+    Multi-process: reduced across processes so every process compiles the
+    same program (a per-process L would desynchronize the SPMD programs).
     """
-    lab = np.asarray(batch["vqa_labels"])         # (B, n_opt, S)
-    pre = np.asarray(batch["prefix"]).astype(np.int64)  # (B,)
+    lab = _host_view(batch["vqa_labels"])         # (B, n_opt, S)
+    pre = _host_view(batch["prefix"]).astype(np.int64)  # (B,)
     s = lab.shape[-1]
     nz = lab != 0
     pos = np.arange(s)
@@ -101,6 +120,12 @@ def required_eval_span(batch) -> tuple:
     has = max_pos >= 0
     exact = not bool(((min_pos < pre[:, None]) & has).any())
     need = int(np.maximum(max_pos - pre[:, None], 0).max(initial=0))
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        agg = multihost_utils.process_allgather(
+            np.asarray([need, 0 if exact else 1], np.int64))
+        need = int(np.max(agg[..., 0]))
+        exact = not bool(np.any(agg[..., 1]))
     return max(need, 1), exact
 
 

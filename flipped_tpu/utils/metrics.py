@@ -9,11 +9,53 @@ with NCCL all_reduce replaced by host-side aggregation +
 from __future__ import annotations
 
 import datetime
+import json
 import time
 from collections import defaultdict, deque
 from typing import Dict, Iterable
 
 import numpy as np
+
+
+def allgather_payload(obj):
+    """Allgather a small JSON-serializable object across JAX processes.
+
+    Collectives require identical buffer shapes on every process, so this
+    runs two rounds: allgather the byte lengths, then allgather buffers
+    padded to the global max. Returns the list of every process's object
+    (single-process: [obj])."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+
+    data = np.frombuffer(json.dumps(obj).encode(), np.uint8)
+    lens = multihost_utils.process_allgather(
+        np.asarray([data.size], np.int32))          # (nproc, 1)
+    buf = np.zeros(int(lens.max()), np.uint8)
+    buf[:data.size] = data
+    bufs = multihost_utils.process_allgather(buf)   # (nproc, max_len)
+    return [json.loads(bytes(b[:int(n)]).decode())
+            for b, n in zip(bufs, lens[:, 0])]
+
+
+def device_memory_gib():
+    """(live_GiB, peak_GiB) of the first local device's HBM, or None when the
+    backend doesn't report (CPU). TPU-native equivalent of the reference's
+    torch.cuda.max_memory_allocated print (util/misc.py:162-170) — HBM
+    pressure drives the batch/remat/quantization decisions in docs/PERF.md."""
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+    except Exception:
+        return None
+    if not stats:
+        return None
+    gib = 1024 ** 3
+    return (stats.get("bytes_in_use", 0) / gib,
+            stats.get("peak_bytes_in_use", 0) / gib)
 
 
 class SmoothedValue:
@@ -33,7 +75,10 @@ class SmoothedValue:
 
     def synchronize_between_processes(self):
         """Sum (count, total) across JAX processes (the reference's
-        dist.all_reduce, misc.py:58-70)."""
+        dist.all_reduce, misc.py:58-70). NOTE: only safe standalone when
+        every process calls it the same number of times — MetricLogger syncs
+        whole meter DICTS instead, since per-qtype meters can differ across
+        processes' data shards."""
         import jax
 
         if jax.process_count() <= 1:
@@ -87,8 +132,24 @@ class MetricLogger:
         self.meters[name] = meter
 
     def synchronize_between_processes(self):
-        for meter in self.meters.values():
-            meter.synchronize_between_processes()
+        """Merge (count, total) of every meter across processes. Unlike a
+        per-meter all_reduce, this tolerates DIFFERENT meter sets per process
+        (e.g. qtype buckets that only some data shards contain): meter names
+        and values travel in one variable-length payload gather, and the
+        union is installed on every process."""
+        import jax
+
+        if jax.process_count() <= 1:
+            return
+        payload = {k: [m.count, m.total] for k, m in self.meters.items()}
+        merged: Dict[str, list] = {}
+        for d in allgather_payload(payload):
+            for k, (c, t) in d.items():
+                mc, mt = merged.get(k, (0.0, 0.0))
+                merged[k] = [mc + c, mt + t]
+        for k, (c, t) in merged.items():
+            meter = self.meters[k]  # defaultdict creates absent buckets
+            meter.count, meter.total = c, t
 
     def averages(self) -> Dict[str, float]:
         return {k: m.global_avg for k, m in self.meters.items()}
@@ -119,8 +180,10 @@ class MetricLogger:
                 if total:
                     eta_s = iter_time.global_avg * (total - i)
                     eta = f"eta: {datetime.timedelta(seconds=int(eta_s))}  "
+                mem = device_memory_gib()
+                mem_s = f"  hbm: {mem[0]:.2f}/{mem[1]:.2f}GiB" if mem else ""
                 print(f"{header} [{i}{f'/{total}' if total else ''}]  {eta}"
-                      f"{self}  time: {iter_time}  data: {data_time}",
+                      f"{self}  time: {iter_time}  data: {data_time}{mem_s}",
                       flush=True)
             i += 1
             end = time.time()
