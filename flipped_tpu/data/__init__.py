@@ -1,5 +1,5 @@
 from .batching import (Item, add_accum_axis, make_synthetic_items,
-                       pack_eval_batch, pack_train_batch)
+                       mask_tail_rows, pack_eval_batch, pack_train_batch)
 from .feature_store import FeatureStore, uniform_downsample
 from .datasets import (DATASETS, NUM_OPTIONS, QTYPE_MAPPINGS, DramaQA,
                        MusicAVQA, NextQA, STAR, TVQA, Valor32K,
@@ -7,7 +7,8 @@ from .datasets import (DATASETS, NUM_OPTIONS, QTYPE_MAPPINGS, DramaQA,
 from .pipeline import Loader, load_data
 
 __all__ = [
-    "Item", "add_accum_axis", "make_synthetic_items", "pack_eval_batch",
+    "Item", "add_accum_axis", "make_synthetic_items", "mask_tail_rows",
+    "pack_eval_batch",
     "pack_train_batch", "FeatureStore", "uniform_downsample", "DATASETS",
     "NUM_OPTIONS", "QTYPE_MAPPINGS", "DramaQA", "MusicAVQA", "NextQA",
     "STAR", "TVQA", "Valor32K", "VideoQADataset", "VLEP", "build_dataset",

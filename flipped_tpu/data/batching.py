@@ -91,6 +91,22 @@ def pack_eval_batch(items: List[Item], max_feats: int) -> Dict[str, np.ndarray]:
     return batch
 
 
+def mask_tail_rows(batch: Dict[str, np.ndarray], valid: int) -> None:
+    """Mask the loss labels of wrap-around padded rows (index ≥ valid) in a
+    packed TRAIN batch, in place. Keeps shapes fixed for jit while training
+    only the real examples of a final partial batch — matching the
+    reference's DataLoader drop_last=False semantics (the reference trains
+    the tail batch at its natural smaller size; dataloader/__init__.py:19-24
+    never sets drop_last). Zeroed labels are already invisible to the loss:
+    VQA/VAQ use ignore_index=0, QAV uses ignore_index=-1
+    (reference: model.py:233-235)."""
+    for k in ("vqa_labels", "vaq_labels"):
+        if k in batch:
+            batch[k][valid:] = 0
+    if "qav_labels" in batch:
+        batch["qav_labels"][valid:] = -1
+
+
 def add_accum_axis(batch: Dict[str, np.ndarray], accum: int) -> Dict[str, np.ndarray]:
     """Reshape (accum*B, ...) → (accum, B, ...) for the scan-based
     gradient accumulation."""

@@ -16,7 +16,8 @@ from typing import Dict, Iterator, Optional
 
 import numpy as np
 
-from .batching import add_accum_axis, pack_eval_batch, pack_train_batch
+from .batching import (add_accum_axis, mask_tail_rows, pack_eval_batch,
+                       pack_train_batch)
 from .datasets import VideoQADataset
 
 
@@ -38,9 +39,10 @@ class Loader:
         self.process_count = process_count
         self.prefetch = prefetch
         self.max_feats = dataset.max_feats
-        # train batches must be full (fixed shapes + accum reshape); eval
-        # pads the tail batch instead of dropping it
-        self.drop_last = (split == "train") if drop_last is None else drop_last
+        # fixed shapes: the tail batch is padded by wrap-around, with padded
+        # rows masked out of the loss (train) or sliced off by `valid`
+        # (eval) — reference DataLoader drop_last=False semantics
+        self.drop_last = False if drop_last is None else drop_last
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -77,6 +79,8 @@ class Loader:
             items = [self.dataset.get_item(int(i)) for i in sel]
             if self.split == "train":
                 batch = pack_train_batch(items, self.max_feats)
+                if valid < group:
+                    mask_tail_rows(batch, valid)
                 batch = add_accum_axis(batch, self.accum_iter)
             else:
                 batch = pack_eval_batch(items, self.max_feats)
@@ -141,8 +145,6 @@ class GrainLoader:
 
     def __len__(self):
         per = (len(self.dataset) + self.process_count - 1) // self.process_count
-        if self.split == "train":
-            return per // self.group
         return (per + self.group - 1) // self.group
 
     def __iter__(self):
@@ -159,10 +161,12 @@ class GrainLoader:
         def pack(items):
             items = list(items)
             valid = len(items)
-            while len(items) < outer.group:  # fixed shapes: pad eval tail
+            while len(items) < outer.group:  # fixed shapes: pad the tail
                 items.append(items[len(items) % valid])
             if outer.split == "train":
                 b = pack_train_batch(items, outer.max_feats)
+                if valid < outer.group:
+                    mask_tail_rows(b, valid)  # drop_last=False semantics
                 b = add_accum_axis(b, outer.accum_iter)
             else:
                 b = pack_eval_batch(items, outer.max_feats)
@@ -173,10 +177,7 @@ class GrainLoader:
         if self.shuffle:
             ds = ds.shuffle(seed=self.seed + self.epoch)
         ds = ds[self.process_index::self.process_count]
-        n_batches = len(self)
-        ds = ds[:n_batches * self.group]
-        ds = ds.batch(self.group, drop_remainder=self.split == "train",
-                      batch_fn=pack)
+        ds = ds.batch(self.group, drop_remainder=False, batch_fn=pack)
         it = ds.to_iter_dataset()
         if self.num_workers > 0:
             it = it.mp_prefetch(

@@ -256,6 +256,23 @@ class TestLoader:
         assert ev[-1]["vqa_tokens"].shape == (2, 5, 160)  # padded tail
         assert int(ev[-1]["valid"]) == 1
 
+    def test_train_tail_batch_padded_and_masked(self, data_root):
+        """reference drop_last=False: the final partial train batch runs,
+        padded to fixed shape with its wrap-around rows masked from loss."""
+        cfg = cfg_for(data_root, "nextqa")
+        ds = build_dataset(cfg, TOK, "train")  # 6 items
+        loader = Loader(ds, batch_size=4, accum_iter=1, shuffle=False,
+                        split="train", prefetch=0)
+        batches = list(loader)
+        assert len(batches) == len(loader) == 2
+        tail = batches[-1]
+        assert int(tail["valid"]) == 2
+        assert tail["vqa_tokens"].shape == (1, 4, 160)  # fixed shape
+        assert (tail["vqa_labels"][0, 2:] == 0).all()
+        assert (tail["vaq_labels"][0, 2:] == 0).all()
+        assert (tail["qav_labels"][0, 2:] == -1).all()
+        assert (tail["vqa_labels"][0, :2] != 0).any()  # real rows keep labels
+
     def test_epoch_shuffling_changes_order(self, data_root):
         cfg = cfg_for(data_root, "nextqa")
         ds = build_dataset(cfg, TOK, "train")

@@ -111,6 +111,100 @@ def test_tp_sharded_train_step_matches_single_device():
             np.asarray(a), np.asarray(b_), rtol=5e-5, atol=5e-5), t1, t2)
 
 
+@pytest.mark.parametrize("preset,adapter_layer,tp", [
+    ("llama13B", 40, 4), ("llama13B", 40, 8),
+    ("llama33B", 60, 4), ("llama33B", 60, 8),
+])
+def test_large_preset_tp_shardings(preset, adapter_layer, tp):
+    """Scale-readiness of the 13B/33B presets for tensor parallelism: the
+    REAL param shape trees (via eval_shape — no 13B materialization on CPU)
+    must shard under the split-dim rules at tp=4/8 with no silent
+    replication fallback on any TP-ruled kernel (reference TP layout:
+    llama_vqa.py:42-58; 13B runs use adapter_layer 40,
+    run-nextqa13B-array.sh:30)."""
+    from flipped_tpu.core.config import MODEL_PRESETS
+    from flipped_tpu.core.mesh import param_pspec, _path_str
+
+    devs = cpu8()
+    pre = MODEL_PRESETS[preset]
+    cfg = ModelConfig(dim=pre["dim"], n_layers=pre["n_layers"],
+                      n_heads=pre["n_heads"], vocab_size=32000,
+                      multiple_of=256, max_seq_len=128, adapter_len=10,
+                      adapter_layer=adapter_layer, max_feats=10)
+    model = FlippedVQAModel(cfg)
+    B, S, F = 2, cfg.max_seq_len, cfg.max_feats
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        jnp.zeros((B, S), jnp.int32), jnp.zeros((B, F, 768), jnp.float32),
+        None, jnp.zeros((B,), jnp.int32), jnp.zeros((B, F), jnp.int32))
+
+    mesh = make_mesh(MeshConfig(dp=8 // tp, tp=tp), devices=devs)
+    shardings = param_shardings(mesh, shapes["params"])
+
+    n_sharded = 0
+    flat = jax.tree_util.tree_flatten_with_path(shapes["params"])[0]
+    flat_sh = jax.tree_util.tree_flatten_with_path(shardings)[0]
+    for (path, leaf), (_, sh) in zip(flat, flat_sh):
+        rule = param_pspec(_path_str(path))
+        if any(ax is not None for ax in rule):
+            # the rule must have APPLIED — every TP dim divides at tp=4/8
+            assert sh.spec == rule, (
+                f"{_path_str(path)} {leaf.shape} fell back to replication "
+                f"at tp={tp}")
+            axis = next(i for i, ax in enumerate(rule) if ax is not None)
+            assert leaf.shape[axis] % tp == 0
+            n_sharded += 1
+        else:
+            assert sh.spec == P()
+    # all layers' 7 TP-ruled kernels + output head + tok embeddings
+    assert n_sharded == cfg.n_layers * 7 + 2
+
+
+def test_tp8_train_step_matches_single_device():
+    """Full tp=8 (dp=1) train step on the virtual mesh matches one device —
+    the head-dim collectives at maximum TP width do not change the math."""
+    devs = cpu8()
+    cfg = ModelConfig(dim=64, n_layers=2, n_heads=8, vocab_size=128,
+                      multiple_of=16, max_seq_len=64, adapter_len=4,
+                      adapter_layer=2, max_feats=4, visual_dim=16)
+    tok = MockTokenizer(cfg.vocab_size)
+    model = FlippedVQAModel(cfg, dtype=jnp.float32, frozen_dtype=jnp.float32)
+    items = make_synthetic_items(tok, 4, max_feats=4, max_seq_len=64,
+                                 visual_dim=16, seed=1)
+    batch = pack_train_batch(items, 4)
+    params = model.init(jax.random.PRNGKey(1),
+                        jnp.array(batch["vqa_tokens"][:1]),
+                        jnp.array(batch["video"][:1]), None,
+                        jnp.array(batch["vqa_video_start"][:1]),
+                        jnp.array(batch["vqa_splice"][:1]))["params"]
+    trainable, frozen = partition_params(params)
+    tcfg = TrainConfig(lr=1e-2, vaq=True, qav=True)
+    tx = make_optimizer(tcfg, steps_per_epoch=4, world_batch=4)
+    opt_state = tx.init(trainable)
+    step = make_train_step(model, tx, vaq=True, qav=True)
+    b = {k: jnp.array(v) for k, v in add_accum_axis(batch, 1).items()}
+
+    cpu0 = devs[0]
+    with jax.default_device(cpu0):
+        _, _, m1 = jax.jit(step)(
+            jax.device_put(trainable, cpu0), jax.device_put(opt_state, cpu0),
+            jax.device_put(frozen, cpu0),
+            {k: jax.device_put(v, cpu0) for k, v in b.items()})
+        loss_1dev = float(m1.loss)
+
+    from jax.sharding import NamedSharding
+    mesh = make_mesh(MeshConfig(dp=1, tp=8), devices=devs)
+    with mesh:
+        t_sh = jax.device_put(trainable, param_shardings(mesh, trainable))
+        f_sh = jax.device_put(frozen, param_shardings(mesh, frozen))
+        o_sh = jax.device_put(opt_state, NamedSharding(mesh, P()))
+        b_sh = {k: jax.device_put(v, NamedSharding(mesh, P(None, DP_AXIS)))
+                for k, v in b.items()}
+        _, _, m2 = step(t_sh, o_sh, f_sh, b_sh)
+        loss_mesh = float(m2.loss)
+    np.testing.assert_allclose(loss_mesh, loss_1dev, rtol=2e-5, atol=2e-5)
+
+
 def test_indivisible_dims_fall_back_to_replication():
     devs = cpu8()
     mesh = make_mesh(MeshConfig(dp=2, tp=4), devices=devs)

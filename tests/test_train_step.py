@@ -129,6 +129,27 @@ class TestTrainStep:
             lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
             frozen, frozen0)
 
+    def test_masked_tail_loss_matches_partial_batch(self):
+        """A wrap-padded tail batch with mask_tail_rows applied must produce
+        the SAME losses as packing only the real rows — padded rows are
+        invisible to all three objectives (drop_last=False parity)."""
+        from flipped_tpu.data import mask_tail_rows
+        from flipped_tpu.train import compute_objective_losses
+
+        model, params, batch4, items = build(n=4, split="train", seed=5)
+        masked = {k: v.copy() for k, v in batch4.items()}
+        mask_tail_rows(masked, 2)
+        batch2 = pack_train_batch(items[:2], CFG.max_feats)
+
+        p = {"params": params}
+        def j(b):
+            return {k: jnp.array(v) for k, v in b.items()}
+        l4 = compute_objective_losses(model, p, j(masked), vaq=True, qav=True)
+        l2 = compute_objective_losses(model, p, j(batch2), vaq=True, qav=True)
+        for name, a, b in zip(("vqa", "vaq", "qav"), l4, l2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6, err_msg=name)
+
     def test_objective_toggles(self):
         model, params, batch, _ = build(n=2)
         trainable, frozen = partition_params(params)
