@@ -88,6 +88,100 @@ def extract_video_features(video_dir: str, out_path: str, fps: float = 1.0):
     print(f"saved {len(feats)} videos → {out_path}")
 
 
+def write_wav(path: str, wav: np.ndarray, sr: int = 16000):
+    """float [-1,1] mono → 16-bit PCM .wav (stdlib only)."""
+    import wave
+
+    data = (np.clip(np.asarray(wav, np.float32), -1, 1) * 32767).astype("<i2")
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(data.tobytes())
+
+
+def audio_backend() -> str | None:
+    """First available video→audio decoder: ffmpeg (no python deps) else
+    moviepy (the reference's choice, extract_raw_audio.py:2)."""
+    import shutil
+
+    if shutil.which("ffmpeg"):
+        return "ffmpeg"
+    try:
+        import moviepy.editor  # noqa: F401
+        return "moviepy"
+    except Exception:
+        return None
+
+
+def extract_wav(video_path: str, wav_path: str, sr: int = 16000,
+                backend: str | None = None):
+    """One video → mono 16 kHz .wav (reference: extract_raw_audio.py:9-12)."""
+    import subprocess
+
+    backend = backend or audio_backend()
+    if backend == "ffmpeg":
+        subprocess.run(
+            ["ffmpeg", "-y", "-loglevel", "error", "-i", video_path, "-vn",
+             "-ac", "1", "-ar", str(sr), "-f", "wav", wav_path],
+            check=True, capture_output=True)
+    elif backend == "moviepy":
+        from moviepy.editor import VideoFileClip
+
+        VideoFileClip(video_path).audio.write_audiofile(
+            wav_path, fps=sr, nbytes=2, logger=None)
+    else:
+        raise RuntimeError(
+            "video→wav extraction needs ffmpeg on PATH or the moviepy "
+            "package; neither is available")
+
+
+def extract_raw_audio(video_dir: str, out_dir: str, sr: int = 16000,
+                      to_wav=extract_wav) -> int:
+    """All videos under video_dir → {out_dir}/{stem}.wav; per-file failures
+    are reported and skipped (reference: extract_raw_audio.py:33-38
+    try/except). Returns the number extracted."""
+    os.makedirs(out_dir, exist_ok=True)
+    done = 0
+    videos = sorted(p for p in Path(video_dir).iterdir()
+                    if p.suffix.lower() in (".mp4", ".avi", ".mkv", ".webm"))
+    for p in videos:
+        wav_path = os.path.join(out_dir, p.stem + ".wav")
+        try:
+            to_wav(str(p), wav_path, sr)
+            done += 1
+        except Exception as exc:  # noqa: BLE001 — match reference behavior
+            print(f"cannot extract {p.stem}.wav from {p}: {exc}")
+    print(f"extracted {done}/{len(videos)} wavs → {out_dir}")
+    return done
+
+
+def extract_audio_mels(wav_dir: str, out_dir: str, target_length: int = 1024,
+                       seed: int | None = None) -> int:
+    """wav → (3, 128, target_length) three-crop log-mel fusion .npy per clip
+    — the reference's second audio transform, kept as mel tensors for an
+    audio encoder (reference: extract_audio_features.py:24-99). seed=None →
+    deterministic first-index crops; an int seeds the reference's random
+    per-part crop choice."""
+    import wave
+
+    from .mel import log_mel_spectrogram, three_crop_mel
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = None if seed is None else np.random.default_rng(seed)
+    wavs = sorted(Path(wav_dir).glob("*.wav"))
+    for p in wavs:
+        with wave.open(str(p)) as w:
+            data = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+            wavf = data.astype(np.float32) / 32768.0
+        mel = log_mel_spectrogram(wavf)
+        fusion = three_crop_mel(mel, target_length, rng)
+        np.save(os.path.join(out_dir, p.stem + ".npy"), fusion)
+        print(f"{p.stem}: {fusion.shape}")
+    print(f"saved {len(wavs)} mel fusions → {out_dir}")
+    return len(wavs)
+
+
 def extract_audio_features(wav_dir: str, out_path: str, n_chunks: int = 10):
     """wav → log-mel → 10 chunk images → CLIP image encoder → (10, 768)
     (reference: extract.py:151-186 over audio_loader.py chunks)."""
@@ -125,11 +219,29 @@ def main():
     a.add_argument("--wav_dir", required=True)
     a.add_argument("--out", required=True)
     a.add_argument("--n_chunks", type=int, default=10)
+    r = sub.add_parser("raw-audio", help="videos → 16 kHz .wav files "
+                       "(reference: extract_raw_audio.py)")
+    r.add_argument("--video_dir", required=True)
+    r.add_argument("--out_dir", required=True)
+    r.add_argument("--sr", type=int, default=16000)
+    m = sub.add_parser("audio-mel", help="wavs → 3-crop log-mel .npy "
+                       "(reference: extract_audio_features.py)")
+    m.add_argument("--wav_dir", required=True)
+    m.add_argument("--out_dir", required=True)
+    m.add_argument("--target_length", type=int, default=1024)
+    m.add_argument("--seed", type=int, default=None,
+                   help="seed the random per-part crops; default = "
+                        "deterministic first-index crops")
     args = ap.parse_args()
     if args.cmd == "video":
         extract_video_features(args.video_dir, args.out, args.fps)
-    else:
+    elif args.cmd == "audio":
         extract_audio_features(args.wav_dir, args.out, args.n_chunks)
+    elif args.cmd == "raw-audio":
+        extract_raw_audio(args.video_dir, args.out_dir, args.sr)
+    else:
+        extract_audio_mels(args.wav_dir, args.out_dir, args.target_length,
+                           args.seed)
 
 
 if __name__ == "__main__":

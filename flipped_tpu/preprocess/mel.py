@@ -34,17 +34,14 @@ def mel_filterbank(n_mels: int = N_MELS, n_fft: int = N_FFT,
     fmax = fmax or sr / 2
     mel_pts = np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2)
     hz_pts = mel_to_hz(mel_pts)
-    bins = np.floor((n_fft + 1) * hz_pts / sr).astype(int)
-    fb = np.zeros((n_mels, n_fft // 2 + 1), np.float32)
-    for m in range(1, n_mels + 1):
-        lo, c, hi = bins[m - 1], bins[m], bins[m + 1]
-        for k in range(lo, c):
-            if c > lo:
-                fb[m - 1, k] = (k - lo) / (c - lo)
-        for k in range(c, hi):
-            if hi > c:
-                fb[m - 1, k] = (hi - k) / (hi - c)
-    return fb
+    # continuous triangular weights over the FFT bin centers (kaldi weights
+    # bins in the mel domain rather than rounding edges to integer bins,
+    # which at 128 mels / 512-pt FFT would zero out low-frequency rows)
+    fft_freqs = np.arange(n_fft // 2 + 1) * (sr / n_fft)
+    lo, c, hi = hz_pts[:-2, None], hz_pts[1:-1, None], hz_pts[2:, None]
+    rising = (fft_freqs[None] - lo) / np.maximum(c - lo, 1e-9)
+    falling = (hi - fft_freqs[None]) / np.maximum(hi - c, 1e-9)
+    return np.maximum(0.0, np.minimum(rising, falling)).astype(np.float32)
 
 
 def log_mel_spectrogram(wav: np.ndarray, sr: int = SAMPLE_RATE,
@@ -56,6 +53,8 @@ def log_mel_spectrogram(wav: np.ndarray, sr: int = SAMPLE_RATE,
     wav = np.asarray(wav, np.float32)
     if wav.ndim > 1:
         wav = wav.mean(axis=-1)
+    wav = wav - wav.mean()  # DC removal (reference: audio_loader.py:75,
+    #                         extract_audio_features.py:87)
     n_frames = max(1 + (len(wav) - win_length) // hop_length, 1)
     if len(wav) < win_length:
         wav = np.pad(wav, (0, win_length - len(wav)))
@@ -87,6 +86,41 @@ def chunk_and_stack(mel: np.ndarray, n_chunks: int = 10,
         img = (img - mean) / std
         chunks.append(np.stack([img, img, img]))
     return np.stack(chunks).astype(np.float32)
+
+
+def three_crop_mel(mel: np.ndarray, target_length: int,
+                   rng: np.random.Generator | None = None) -> np.ndarray:
+    """(T, n_mels) mel → (3, n_mels, target_length) front/middle/back crop
+    fusion — the reference's second audio transform
+    (reference: extract_audio_features.py:42-82 waveform2melspec):
+
+      * T > target: the valid start range [0, T-target] is split into three
+        parts; one start index is drawn per part (empty middle/back parts
+        fall back to index 0). rng=None picks each part's FIRST index —
+        deterministic extraction (the commented-out 'fixed' variant,
+        extract_audio_features.py:62-64).
+      * T < target: repeat-tile the mel up to target and stack it ×3.
+      * T == target: stack ×3.
+    """
+    mel = np.asarray(mel, np.float32)
+    t = mel.shape[0]
+    if t > target_length:
+        starts = np.arange(0, t - target_length + 1)
+        ranges = np.array_split(starts, 3)
+        ranges = [r if len(r) else np.array([0]) for r in ranges]
+        if rng is None:
+            picks = [int(r[0]) for r in ranges]
+        else:
+            picks = [int(rng.choice(r)) for r in ranges]
+        fusion = np.stack([mel[p:p + target_length] for p in picks])
+    elif t < target_length:
+        n_repeat = target_length // t + 1
+        tiled = np.tile(mel, (n_repeat, 1))[:target_length]
+        fusion = np.stack([tiled, tiled, tiled])
+    else:
+        fusion = np.stack([mel, mel, mel])
+    # (3, target, n_mels) → (3, n_mels, target), extract_audio_features.py:80
+    return fusion.transpose(0, 2, 1).astype(np.float32)
 
 
 def _resize_bilinear(x: np.ndarray, h: int, w: int) -> np.ndarray:
