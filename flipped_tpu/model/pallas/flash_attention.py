@@ -43,6 +43,13 @@ NEG_INF = -1e30
 # Set True (tests) to run the kernels through the Pallas interpreter on CPU.
 INTERPRET = False
 
+# Designed VMEM bounds (v5e ~128 MiB/core). The workload's longest recipe is
+# S=650 (TVQA); these enforce the design notes instead of an opaque
+# compile-time OOM. fwd holds K/V (S_pad × Dh_pad) per program; bwd holds
+# ~5 f32 (S_pad × S_pad) matrices.
+MAX_SEQ_FWD = 4096
+MAX_SEQ_BWD = 2048
+
 
 def _flash_kernel(vs_ref, gate2_ref, q_ref, k_ref, v_ref, o_ref, *,
                   bq: int, s_actual: int, max_feats: int, scale: float):
@@ -105,6 +112,11 @@ def flash_text_attention(q, k, v, gate2, video_start, max_feats,
     Returns (B, S, H, Dh) in q.dtype.
     """
     b, s, h, dh = q.shape
+    if s > MAX_SEQ_FWD:
+        raise ValueError(
+            f"flash_text_attention holds full K/V per (batch, head) in VMEM "
+            f"— S={s} exceeds the designed bound {MAX_SEQ_FWD}; a K-blocked "
+            f"online-softmax variant is needed beyond it")
     scale = 1.0 / float(np.sqrt(dh))
     s_pad = _round_up(s, 128)
     bq = min(block_q, s_pad)
@@ -219,6 +231,13 @@ def flash_text_attention_bwd(q, k, v, gate2, video_start, max_feats, g,
     q,k,v,g: (B, S, H, Dh); returns (dq, dk, dv, dgate2)."""
     interpret = INTERPRET if interpret is None else interpret
     b, s, h, dh = q.shape
+    if s > MAX_SEQ_BWD:
+        raise ValueError(
+            f"flash_text_attention_bwd materializes the full (S_pad, S_pad) "
+            f"probability matrix in VMEM — S={s} exceeds the designed bound "
+            f"{MAX_SEQ_BWD} (~5 f32 S×S buffers ≈ "
+            f"{5 * _round_up(s, 128) ** 2 * 4 >> 20} MiB vs ~128 MiB VMEM); "
+            f"use a kq-blocked backward beyond it")
     scale = 1.0 / float(np.sqrt(dh))
     s_pad = _round_up(s, 128)
     dh_pad = _round_up(dh, 128)

@@ -1,0 +1,209 @@
+"""int8-vs-bf16 eval-decision parity study at REAL 7B shapes.
+
+Quantifies how far weight-only int8 quantization of the frozen backbone
+perturbs the classification decision (argmin per-option score, reference:
+engine.py:87-93) at full LLaMA-7B depth/width — the evidence VERDICT r01
+asked for before making the 73.5%-MFU int8 config the bench default.
+
+Both phases synthesize IDENTICAL backbone weights host-side (seeded, leaf by
+leaf, pushed to device and freed — peak host RAM ~1 leaf), so the comparison
+isolates pure quantization error:
+
+    phase bf16:  kernels = bf16(w)
+    phase int8:  kernels = per-channel absmax int8 of the SAME bf16(w)
+
+then both score the SAME 1k+ synthetic eval examples with the production
+prefix-shared cached scorer and the report phase computes per-option score
+deltas, argmin flip rate, and the decision-margin envelope (a flip can only
+happen when the bf16 decision margin is smaller than the int8 score
+perturbation — reporting max |Δscore| bounds which decisions are stable).
+
+Run (TPU, ~2 compiles through the relay):
+    python scripts/int8_parity_study.py --phase bf16 --out /tmp/int8_study
+    python scripts/int8_parity_study.py --phase int8 --out /tmp/int8_study
+    python scripts/int8_parity_study.py --phase report --out /tmp/int8_study
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _synthesize_frozen(frozen, seed: int, quantize: bool):
+    """Replace every frozen matmul kernel with a deterministic random weight
+    (identical draws across phases), as bf16 or as int8-of-that-bf16.
+    Pushes leaf by leaf and frees the init buffer, so peak HBM stays ~1×."""
+    import jax
+    import jax.numpy as jnp
+
+    from flipped_tpu.ckpt.quantize import quantize_kernel
+
+    rs = np.random.RandomState(seed)
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k in node:  # insertion order — identical tree traversal per phase
+            v = node[k]
+            if k in ("kernel", "kernel_q") and v is not None:
+                shape = v.shape
+                fan_in = shape[0]
+                w = (rs.randn(*shape) / np.sqrt(fan_in)).astype(np.float32)
+                wb = w.astype(jnp.bfloat16)  # the converted-checkpoint dtype
+                if hasattr(v, "delete"):
+                    v.delete()
+                if quantize:
+                    q = quantize_kernel(np.asarray(wb, np.float32))
+                    out["kernel_q"] = jax.device_put(q["kernel_q"])
+                    out["scale"] = jax.device_put(q["scale"])
+                else:
+                    out[k] = jax.device_put(wb)
+            elif k == "scale" and "kernel_q" in node:
+                continue  # rewritten alongside kernel_q above
+            else:
+                out[k] = walk(v)
+        return out
+    return walk(frozen)
+
+
+def run_phase(args):
+    import jax
+    import jax.numpy as jnp
+
+    from flipped_tpu.core.config import ModelConfig
+    from flipped_tpu.data import make_synthetic_items, pack_eval_batch
+    from flipped_tpu.model import FlippedVQAModel
+    from flipped_tpu.text import MockTokenizer
+    from flipped_tpu.train import (make_eval_step, partition_params,
+                                   required_eval_span)
+
+    quantized = args.phase == "int8"
+    if args.preset == "7b":
+        cfg = ModelConfig(dim=4096, n_layers=32, n_heads=32, vocab_size=32000,
+                          multiple_of=256, max_seq_len=128, adapter_len=10,
+                          adapter_layer=32, max_feats=10, bias=3.5, tau=100.0)
+    else:  # pipeline smoke test at CPU scale
+        cfg = ModelConfig(dim=64, n_layers=2, n_heads=4, vocab_size=512,
+                          multiple_of=32, max_seq_len=128, adapter_len=10,
+                          adapter_layer=2, max_feats=10, visual_dim=16)
+    tok = MockTokenizer(cfg.vocab_size)
+    on_tpu = jax.default_backend() == "tpu"
+    model = FlippedVQAModel(cfg, use_flash=on_tpu, quantized=quantized)
+
+    # identical eval data across phases: fixed seeds, NOT salted — both
+    # phases must score the very same examples
+    batches, raw = [], []
+    span = 1
+    for i in range(args.steps):
+        items = make_synthetic_items(tok, args.batch, max_feats=cfg.max_feats,
+                                     max_seq_len=cfg.max_seq_len, split="val",
+                                     visual_dim=cfg.visual_dim,
+                                     seed=args.data_seed + i)
+        b = pack_eval_batch(items, cfg.max_feats)
+        need, exact = required_eval_span(b)
+        assert exact
+        span = max(span, need)
+        raw.append(b)
+    span = -(-span // 8) * 8
+
+    print(f"[study:{args.phase}] init 7B on "
+          f"{jax.devices()[0].device_kind}…", file=sys.stderr)
+    ib = raw[0]
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(args.weight_seed),
+        jnp.array(ib["vqa_tokens"][:1, 0]), jnp.array(ib["video"][:1]), None,
+        jnp.array(ib["vqa_video_start"][:1]),
+        jnp.array(ib["vqa_splice"][:1]))["params"]
+    trainable, frozen = partition_params(params)
+    # trainable adapters/gates keep their (path-keyed, phase-identical) flax
+    # init; the backbone is re-synthesized identically in both phases
+    frozen = _synthesize_frozen(frozen, seed=args.weight_seed + 1,
+                                quantize=quantized)
+
+    step = make_eval_step(model, cached=True, span_len=span)
+    all_scores, all_answers = [], []
+    t0 = time.perf_counter()
+    for i, b in enumerate(raw):
+        jb = {k: jnp.array(v) for k, v in b.items()
+              if isinstance(v, np.ndarray) and k not in ("answer", "qtype")}
+        out = step(trainable, frozen, jb)
+        all_scores.append(np.asarray(out["scores"], np.float64))
+        all_answers.append(b["answer"])
+        if i == 0:
+            print(f"[study:{args.phase}] compile+first batch "
+                  f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    scores = np.concatenate(all_scores)        # (N·B, n_opt)
+    answers = np.concatenate(all_answers)
+    os.makedirs(args.out, exist_ok=True)
+    np.savez(os.path.join(args.out, f"scores_{args.phase}.npz"),
+             scores=scores, answers=answers, span=span)
+    print(f"[study:{args.phase}] scored {len(scores)} examples "
+          f"({time.perf_counter() - t0:.1f}s) → {args.out}", file=sys.stderr)
+
+
+def report(args):
+    bf = np.load(os.path.join(args.out, "scores_bf16.npz"))
+    q8 = np.load(os.path.join(args.out, "scores_int8.npz"))
+    s_bf, s_q8 = bf["scores"], q8["scores"]
+    assert s_bf.shape == s_q8.shape
+    n = len(s_bf)
+
+    delta = np.abs(s_q8 - s_bf)                      # per-option |Δscore|
+    pred_bf, pred_q8 = s_bf.argmin(-1), s_q8.argmin(-1)
+    flips = pred_bf != pred_q8
+    srt = np.sort(s_bf, axis=-1)
+    margin = srt[:, 1] - srt[:, 0]                   # bf16 decision margin
+
+    out = {
+        "n_examples": int(n),
+        "n_options": int(s_bf.shape[1]),
+        "score_delta_mean": float(delta.mean()),
+        "score_delta_p99": float(np.quantile(delta, 0.99)),
+        "score_delta_p999": float(np.quantile(delta, 0.999)),
+        "score_delta_max": float(delta.max()),
+        "argmin_flip_rate": float(flips.mean()),
+        "n_flips": int(flips.sum()),
+        "bf16_margin_median": float(np.median(margin)),
+        "bf16_margin_p10": float(np.quantile(margin, 0.10)),
+        "max_flipped_margin": float(margin[flips].max()) if flips.any() else 0.0,
+        "accuracy_bf16": float((pred_bf == bf["answers"]).mean()),
+        "accuracy_int8": float((pred_q8 == bf["answers"]).mean()),
+        # the envelope: decisions with margin above this bound CANNOT flip
+        # (|Δ(s_i - s_j)| ≤ 2·max|Δs|)
+        "stability_margin_bound": float(2 * delta.max()),
+        "frac_examples_above_bound": float(
+            (margin > 2 * delta.max()).mean()),
+    }
+    print(json.dumps(out, indent=2))
+    with open(os.path.join(args.out, "report.json"), "w") as f:
+        json.dump(out, f, indent=2)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", required=True,
+                    choices=["bf16", "int8", "report"])
+    ap.add_argument("--out", default="/tmp/int8_study")
+    ap.add_argument("--preset", default="7b", choices=["7b", "tiny"])
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=128)
+    ap.add_argument("--data_seed", type=int, default=1234)
+    ap.add_argument("--weight_seed", type=int, default=0)
+    args = ap.parse_args()
+    if args.phase == "report":
+        report(args)
+    else:
+        run_phase(args)
+
+
+if __name__ == "__main__":
+    main()

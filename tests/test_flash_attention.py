@@ -106,3 +106,19 @@ def test_flash_gradients_flow():
         assert np.isfinite(np.asarray(g)).all()
     # gate2 grad is nonzero only when a video block exists
     assert float(jnp.abs(grads[6]).sum()) > 0
+
+
+def test_seq_len_bounds_enforced():
+    """The VMEM design bounds are enforced errors, not compile-time OOMs."""
+    import flipped_tpu.model.pallas.flash_attention as fa
+
+    s = fa.MAX_SEQ_BWD + 1
+    q = jnp.zeros((1, s, 1, 8), jnp.float32)
+    g2 = jnp.zeros((1,), jnp.float32)
+    vs = jnp.zeros((1,), jnp.int32)
+    with pytest.raises(ValueError, match="exceeds the designed bound"):
+        fa.flash_text_attention_bwd(q, q, q, g2, vs, 10, q)
+    s = fa.MAX_SEQ_FWD + 1
+    q = jnp.zeros((1, s, 1, 8), jnp.float32)
+    with pytest.raises(ValueError, match="exceeds the designed bound"):
+        fa.flash_text_attention(q, q, q, g2, vs, 10)
