@@ -177,16 +177,76 @@ def bench_generation(args, cfg, model, trainable, frozen, tok):
         out = gen_step(trainable, frozen, jb)
         int(out["generated"][0, 0])
     dt = (time.perf_counter() - t0) / args.steps
+
+    extra = {"step_time_s": round(dt, 4), "new_tokens": 31,
+             "batch": args.batch, "seq_len": cfg.max_seq_len,
+             "device": jax.devices()[0].device_kind, **_hbm_extra()}
+    vs_baseline = 1.0
+    if args.ref_style:
+        ref_dt, agree = _ref_style_generation(args, model, trainable, frozen,
+                                              batches, gen_step)
+        vs_baseline = round(ref_dt / dt, 3)
+        extra.update(ref_style_step_time_s=round(ref_dt, 4),
+                     kv_cache_speedup=vs_baseline,
+                     greedy_token_agreement=round(agree, 4))
     print(json.dumps({
         "metric": f"nextqa_{args.preset}_generation_examples_per_sec_per_chip",
         "value": round(args.batch / dt, 3),
         "unit": "examples/s/chip",
-        "vs_baseline": 1.0,
-        "extra": {"step_time_s": round(dt, 4), "new_tokens": 31,
-                  "batch": args.batch, "seq_len": cfg.max_seq_len,
-                  "device": jax.devices()[0].device_kind,
-                  **_hbm_extra()},
+        "vs_baseline": vs_baseline,
+        "extra": extra,
     }))
+
+
+def _ref_style_generation(args, model, trainable, frozen, batches, gen_step):
+    """Time the reference's generation DESIGN on this chip: each of the 31
+    token positions re-runs the full forward over the whole sequence
+    (reference: model.py:429-442 — and the reference additionally loops per
+    batch item; this batched version is GENEROUS to the baseline). Returns
+    (s/batch, greedy-token agreement vs the KV-cached decode)."""
+    from flipped_tpu.train import merge_params
+    from flipped_tpu.train.generation import MAX_NEW_TOKENS
+
+    @jax.jit
+    def forward_logits_at(trainable, frozen, tokens, video, vstart, splice,
+                          pos):
+        params = {"params": merge_params(trainable, frozen)}
+        vf = model.apply(params, video, None, method="fuse")
+        h = model.apply(params, tokens, vf, vstart, splice, method="encode")
+        h_at = jnp.take_along_axis(h, pos[:, None, None], axis=1)
+        return model.apply(params, h_at, method="lm_logits")[:, 0]
+
+    def run(jb):
+        t = jb["vqa_tokens"][:, 0]
+        prefix = jb["prefix"].astype(jnp.int32)
+        cols = jnp.arange(t.shape[1])[None]
+        outs = []
+        for i in range(MAX_NEW_TOKENS):
+            logits = forward_logits_at(trainable, frozen, t, jb["video"],
+                                       jb["vqa_video_start"],
+                                       jb["vqa_splice"], prefix - 1 + i)
+            nxt = jnp.argmax(logits, -1).astype(t.dtype)
+            outs.append(nxt)
+            t = jnp.where(cols == (prefix + i)[:, None], nxt[:, None], t)
+        return jnp.stack(outs, axis=1)  # (B, 31)
+
+    gen_ref = run(batches[0])          # warm/compile on a distinct batch
+    int(gen_ref[0, 0])
+    n_timed = min(3, len(batches) - 1)
+    t0 = time.perf_counter()
+    for jb in batches[1:1 + n_timed]:
+        gen_ref = run(jb)
+        int(gen_ref[0, 0])
+    ref_dt = (time.perf_counter() - t0) / n_timed
+
+    # greedy-token agreement: the KV-cached decode must reproduce the
+    # full-re-forward tokens (bf16 near-ties can differ on random weights)
+    kv = np.asarray(gen_step(trainable, frozen,
+                             batches[1])["generated"])
+    agree = float((np.asarray(run(batches[1])) == kv).mean())
+    print(f"[bench] ref-style {ref_dt:.3f}s/batch, kv agreement {agree:.4f}",
+          file=sys.stderr)
+    return ref_dt, agree
 
 
 def main():
@@ -205,6 +265,10 @@ def main():
     ap.add_argument("--quantize", default="none", choices=["none", "int8"])
     ap.add_argument("--mode", default="train",
                     choices=["train", "eval", "generation"])
+    ap.add_argument("--ref_style", action="store_true",
+                    help="generation mode: also time the reference's "
+                         "full-re-forward-per-token design for an honest "
+                         "vs_baseline (costs one extra compile)")
     ap.add_argument("--trace_dir", default="",
                     help="write a jax.profiler trace of the timed steps")
     args = ap.parse_args()

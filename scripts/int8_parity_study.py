@@ -75,11 +75,114 @@ def _synthesize_frozen(frozen, seed: int, quantize: bool):
     return walk(frozen)
 
 
+def run_train_phase(args):
+    """Training-parity leg: same synthesized weights + batches, N optimizer
+    steps; saves the loss/grad-norm trajectory for bf16-vs-int8 comparison
+    (training through the quantized backbone perturbs the activations that
+    gradients to the adapters flow through)."""
+    import jax
+    import jax.numpy as jnp
+
+    from flipped_tpu.core.config import ModelConfig, TrainConfig
+    from flipped_tpu.data import (add_accum_axis, make_synthetic_items,
+                                  pack_train_batch)
+    from flipped_tpu.model import FlippedVQAModel
+    from flipped_tpu.text import MockTokenizer
+    from flipped_tpu.train import (make_optimizer, make_train_step,
+                                   partition_params)
+
+    quantized = args.phase == "int8"
+    cfg = _config(args)
+    tok = MockTokenizer(cfg.vocab_size)
+    on_tpu = jax.default_backend() == "tpu"
+    model = FlippedVQAModel(cfg, use_flash=on_tpu, quantized=quantized,
+                            remat=not quantized)
+
+    batches = []
+    for i in range(args.steps):
+        items = make_synthetic_items(tok, args.batch, max_feats=cfg.max_feats,
+                                     max_seq_len=cfg.max_seq_len,
+                                     visual_dim=cfg.visual_dim,
+                                     seed=args.data_seed + i)
+        b = pack_train_batch(items, cfg.max_feats)
+        batches.append({k: jnp.array(v)
+                        for k, v in add_accum_axis(b, 1).items()})
+
+    print(f"[study:train:{args.phase}] init on "
+          f"{jax.devices()[0].device_kind}…", file=sys.stderr)
+    ib = batches[0]
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(args.weight_seed), ib["vqa_tokens"][0],
+        ib["video"][0], None, ib["vqa_video_start"][0],
+        ib["vqa_splice"][0])["params"]
+    trainable, frozen = partition_params(params)
+    frozen = _synthesize_frozen(frozen, seed=args.weight_seed + 1,
+                                quantize=quantized)
+
+    tcfg = TrainConfig(epochs=5, warmup_epochs=1, accum_iter=1, blr=9e-2,
+                       weight_decay=0.14, vaq=True, qav=True)
+    tx = make_optimizer(tcfg, steps_per_epoch=args.steps,
+                        world_batch=args.batch)
+    opt_state = tx.init(trainable)
+    step = make_train_step(model, tx, vaq=True, qav=True)
+
+    losses, gnorms = [], []
+    t0 = time.perf_counter()
+    for i, b in enumerate(batches):
+        trainable, opt_state, m = step(trainable, opt_state, frozen, b)
+        losses.append(float(m.loss))
+        gnorms.append(float(m.grad_norm))
+        if i == 0:
+            print(f"[study:train:{args.phase}] compile+first step "
+                  f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    os.makedirs(args.out, exist_ok=True)
+    np.savez(os.path.join(args.out, f"train_{args.phase}.npz"),
+             loss=np.asarray(losses), grad_norm=np.asarray(gnorms))
+    print(f"[study:train:{args.phase}] {args.steps} steps "
+          f"({time.perf_counter() - t0:.1f}s) → {args.out}", file=sys.stderr)
+
+
+def report_train(args):
+    bf = np.load(os.path.join(args.out, "train_bf16.npz"))
+    q8 = np.load(os.path.join(args.out, "train_int8.npz"))
+    dl = np.abs(bf["loss"] - q8["loss"])
+    out = {
+        "n_steps": int(len(bf["loss"])),
+        "loss_first_bf16": float(bf["loss"][0]),
+        "loss_first_int8": float(q8["loss"][0]),
+        "loss_last_bf16": float(bf["loss"][-1]),
+        "loss_last_int8": float(q8["loss"][-1]),
+        "loss_drop_bf16": float(bf["loss"][0] - bf["loss"][-1]),
+        "loss_drop_int8": float(q8["loss"][0] - q8["loss"][-1]),
+        "loss_abs_delta_mean": float(dl.mean()),
+        "loss_abs_delta_max": float(dl.max()),
+        "loss_rel_delta_mean": float((dl / np.abs(bf["loss"])).mean()),
+        "grad_norm_rel_delta_mean": float(
+            (np.abs(bf["grad_norm"] - q8["grad_norm"])
+             / np.abs(bf["grad_norm"])).mean()),
+    }
+    print(json.dumps(out, indent=2))
+    with open(os.path.join(args.out, "report_train.json"), "w") as f:
+        json.dump(out, f, indent=2)
+
+
+def _config(args):
+    from flipped_tpu.core.config import ModelConfig
+
+    if args.preset == "7b":
+        return ModelConfig(dim=4096, n_layers=32, n_heads=32,
+                           vocab_size=32000, multiple_of=256, max_seq_len=128,
+                           adapter_len=10, adapter_layer=32, max_feats=10,
+                           bias=3.5, tau=100.0)
+    return ModelConfig(dim=64, n_layers=2, n_heads=4, vocab_size=512,
+                       multiple_of=32, max_seq_len=128, adapter_len=10,
+                       adapter_layer=2, max_feats=10, visual_dim=16)
+
+
 def run_phase(args):
     import jax
     import jax.numpy as jnp
 
-    from flipped_tpu.core.config import ModelConfig
     from flipped_tpu.data import make_synthetic_items, pack_eval_batch
     from flipped_tpu.model import FlippedVQAModel
     from flipped_tpu.text import MockTokenizer
@@ -87,14 +190,7 @@ def run_phase(args):
                                    required_eval_span)
 
     quantized = args.phase == "int8"
-    if args.preset == "7b":
-        cfg = ModelConfig(dim=4096, n_layers=32, n_heads=32, vocab_size=32000,
-                          multiple_of=256, max_seq_len=128, adapter_len=10,
-                          adapter_layer=32, max_feats=10, bias=3.5, tau=100.0)
-    else:  # pipeline smoke test at CPU scale
-        cfg = ModelConfig(dim=64, n_layers=2, n_heads=4, vocab_size=512,
-                          multiple_of=32, max_seq_len=128, adapter_len=10,
-                          adapter_layer=2, max_feats=10, visual_dim=16)
+    cfg = _config(args)
     tok = MockTokenizer(cfg.vocab_size)
     on_tpu = jax.default_backend() == "tpu"
     model = FlippedVQAModel(cfg, use_flash=on_tpu, quantized=quantized)
@@ -198,9 +294,12 @@ def main():
     ap.add_argument("--steps", type=int, default=128)
     ap.add_argument("--data_seed", type=int, default=1234)
     ap.add_argument("--weight_seed", type=int, default=0)
+    ap.add_argument("--mode", default="eval", choices=["eval", "train"])
     args = ap.parse_args()
     if args.phase == "report":
-        report(args)
+        report_train(args) if args.mode == "train" else report(args)
+    elif args.mode == "train":
+        run_train_phase(args)
     else:
         run_phase(args)
 
