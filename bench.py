@@ -262,7 +262,8 @@ def main():
     ap.add_argument("--no-flash", action="store_true")
     ap.add_argument("--no_remat", action="store_true")
     ap.add_argument("--remat_policy", default="qkv", choices=["full", "qkv"])
-    ap.add_argument("--quantize", default="none", choices=["none", "int8"])
+    ap.add_argument("--quantize", default="none",
+                    choices=["none", "int8", "w8a8"])
     ap.add_argument("--mode", default="train",
                     choices=["train", "eval", "generation"])
     ap.add_argument("--ref_style", action="store_true",
@@ -279,7 +280,8 @@ def main():
     model = FlippedVQAModel(cfg, use_flash=on_tpu and not args.no_flash,
                             remat=not args.no_remat,
                             remat_policy=args.remat_policy,
-                            quantized=args.quantize == "int8")
+                            quantized=args.quantize != "none",
+                            act_quant=args.quantize == "w8a8")
 
     b = args.batch * args.accum
     # per-run-unique data: the env's TPU relay content-caches execution
@@ -299,7 +301,7 @@ def main():
         init_batch["vqa_video_start"], init_batch["vqa_splice"])["params"]
     trainable, frozen = partition_params(params)
     trainable, frozen = cast_partitions(trainable, frozen)
-    if args.quantize == "int8":
+    if args.quantize != "none":
         from flipped_tpu.ckpt.quantize import randomize_quantized
         frozen = randomize_quantized(frozen, seed=1)
 

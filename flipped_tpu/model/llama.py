@@ -35,6 +35,7 @@ from jax.ad_checkpoint import checkpoint_name
 from ..core.config import ModelConfig
 from .attention import (adapter_gated_attention, chunk_extend_attention,
                         decode_attention)
+from .int8 import int8_matmul
 from .layers import apply_rope, precompute_rope, rms_norm
 from .pallas import flash_adapter_attention
 
@@ -50,12 +51,17 @@ class Linear(nn.Module):
     quantized=True stores the kernel as int8 with per-output-channel f32
     scales (weight-only quantization): the frozen 7B backbone drops from
     ~12.6 GB to ~6.3 GB of HBM, dequantizing one layer at a time into the
-    matmul. Opt-in (--quantize int8) — small numerical deltas vs bf16."""
+    matmul. Opt-in (--quantize int8) — small numerical deltas vs bf16.
+
+    act_quant=True additionally quantizes the *activations* per token and
+    runs the matmul as int8×int8→int32 on the MXU (2× the bf16 rate on
+    v5e) — the w8a8 path (--quantize w8a8); see model/int8.py."""
 
     features: int
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.bfloat16
     quantized: bool = False
+    act_quant: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -64,6 +70,8 @@ class Linear(nn.Module):
                             (x.shape[-1], self.features), jnp.int8)
             scale = self.param("scale", nn.initializers.ones,
                                (self.features,), jnp.float32)
+            if self.act_quant:
+                return int8_matmul(x, kq, scale)
             kernel = kq.astype(self.dtype) * scale.astype(self.dtype)[None, :]
             return x @ kernel
         kernel = self.param("kernel", _torch_linear_init(x.shape[-1]),
@@ -92,12 +100,14 @@ class Attention(nn.Module):
     trainable_dtype: Any = jnp.float32
     use_flash: bool = False
     quantized: bool = False
+    act_quant: bool = False
 
     def setup(self):
         cfg = self.cfg
         lin = functools.partial(Linear, cfg.dim, dtype=self.dtype,
                                 param_dtype=self.frozen_dtype,
-                                quantized=self.quantized)
+                                quantized=self.quantized,
+                                act_quant=self.act_quant)
         self.wq, self.wk, self.wv, self.wo = (lin(name=n) for n in
                                               ("wq", "wk", "wv", "wo"))
         # Zero-init tanh gate on the adapter segment; -bias init on the
@@ -224,17 +234,21 @@ class FeedForward(nn.Module):
     dtype: Any = jnp.bfloat16
     frozen_dtype: Any = jnp.bfloat16
     quantized: bool = False
+    act_quant: bool = False
 
     @nn.compact
     def __call__(self, x):
         hidden = self.cfg.ffn_hidden
         w1 = Linear(hidden, dtype=self.dtype, param_dtype=self.frozen_dtype,
-                    quantized=self.quantized, name="w1")
+                    quantized=self.quantized, act_quant=self.act_quant,
+                    name="w1")
         w2 = Linear(self.cfg.dim, dtype=self.dtype,
                     param_dtype=self.frozen_dtype,
-                    quantized=self.quantized, name="w2")
+                    quantized=self.quantized, act_quant=self.act_quant,
+                    name="w2")
         w3 = Linear(hidden, dtype=self.dtype, param_dtype=self.frozen_dtype,
-                    quantized=self.quantized, name="w3")
+                    quantized=self.quantized, act_quant=self.act_quant,
+                    name="w3")
         return w2(jax.nn.silu(w1(x)) * w3(x))
 
 
@@ -247,13 +261,15 @@ class TransformerBlock(nn.Module):
     trainable_dtype: Any = jnp.float32
     use_flash: bool = False
     quantized: bool = False
+    act_quant: bool = False
 
     def setup(self):
         self.attention = Attention(self.cfg, self.dtype, self.frozen_dtype,
                                    self.trainable_dtype, self.use_flash,
-                                   self.quantized)
+                                   self.quantized, self.act_quant)
         self.feed_forward = FeedForward(self.cfg, self.dtype,
-                                        self.frozen_dtype, self.quantized)
+                                        self.frozen_dtype, self.quantized,
+                                        self.act_quant)
         self.attention_norm = RMSNorm(self.cfg.dim, self.cfg.norm_eps,
                                       self.frozen_dtype)
         self.ffn_norm = RMSNorm(self.cfg.dim, self.cfg.norm_eps,
@@ -324,6 +340,10 @@ class FlippedVQAModel(nn.Module):
     remat_policy: str = "full"
     # int8 weight-only quantization of the frozen backbone matmuls
     quantized: bool = False
+    # w8a8: additionally run block matmuls as int8×int8 on the MXU (2× rate).
+    # The LM head ('output') stays weight-only — its logits feed the eval
+    # argmin (engine.py:87-93) directly, so it keeps bf16 activations.
+    act_quant: bool = False
 
     def setup(self):
         cfg = self.cfg
@@ -334,7 +354,8 @@ class FlippedVQAModel(nn.Module):
         self.blocks = [
             TransformerBlock(cfg, self.dtype, self.frozen_dtype,
                              self.trainable_dtype, self.use_flash,
-                             self.quantized, name=f"layers_{i}")
+                             self.quantized, self.act_quant,
+                             name=f"layers_{i}")
             for i in range(cfg.n_layers)
         ]
         self.norm = RMSNorm(cfg.dim, cfg.norm_eps, self.frozen_dtype,

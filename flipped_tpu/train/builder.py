@@ -55,7 +55,8 @@ def build_model(run_cfg: RunConfig, use_flash: bool | None = None,
     model = FlippedVQAModel(cfg, use_flash=use_flash,
                             remat=remat and run_cfg.train.remat,
                             remat_policy=run_cfg.train.remat_policy,
-                            quantized=run_cfg.train.quantize == "int8")
+                            quantized=run_cfg.train.quantize != "none",
+                            act_quant=run_cfg.train.quantize == "w8a8")
     return model, cfg
 
 
@@ -103,7 +104,7 @@ def build_train_state(run_cfg: RunConfig, seed: int = 0,
     params = init_params(model, cfg, seed)
     trainable, frozen = partition_params(params)
     loaded = load_or_convert_frozen(run_cfg)
-    quantized = run_cfg.train.quantize == "int8"
+    quantized = run_cfg.train.quantize != "none"
     if loaded is not None:
         # graft loaded leaves into the frozen tree (strict on missing keys
         # that the reference would load; extra keys ignored like

@@ -91,11 +91,12 @@ def run_train_phase(args):
     from flipped_tpu.train import (make_optimizer, make_train_step,
                                    partition_params)
 
-    quantized = args.phase == "int8"
+    quantized = args.phase in ("int8", "w8a8")
     cfg = _config(args)
     tok = MockTokenizer(cfg.vocab_size)
     on_tpu = jax.default_backend() == "tpu"
     model = FlippedVQAModel(cfg, use_flash=on_tpu, quantized=quantized,
+                            act_quant=args.phase == "w8a8",
                             remat=not quantized)
 
     batches = []
@@ -189,11 +190,12 @@ def run_phase(args):
     from flipped_tpu.train import (make_eval_step, partition_params,
                                    required_eval_span)
 
-    quantized = args.phase == "int8"
+    quantized = args.phase in ("int8", "w8a8")
     cfg = _config(args)
     tok = MockTokenizer(cfg.vocab_size)
     on_tpu = jax.default_backend() == "tpu"
-    model = FlippedVQAModel(cfg, use_flash=on_tpu, quantized=quantized)
+    model = FlippedVQAModel(cfg, use_flash=on_tpu, quantized=quantized,
+                            act_quant=args.phase == "w8a8")
 
     # identical eval data across phases: fixed seeds, NOT salted — both
     # phases must score the very same examples
@@ -247,8 +249,20 @@ def run_phase(args):
 
 
 def report(args):
+    """Compare every quantized phase present on disk against bf16."""
     bf = np.load(os.path.join(args.out, "scores_bf16.npz"))
-    q8 = np.load(os.path.join(args.out, "scores_int8.npz"))
+    out_all = {}
+    for phase in ("int8", "w8a8"):
+        path = os.path.join(args.out, f"scores_{phase}.npz")
+        if not os.path.exists(path):
+            continue
+        out_all[phase] = _compare(bf, np.load(path))
+    print(json.dumps(out_all, indent=2))
+    with open(os.path.join(args.out, "report.json"), "w") as f:
+        json.dump(out_all, f, indent=2)
+
+
+def _compare(bf, q8):
     s_bf, s_q8 = bf["scores"], q8["scores"]
     assert s_bf.shape == s_q8.shape
     n = len(s_bf)
@@ -272,22 +286,20 @@ def report(args):
         "bf16_margin_p10": float(np.quantile(margin, 0.10)),
         "max_flipped_margin": float(margin[flips].max()) if flips.any() else 0.0,
         "accuracy_bf16": float((pred_bf == bf["answers"]).mean()),
-        "accuracy_int8": float((pred_q8 == bf["answers"]).mean()),
+        "accuracy_quant": float((pred_q8 == bf["answers"]).mean()),
         # the envelope: decisions with margin above this bound CANNOT flip
         # (|Δ(s_i - s_j)| ≤ 2·max|Δs|)
         "stability_margin_bound": float(2 * delta.max()),
         "frac_examples_above_bound": float(
             (margin > 2 * delta.max()).mean()),
     }
-    print(json.dumps(out, indent=2))
-    with open(os.path.join(args.out, "report.json"), "w") as f:
-        json.dump(out, f, indent=2)
+    return out
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", required=True,
-                    choices=["bf16", "int8", "report"])
+                    choices=["bf16", "int8", "w8a8", "report"])
     ap.add_argument("--out", default="/tmp/int8_study")
     ap.add_argument("--preset", default="7b", choices=["7b", "tiny"])
     ap.add_argument("--batch", type=int, default=8)

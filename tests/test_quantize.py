@@ -116,3 +116,89 @@ def test_randomize_quantized_fills_weights():
     filled = randomize_quantized(frozen, seed=0)
     kq = np.asarray(filled["layers_0"]["attention"]["wq"]["kernel_q"])
     assert np.abs(kq).sum() > 0
+
+
+def test_int8_matmul_matches_dequant_reference():
+    """w8a8 forward ≈ (quantized activations) · (dequantized weights); the
+    custom-VJP backward is bit-exact vs the weight-only dequant matmul."""
+    from flipped_tpu.model.int8 import int8_matmul, _quantize_act
+
+    rs = np.random.RandomState(7)
+    x = jnp.asarray(rs.randn(6, 64).astype(np.float32))
+    k = rs.randn(64, 32).astype(np.float32) * 0.05
+    q = quantize_kernel(k)
+
+    out = np.asarray(int8_matmul(x, q["kernel_q"], q["scale"]))
+    # manual reference: same act quantization, f32 arithmetic
+    xq, xs = _quantize_act(x)
+    ref = (np.asarray(xq, np.float32) @ np.asarray(q["kernel_q"], np.float32)
+           * np.asarray(xs) * np.asarray(q["scale"])[None, :])
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+    # and close to the exact float matmul (activation quant error only)
+    exact = np.asarray(x) @ dequantize_kernel(q)
+    denom = np.abs(exact).max()
+    assert np.abs(out - exact).max() / denom < 0.02
+
+    # backward: straight-through == g @ W_deq^T in bf16
+    g = jnp.asarray(rs.randn(6, 32).astype(np.float32))
+    dx = jax.grad(lambda x_: (int8_matmul(x_, q["kernel_q"], q["scale"])
+                              * g).sum())(x)
+    w_bf = (q["kernel_q"].astype(jnp.bfloat16)
+            * q["scale"].astype(jnp.bfloat16)[None, :])
+    dx_ref = (g.astype(jnp.bfloat16) @ w_bf.T).astype(jnp.float32)
+    np.testing.assert_array_equal(np.asarray(dx), np.asarray(dx_ref))
+
+
+def test_int8_matmul_zero_rows_safe():
+    """All-zero (padding) activation rows must not divide by zero."""
+    from flipped_tpu.model.int8 import int8_matmul
+
+    x = jnp.zeros((3, 16), jnp.float32)
+    kq = jnp.ones((16, 8), jnp.int8)
+    scale = jnp.ones((8,), jnp.float32)
+    out = np.asarray(int8_matmul(x, kq, scale))
+    assert np.isfinite(out).all() and (out == 0).all()
+
+
+def test_w8a8_model_forward_and_train_losses():
+    """Full model with act_quant: forward close to weight-only int8; train
+    gradients flow and match the weight-only int8 gradients exactly (the
+    backward dequantizes)."""
+    from flipped_tpu.train import compute_objective_losses
+    from flipped_tpu.data import make_synthetic_items, pack_train_batch
+    from flipped_tpu.text import MockTokenizer
+
+    cfg = ModelConfig(dim=32, n_layers=2, n_heads=4, vocab_size=512,
+                      multiple_of=16, max_seq_len=96, adapter_len=4,
+                      adapter_layer=2, max_feats=4, visual_dim=16)
+    tok = MockTokenizer(cfg.vocab_size)
+    wonly = FlippedVQAModel(cfg, dtype=jnp.float32, frozen_dtype=jnp.float32,
+                            quantized=True)
+    w8a8 = FlippedVQAModel(cfg, dtype=jnp.float32, frozen_dtype=jnp.float32,
+                           quantized=True, act_quant=True)
+    items = make_synthetic_items(tok, 2, max_feats=4, max_seq_len=96,
+                                 visual_dim=16, seed=11)
+    batch = {k: jnp.array(v) for k, v in
+             pack_train_batch(items, 4).items()}
+    params = wonly.init(jax.random.PRNGKey(2), batch["vqa_tokens"],
+                        batch["video"], None, batch["vqa_video_start"],
+                        batch["vqa_splice"])["params"]
+    trainable, frozen = partition_params(params)
+    frozen = randomize_quantized(frozen, seed=3)
+
+    def loss_fn(model, t):
+        p = merge_params(t, frozen)
+        return compute_objective_losses(model, {"params": p}, batch,
+                                        vaq=True, qav=True).total
+
+    l_w = float(loss_fn(wonly, trainable))
+    l_a = float(loss_fn(w8a8, trainable))
+    assert np.isfinite(l_a)
+    assert abs(l_a - l_w) / abs(l_w) < 0.05, (l_a, l_w)
+
+    g_a = jax.grad(lambda t: loss_fn(w8a8, t))(trainable)
+    flat, _ = jax.tree_util.tree_flatten(g_a)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    # adapter/gate grads are nonzero — signal flows through int8 matmuls
+    total = sum(float(np.abs(np.asarray(g)).sum()) for g in flat)
+    assert total > 0
