@@ -70,6 +70,9 @@ class ModelConfig:
 # via `--model llama7B_adapter` + params.json (llama_vqa.py:8-9).
 MODEL_PRESETS = {
     "tiny": dict(dim=64, n_layers=2, n_heads=4, vocab_size=512, multiple_of=32),
+    # CPU-runnable model with the real 32k vocab (exercises real-tokenizer
+    # paths that tiny's small-vocab MockTokenizer mode cannot)
+    "small": dict(dim=256, n_layers=2, n_heads=4, multiple_of=32),
     "llama7B": dict(dim=4096, n_layers=32, n_heads=32),
     "llama13B": dict(dim=5120, n_layers=40, n_heads=40),
     "llama33B": dict(dim=6656, n_layers=60, n_heads=52),
@@ -170,6 +173,9 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--epochs", default=5, type=int)
     p.add_argument("--accum_iter", default=1, type=int)
     p.add_argument("--llama_model_path", default="./pretrained/llama/", type=str)
+    p.add_argument("--tokenizer_path", default="", type=str,
+                   help="explicit tokenizer.model path (default: "
+                        "<llama_model_path>/tokenizer.model)")
     p.add_argument("--model", default="llama7B", type=str)
     p.add_argument("--adapter_layer", type=int, default=32)
     p.add_argument("--adapter_len", type=int, default=10)
@@ -269,4 +275,5 @@ def run_config_from_args(args: argparse.Namespace) -> RunConfig:
     mesh = MeshConfig(dp=args.dp, tp=args.tp)
     return RunConfig(model=model, data=data, train=train, mesh=mesh,
                      llama_model_path=args.llama_model_path,
+                     tokenizer_path=args.tokenizer_path,
                      model_name=args.model, debug=args.debug)

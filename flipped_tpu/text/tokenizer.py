@@ -7,6 +7,9 @@ make the backend pluggable:
 
   * SentencePieceTokenizer — the real LLaMA tokenizer (requires the
     `sentencepiece` package and Meta's tokenizer.model).
+  * PurePythonSentencePieceTokenizer — the same tokenizer.model, decoded and
+    run by our dependency-free reader (text/spm.py: protobuf wire parse +
+    BPE/Unigram inference), for images without the sentencepiece extension.
   * MockTokenizer — a deterministic word-level tokenizer with the same special
     ids, used by tests and benchmarks so the full pipeline runs without Meta
     assets.
@@ -76,6 +79,30 @@ class SentencePieceTokenizer(_SpecialIds):
         return self.sp.decode(ids)
 
 
+class PurePythonSentencePieceTokenizer(_SpecialIds):
+    """tokenizer.model without the sentencepiece package (text/spm.py).
+
+    Same surface as SentencePieceTokenizer; encode parity is oracle-tested
+    against HuggingFace `tokenizers` in tests/test_spm.py."""
+
+    def __init__(self, model_path: str):
+        from . import spm
+
+        assert os.path.isfile(model_path), model_path
+        self._spm = spm
+        self.m = spm.load_model(model_path)
+        self.n_words: int = len(self.m.pieces)
+        self.bos_id: int = self.m.bos_id
+        self.eos_id: int = self.m.eos_id
+        self.pad_id: int = self.m.pad_id
+
+    def encode_raw(self, s: str) -> List[int]:
+        return self._spm.encode(self.m, s)
+
+    def decode(self, ids: List[int]) -> str:
+        return self._spm.decode(self.m, ids)
+
+
 _WORD_RE = re.compile(r"\n|[A-Za-z0-9']+|[^\sA-Za-z0-9']")
 
 
@@ -134,11 +161,12 @@ class MockTokenizer(_SpecialIds):
 
 
 def load_tokenizer(model_path: str = "", n_words: int = 32000) -> TokenizerLike:
-    """SentencePiece when available + a model file is given, else the mock
+    """Given a model file: the sentencepiece package when installed, else the
+    pure-Python reader — real tokenization either way. With no file, the mock
     (sized to the model vocab so ids stay in range)."""
     if model_path:
         try:
             return SentencePieceTokenizer(model_path)
         except ImportError:
-            pass
+            return PurePythonSentencePieceTokenizer(model_path)
     return MockTokenizer(n_words)

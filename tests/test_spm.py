@@ -1,0 +1,322 @@
+"""Self-contained SentencePiece reader/encoder (flipped_tpu/text/spm.py).
+
+Fixtures are ModelProto files serialized by a tiny wire-format writer below
+(no sentencepiece dependency), and the BPE/Unigram segmentation algorithms
+are oracle-checked against HuggingFace `tokenizers` — an independent
+implementation of the same inference semantics — over randomized vocabs and
+inputs. Reference behavior under test: llama/tokenizer.py:14-42 (load
+tokenizer.model, encode with bos/eos, decode)."""
+import random
+import struct
+
+import pytest
+
+from flipped_tpu.text import spm
+from flipped_tpu.text.tokenizer import (PurePythonSentencePieceTokenizer,
+                                        load_tokenizer)
+
+tokenizers = pytest.importorskip("tokenizers")
+
+
+# ---------------------------------------------------------------------------
+# minimal protobuf writer (inverse of spm's reader) for building fixtures
+# ---------------------------------------------------------------------------
+
+def _varint(v: int) -> bytes:
+    if v < 0:
+        v += 1 << 64  # proto int32 negatives: 64-bit two's complement
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | (0x80 if v else 0))
+        if not v:
+            return bytes(out)
+
+
+def _field(fnum: int, wtype: int, payload: bytes) -> bytes:
+    return _varint(fnum << 3 | wtype) + payload
+
+
+def _msg(fnum: int, body: bytes) -> bytes:
+    return _field(fnum, 2, _varint(len(body)) + body)
+
+
+def _s(fnum: int, s: str) -> bytes:
+    b = s.encode("utf-8")
+    return _field(fnum, 2, _varint(len(b)) + b)
+
+
+def _i(fnum: int, v: int) -> bytes:
+    return _field(fnum, 0, _varint(v))
+
+
+def _f(fnum: int, v: float) -> bytes:
+    return _field(fnum, 5, struct.pack("<f", v))
+
+
+def build_model(pieces, model_type, add_dummy_prefix=True,
+                remove_extra_whitespaces=True, byte_fallback=False,
+                pad_id=-1) -> bytes:
+    """pieces: [(piece, score, type)]; specials must be included."""
+    out = b""
+    for piece, score, ptype in pieces:
+        out += _msg(1, _s(1, piece) + _f(2, score) + _i(3, ptype))
+    trainer = (_i(3, model_type) + _i(35, int(byte_fallback)) + _i(40, 0)
+               + _i(41, 1) + _i(42, 2) + _i(43, pad_id))
+    norm = (_i(3, int(add_dummy_prefix)) + _i(4, int(remove_extra_whitespaces))
+            + _i(5, 1))
+    return out + _msg(2, trainer) + _msg(3, norm)
+
+
+SPECIALS = [("<unk>", 0.0, spm.UNKNOWN), ("<s>", 0.0, spm.CONTROL),
+            ("</s>", 0.0, spm.CONTROL)]
+
+
+def _parse(pieces, model_type, **kw) -> spm.SpmModel:
+    return spm.parse_model(build_model(pieces, model_type, **kw))
+
+
+# ---------------------------------------------------------------------------
+# proto round-trip
+# ---------------------------------------------------------------------------
+
+def test_parse_model_fields():
+    pieces = SPECIALS + [("▁", -1.0, spm.NORMAL), ("a", -2.5, spm.NORMAL),
+                         ("<0x41>", 0.0, spm.BYTE)]
+    m = _parse(pieces, spm.BPE, byte_fallback=True, pad_id=-1)
+    assert m.pieces == [p for p, _, _ in pieces]
+    assert m.scores[4] == pytest.approx(-2.5)
+    assert m.model_type == spm.BPE
+    assert (m.unk_id, m.bos_id, m.eos_id, m.pad_id) == (0, 1, 2, -1)
+    assert m.byte_fallback and m.add_dummy_prefix
+    assert m.byte_to_id == {0x41: 5}
+    assert m.piece_to_id["a"] == 4
+
+
+# ---------------------------------------------------------------------------
+# BPE vs the HuggingFace `tokenizers` oracle
+# ---------------------------------------------------------------------------
+
+def _n_splits(t, vocab):
+    return sum(t[:i] in vocab and t[i:] in vocab for i in range(1, len(t)))
+
+
+def _random_bpe_vocab(rng, alphabet="abcd▁", n_merges=40, unique_split=False):
+    """Random well-formed BPE vocab: chars first, then merges of existing
+    tokens, scores strictly decreasing in merge order (sentencepiece picks
+    max score where HF picks min rank — identical given distinct scores).
+
+    unique_split=True additionally rejects any token that would be reachable
+    by more than one split into vocab tokens. SentencePiece merges ANY
+    adjacent pair whose concatenation is a vocab piece (bpe_model.cc lookup
+    by merged string), while HF BPE only applies registered merge pairs —
+    the two agree only on single-derivation vocabs, so the HF oracle uses
+    this restriction (the naive-reference test covers the general case)."""
+    tokens = list(alphabet)
+    merges = []
+    for k in range(n_merges):
+        left, right = rng.choice(tokens), rng.choice(tokens)
+        cand = left + right
+        if cand in tokens:
+            continue
+        if unique_split:
+            vocab = set(tokens) | {cand}
+            if _n_splits(cand, vocab) != 1:
+                continue
+            if any(len(t) > 1 and _n_splits(t, vocab) != 1 for t in tokens):
+                continue
+        merges.append((left, right))
+        tokens.append(cand)
+    pieces = SPECIALS + [(t, 0.0, spm.NORMAL) for t in alphabet]
+    pieces += [(l + r, -1.0 - k, spm.NORMAL) for k, (l, r) in enumerate(merges)]
+    return pieces, merges
+
+
+def _naive_spm_bpe(m, s):
+    """Independent O(n²) reference of sentencepiece's BPE spec: repeatedly
+    merge the highest-scoring (leftmost on ties) adjacent pair whose
+    concatenation is a NORMAL/USER_DEFINED vocab piece."""
+    syms = list(s)
+    while True:
+        best = None
+        for i in range(len(syms) - 1):
+            idx = m.piece_to_id.get(syms[i] + syms[i + 1])
+            if idx is None or m.types[idx] not in (spm.NORMAL,
+                                                   spm.USER_DEFINED):
+                continue
+            if best is None or m.scores[idx] > best[0]:
+                best = (m.scores[idx], i)
+        if best is None:
+            return syms
+        i = best[1]
+        syms[i:i + 2] = [syms[i] + syms[i + 1]]
+
+
+def _hf_bpe(pieces, merges):
+    vocab = {p: i for i, (p, _, _) in enumerate(pieces)}
+    return tokenizers.Tokenizer(
+        tokenizers.models.BPE(vocab=vocab, merges=merges, unk_token="<unk>"))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_bpe_matches_hf_tokenizers(seed):
+    rng = random.Random(seed)
+    pieces, merges = _random_bpe_vocab(rng, unique_split=True)
+    m = _parse(pieces, spm.BPE, add_dummy_prefix=False)
+    hf = _hf_bpe(pieces, merges)
+    for _ in range(50):
+        s = "".join(rng.choice("abcd▁") for _ in range(rng.randint(1, 30)))
+        ours = [m.pieces[i] for i in spm.encode(m, s)]
+        theirs = hf.encode(s).tokens
+        assert ours == theirs, (s, ours, theirs)
+
+
+@pytest.mark.parametrize("seed", [10, 11, 12, 13])
+def test_bpe_matches_naive_reference(seed):
+    # unconstrained vocabs (multi-derivation tokens allowed) vs the naive
+    # in-test implementation of the sentencepiece merge spec
+    rng = random.Random(seed)
+    pieces, _ = _random_bpe_vocab(rng)
+    m = _parse(pieces, spm.BPE, add_dummy_prefix=False)
+    for _ in range(50):
+        s = "".join(rng.choice("abcd▁") for _ in range(rng.randint(1, 30)))
+        ours = [m.pieces[i] for i in spm.encode(m, s)]
+        assert ours == _naive_spm_bpe(m, s), s
+
+
+def test_bpe_tie_breaks_leftmost():
+    # "aa" twice with one merge available: leftmost pair merges first,
+    # yielding [aa, aa] not [a, aa, a]
+    pieces = SPECIALS + [("a", 0.0, spm.NORMAL), ("aa", -1.0, spm.NORMAL)]
+    m = _parse(pieces, spm.BPE, add_dummy_prefix=False)
+    assert [m.pieces[i] for i in spm.encode(m, "aaaa")] == ["aa", "aa"]
+
+
+# ---------------------------------------------------------------------------
+# Unigram vs the HuggingFace `tokenizers` oracle
+# ---------------------------------------------------------------------------
+
+def _random_unigram_vocab(rng, alphabet="abcd▁", n_multi=30):
+    pieces = [("<unk>", -20.0, spm.UNKNOWN)]
+    pieces += [(c, rng.uniform(-6, -2), spm.NORMAL) for c in alphabet]
+    seen = set(alphabet)
+    for _ in range(n_multi):
+        t = "".join(rng.choice(alphabet) for _ in range(rng.randint(2, 4)))
+        if t in seen:
+            continue
+        seen.add(t)
+        pieces.append((t, rng.uniform(-9, -2), spm.NORMAL))
+    return pieces
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_unigram_matches_hf_tokenizers(seed):
+    rng = random.Random(100 + seed)
+    pieces = _random_unigram_vocab(rng)
+    m = _parse(pieces, spm.UNIGRAM, add_dummy_prefix=False)
+    hf = tokenizers.Tokenizer(tokenizers.models.Unigram(
+        vocab=[(p, s) for p, s, _ in pieces], unk_id=0, byte_fallback=False))
+    for _ in range(50):
+        s = "".join(rng.choice("abcd▁") for _ in range(rng.randint(1, 40)))
+        ours = [m.pieces[i] for i in spm.encode(m, s)]
+        theirs = hf.encode(s).tokens
+        assert ours == theirs, (s, ours, theirs)
+
+
+def test_unigram_unknown_char_penalty():
+    pieces = [("<unk>", 0.0, spm.UNKNOWN), ("a", -1.0, spm.NORMAL)]
+    m = _parse(pieces, spm.UNIGRAM, add_dummy_prefix=False)
+    assert spm.encode(m, "axa") == [1, 0, 1]  # x → unk survives the lattice
+
+
+# ---------------------------------------------------------------------------
+# normalization, byte fallback, decode
+# ---------------------------------------------------------------------------
+
+def _llama_like_model(**kw):
+    pieces = SPECIALS + [("▁", -3.0, spm.NORMAL)]
+    pieces += [(c, -4.0, spm.NORMAL) for c in "theqack"]
+    pieces += [("▁t", -1.0, spm.NORMAL), ("he", -1.5, spm.NORMAL),
+               ("▁the", -0.5, spm.NORMAL)]
+    pieces += [(f"<0x{b:02X}>", 0.0, spm.BYTE) for b in range(256)]
+    return _parse(pieces, spm.BPE, byte_fallback=True, **kw)
+
+
+def test_dummy_prefix_and_whitespace_collapse():
+    m = _llama_like_model()
+    ids = spm.encode(m, "the   the")
+    assert [m.pieces[i] for i in ids] == ["▁the", "▁the"]
+    assert spm.decode(m, ids) == "the the"
+
+
+def test_byte_fallback_roundtrip():
+    m = _llama_like_model()
+    ids = spm.encode(m, "théâtre")  # é/â not in vocab → utf-8 byte pieces
+    assert all(0 <= i < len(m.pieces) for i in ids)
+    assert any(m.types[i] == spm.BYTE for i in ids)
+    assert spm.decode(m, ids) == "théâtre"
+
+
+def test_decode_skips_control_and_renders_unk():
+    pieces = SPECIALS + [("▁hi", -1.0, spm.NORMAL)]
+    m = _parse(pieces, spm.BPE)
+    assert spm.decode(m, [1, 3, 2]) == "hi"
+    assert spm.decode(m, [3, 0]).endswith(" ⁇ ")
+
+
+# ---------------------------------------------------------------------------
+# tokenizer backend integration (load_tokenizer falls back to pure-Python
+# when the sentencepiece package is absent — which it is on this image)
+# ---------------------------------------------------------------------------
+
+def test_synthetic_llama_layout_tokenizer(tmp_path):
+    """scripts/make_synthetic_tokenizer.py: LLaMA vocab geometry — byte
+    pieces at 3..258 (newline byte = id 13), prompt anchors at the ids the
+    reference hardcodes (llama/tokenizer.py:28-31), spm's own serializer
+    round-trips through its parser."""
+    import importlib.util
+    import pathlib
+
+    script = (pathlib.Path(__file__).resolve().parent.parent / "scripts"
+              / "make_synthetic_tokenizer.py")
+    sp = importlib.util.spec_from_file_location("mkt", script)
+    mkt = importlib.util.module_from_spec(sp)
+    sp.loader.exec_module(mkt)
+
+    data = spm.serialize_model(mkt.build_pieces(), spm.BPE,
+                               remove_extra_whitespaces=False)
+    m = spm.parse_model(data)
+    assert len(m.pieces) == 32000
+    assert m.pieces[13] == "<0x0A>" and m.types[13] == spm.BYTE
+    from flipped_tpu.text.tokenizer import (A_TOKEN_ID, NL_ID, Q_TOKEN_ID,
+                                            V_TOKEN_ID)
+    # anchors appear mid-prompt after "\n", as in every prompt template
+    ids = spm.encode(m, "something?\nAnswer: The answer is (A) cat")
+    assert A_TOKEN_ID in ids and NL_ID in ids
+    assert Q_TOKEN_ID in spm.encode(m, "x\nQuestion: why?")
+    assert V_TOKEN_ID in spm.encode(m, "Watch it.\nVideo:")
+    # everything round-trips (byte fallback for chars outside the vocab)
+    s = "Is the answer 42, or é? \n maybe"
+    assert spm.decode(m, spm.encode(m, s)) == s
+
+
+def test_load_tokenizer_pure_python_fallback(tmp_path):
+    path = tmp_path / "tokenizer.model"
+    pieces = SPECIALS + [("▁", -3.0, spm.NORMAL)]
+    pieces += [(c, -4.0, spm.NORMAL) for c in "theqack"]
+    pieces += [("▁t", -1.0, spm.NORMAL), ("he", -1.5, spm.NORMAL),
+               ("▁the", -0.5, spm.NORMAL)]
+    path.write_bytes(build_model(pieces, spm.BPE))
+    try:
+        import sentencepiece  # noqa: F401
+        pytest.skip("sentencepiece installed; fallback path not reachable")
+    except ImportError:
+        pass
+    tok = load_tokenizer(str(path))
+    assert isinstance(tok, PurePythonSentencePieceTokenizer)
+    assert (tok.bos_id, tok.eos_id, tok.pad_id) == (1, 2, -1)
+    assert tok.n_words == len(pieces)
+    ids = tok.encode("the the", bos=True, eos=True)
+    assert ids[0] == tok.bos_id and ids[-1] == tok.eos_id
+    assert tok.decode(ids[1:-1]) == "the the"
