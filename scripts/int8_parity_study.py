@@ -145,23 +145,27 @@ def run_train_phase(args):
 
 def report_train(args):
     bf = np.load(os.path.join(args.out, "train_bf16.npz"))
-    q8 = np.load(os.path.join(args.out, "train_int8.npz"))
-    dl = np.abs(bf["loss"] - q8["loss"])
-    out = {
-        "n_steps": int(len(bf["loss"])),
-        "loss_first_bf16": float(bf["loss"][0]),
-        "loss_first_int8": float(q8["loss"][0]),
-        "loss_last_bf16": float(bf["loss"][-1]),
-        "loss_last_int8": float(q8["loss"][-1]),
-        "loss_drop_bf16": float(bf["loss"][0] - bf["loss"][-1]),
-        "loss_drop_int8": float(q8["loss"][0] - q8["loss"][-1]),
-        "loss_abs_delta_mean": float(dl.mean()),
-        "loss_abs_delta_max": float(dl.max()),
-        "loss_rel_delta_mean": float((dl / np.abs(bf["loss"])).mean()),
-        "grad_norm_rel_delta_mean": float(
-            (np.abs(bf["grad_norm"] - q8["grad_norm"])
-             / np.abs(bf["grad_norm"])).mean()),
-    }
+    out = {"n_steps": int(len(bf["loss"])),
+           "loss_first_bf16": float(bf["loss"][0]),
+           "loss_last_bf16": float(bf["loss"][-1]),
+           "loss_drop_bf16": float(bf["loss"][0] - bf["loss"][-1])}
+    for ph in ("int8", "w8a8"):
+        path = os.path.join(args.out, f"train_{ph}.npz")
+        if not os.path.exists(path):
+            continue
+        q8 = np.load(path)
+        dl = np.abs(bf["loss"] - q8["loss"])
+        out[ph] = {
+            "loss_first": float(q8["loss"][0]),
+            "loss_last": float(q8["loss"][-1]),
+            "loss_drop": float(q8["loss"][0] - q8["loss"][-1]),
+            "loss_abs_delta_mean": float(dl.mean()),
+            "loss_abs_delta_max": float(dl.max()),
+            "loss_rel_delta_mean": float((dl / np.abs(bf["loss"])).mean()),
+            "grad_norm_rel_delta_mean": float(
+                (np.abs(bf["grad_norm"] - q8["grad_norm"])
+                 / np.abs(bf["grad_norm"])).mean()),
+        }
     print(json.dumps(out, indent=2))
     with open(os.path.join(args.out, "report_train.json"), "w") as f:
         json.dump(out, f, indent=2)
