@@ -252,12 +252,14 @@ def _ref_style_generation(args, model, trainable, frozen, batches, gen_step):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="7b", choices=list(PRESETS))
-    # defaults = the fastest configuration measured on a 16 GB v5e whose
-    # eval decisions are parity-validated vs bf16: int8 frozen backbone,
-    # per-chip batch 8, no rematerialisation (73.5-73.8% MFU). The
-    # decision-parity evidence (flips confined to statistical ties, accuracy
-    # unchanged over 1,024 examples at full 7B shape) and the bf16 ladder
-    # (57.8% MFU at --quantize none --batch 4 --remat) are in docs/PERF.md.
+    # defaults = the fastest configuration measured on a 16 GB v5e that is
+    # parity-validated vs bf16 at full 7B shape: w8a8 frozen backbone (int8
+    # activations × int8 weights on the MXU's doubled int8 rate), per-chip
+    # batch 8, no rematerialisation — 0.451 s/step, 91.3% bf16-equivalent
+    # MFU. Evidence in docs/PERF.md: eval decisions flip only at statistical
+    # ties (1,024-example study) AND 128-step training trajectories track
+    # bf16 within ~0.1% relative loss. Fall-backs: --quantize int8 (73.8%
+    # MFU), --quantize none --batch 4 --remat (best bf16, 57.8%).
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--accum", type=int, default=1)
     ap.add_argument("--steps", type=int, default=20)
@@ -267,7 +269,7 @@ def main():
     ap.add_argument("--no_remat", dest="remat", action="store_false")
     ap.set_defaults(remat=False)
     ap.add_argument("--remat_policy", default="qkv", choices=["full", "qkv"])
-    ap.add_argument("--quantize", default="int8",
+    ap.add_argument("--quantize", default="w8a8",
                     choices=["none", "int8", "w8a8"])
     ap.add_argument("--mode", default="train",
                     choices=["train", "eval", "generation"])
