@@ -230,6 +230,7 @@ def _ref_style_generation(args, model, trainable, frozen, batches, gen_step):
             t = jnp.where(cols == (prefix + i)[:, None], nxt[:, None], t)
         return jnp.stack(outs, axis=1)  # (B, 31)
 
+    assert len(batches) >= 2, "--ref_style needs --steps >= 2"
     gen_ref = run(batches[0])          # warm/compile on a distinct batch
     int(gen_ref[0, 0])
     n_timed = min(3, len(batches) - 1)

@@ -43,9 +43,16 @@ class CheckpointManager:
         self._ckpt.wait_until_finished()
         meta = {"epoch": int(epoch), "best_acc": float(best_acc),
                 **(extra or {})}
-        # sidecar next to (not inside) the orbax dir — orbax owns its layout
-        with open(path + ".meta.json", "w") as f:
-            json.dump(meta, f)
+        # sidecar next to (not inside) the orbax dir — orbax owns its layout.
+        # The orbax save above is collective (every process must call it),
+        # but the sidecar write must be single-writer: on shared storage N
+        # concurrent writers can interleave into invalid JSON. Atomic
+        # replace guards concurrent readers on POSIX filesystems too.
+        if jax.process_index() == 0:
+            tmp = path + ".meta.json.tmp"
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, path + ".meta.json")
 
     def restore(self, name: str, trainable_template, opt_state_template):
         """Restore (trainable, opt_state, meta). Templates supply structure +

@@ -29,7 +29,7 @@ from ..data.pipeline import load_data
 from ..train.builder import build_train_state
 from ..train.generation import decode_generated, make_generation_step
 from ..train.optim import lr_schedule, make_optimizer
-from ..train.step import make_eval_step, make_train_step
+from ..train.step import make_eval_step, make_train_step, required_eval_span
 from ..utils.logging import (save_result, setup_for_distributed,
                              write_log_line)
 from ..utils.metrics import MetricLogger, SmoothedValue, log_qtype
@@ -158,7 +158,11 @@ def val_one_epoch(model, tokenizer, eval_step, gen_step, trainable, frozen,
             else:
                 correct = (prediction == answer).astype(np.float32)
         else:
-            out = eval_step(trainable, frozen, sharded)
+            # span from the host-side numpy batch: avoids fetching the
+            # sharded labels back from device every step (and the compile
+            # shape still agrees across processes via the allgather inside)
+            span_info = required_eval_span(batch)
+            out = eval_step(trainable, frozen, sharded, span_info=span_info)
             prediction = _fetch_local_rows(out["prediction"], n_local)[:valid]
             correct = (prediction == answer).astype(np.float32)
 

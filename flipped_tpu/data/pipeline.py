@@ -74,8 +74,9 @@ class Loader:
         for b in range(n_batches):
             sel = idx[b * group:(b + 1) * group]
             valid = len(sel)
-            if valid < group:  # pad tail by wrap-around
-                sel = np.concatenate([sel, idx[:group - valid]])
+            if valid < group:  # pad tail by wrap-around (tiled: the shard
+                sel = np.concatenate(  # may be smaller than the deficit)
+                    [sel, np.resize(idx, group - valid)])
             items = [self.dataset.get_item(int(i)) for i in sel]
             if self.split == "train":
                 batch = pack_train_batch(items, self.max_feats)
@@ -173,10 +174,19 @@ class GrainLoader:
             b["valid"] = np.asarray(valid, np.int32)
             return b
 
+        n = len(self.dataset)
+        assert n >= self.process_count, (
+            f"dataset ({n}) smaller than process_count ({self.process_count})")
         ds = gp.MapDataset.source(_Source())
         if self.shuffle:
             ds = ds.shuffle(seed=self.seed + self.epoch)
+        # DistributedSampler-style equalization: every process must yield
+        # the SAME number of batches or multi-process collectives desync —
+        # pad the shorter shards by wrap-around before batching.
+        per = (n + self.process_count - 1) // self.process_count
         ds = ds[self.process_index::self.process_count]
+        if len(ds) < per:
+            ds = ds.repeat(2)[:per]
         ds = ds.batch(self.group, drop_remainder=False, batch_fn=pack)
         it = ds.to_iter_dataset()
         if self.num_workers > 0:

@@ -359,14 +359,21 @@ def encode(m: SpmModel, s: str) -> List[int]:
         raise ValueError(f"unsupported model_type {m.model_type}")
 
     ids: List[int] = []
+    prev_unk = False
     for p in pieces:
         idx = m.piece_to_id.get(p)
         if idx is not None and m.types[idx] in (NORMAL, USER_DEFINED):
             ids.append(idx)
+            prev_unk = False
         elif m.byte_fallback:
             ids.extend(m.byte_to_id.get(b, m.unk_id) for b in p.encode("utf-8"))
+            prev_unk = False
         else:
-            ids.append(m.unk_id)
+            # sentencepiece fuses consecutive unknown pieces into ONE unk
+            # (model_interface.h; HF converters mirror it with fuse_unk=True)
+            if not prev_unk:
+                ids.append(m.unk_id)
+            prev_unk = True
     return ids
 
 

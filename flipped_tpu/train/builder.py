@@ -100,6 +100,12 @@ def build_train_state(run_cfg: RunConfig, seed: int = 0,
         run_cfg.llama_model_path, "tokenizer.model")
     tokenizer = load_tokenizer(tok_path if os.path.exists(tok_path) else "",
                                n_words=cfg.vocab_size)
+    if tokenizer.n_words != cfg.vocab_size:
+        raise ValueError(
+            f"tokenizer vocab ({tokenizer.n_words}, from {tok_path}) != model "
+            f"vocab_size ({cfg.vocab_size}) — embedding lookups would go out "
+            f"of bounds (NaN loss). Use a matching --model preset or "
+            f"--tokenizer_path.")
 
     params = init_params(model, cfg, seed)
     trainable, frozen = partition_params(params)

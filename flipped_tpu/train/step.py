@@ -165,10 +165,15 @@ def make_eval_step(model, cached: bool = True, span_len: int | None = None):
     if not cached:
         return dense_step
 
-    def eval_step(trainable, frozen, batch) -> Dict[str, jax.Array]:
+    def eval_step(trainable, frozen, batch,
+                  span_info: tuple | None = None) -> Dict[str, jax.Array]:
         if span_len is not None:
             return cached_step(trainable, frozen, batch, span_len)
-        need, exact = required_eval_span(batch)
+        # span_info: a precomputed required_eval_span(...) result. Callers
+        # holding the HOST batch (e.g. val_one_epoch, before sharding)
+        # should pass it so already-device-put batches aren't fetched back.
+        need, exact = (span_info if span_info is not None
+                       else required_eval_span(batch))
         if not exact:
             return dense_step(trainable, frozen, batch)
         s = batch["vqa_labels"].shape[-1]

@@ -273,6 +273,37 @@ class TestLoader:
         assert (tail["qav_labels"][0, 2:] == -1).all()
         assert (tail["vqa_labels"][0, :2] != 0).any()  # real rows keep labels
 
+    def test_tail_pad_tiles_when_shard_smaller_than_deficit(self, data_root):
+        """group > 2×shard: the wrap-around pad must tile the shard
+        cyclically, not single-shot concat (which under-fills the batch and
+        breaks the fixed-shape accum reshape)."""
+        cfg = cfg_for(data_root, "nextqa")
+        ds = build_dataset(cfg, TOK, "train")  # 6 items; 3 per process
+        loader = Loader(ds, batch_size=2, accum_iter=4, shuffle=False,
+                        split="train", process_index=0, process_count=2,
+                        prefetch=0)
+        batches = list(loader)
+        assert len(batches) == len(loader) == 1
+        b = batches[0]
+        assert b["vqa_tokens"].shape == (4, 2, 160)  # full fixed shape
+        assert int(b["valid"]) == 3
+
+    def test_grain_equal_batch_counts_across_processes(self, data_root):
+        """Every process must yield the SAME number of batches (SPMD
+        collectives hang otherwise): odd dataset sizes pad the shorter
+        shards by wrap-around, like DistributedSampler."""
+        from flipped_tpu.data.pipeline import GrainLoader
+        cfg = cfg_for(data_root, "nextqa")
+        dsv = build_dataset(cfg, TOK, "val")  # 3 items, 2 processes
+        counts = []
+        for rank in range(2):
+            gl = GrainLoader(dsv, 1, shuffle=False, split="val",
+                             process_index=rank, process_count=2)
+            got = list(gl)
+            assert len(got) == len(gl)
+            counts.append(len(got))
+        assert counts[0] == counts[1] == 2
+
     def test_epoch_shuffling_changes_order(self, data_root):
         cfg = cfg_for(data_root, "nextqa")
         ds = build_dataset(cfg, TOK, "train")

@@ -228,6 +228,11 @@ def test_unigram_unknown_char_penalty():
     pieces = [("<unk>", 0.0, spm.UNKNOWN), ("a", -1.0, spm.NORMAL)]
     m = _parse(pieces, spm.UNIGRAM, add_dummy_prefix=False)
     assert spm.encode(m, "axa") == [1, 0, 1]  # x → unk survives the lattice
+    # consecutive unknowns fuse into ONE unk (sentencepiece semantics;
+    # HF Unigram and fuse_unk=True BPE agree)
+    assert spm.encode(m, "axxxa") == [1, 0, 1]
+    m2 = _parse(pieces, spm.BPE, add_dummy_prefix=False)
+    assert spm.encode(m2, "axxa") == [1, 0, 1]
 
 
 # ---------------------------------------------------------------------------
@@ -299,6 +304,24 @@ def test_synthetic_llama_layout_tokenizer(tmp_path):
     # everything round-trips (byte fallback for chars outside the vocab)
     s = "Is the answer 42, or é? \n maybe"
     assert spm.decode(m, spm.encode(m, s)) == s
+
+
+def test_builder_rejects_tokenizer_vocab_mismatch(tmp_path):
+    """A real tokenizer.model whose vocab differs from the model's
+    vocab_size must fail loudly (silent OOB embedding lookups → NaN)."""
+    from flipped_tpu.core.config import (MODEL_PRESETS, DataConfig,
+                                         MeshConfig, ModelConfig, RunConfig,
+                                         TrainConfig)
+    from flipped_tpu.train.builder import build_train_state
+
+    pieces = SPECIALS + [("a", -1.0, spm.NORMAL)]  # 4 pieces ≠ 512
+    (tmp_path / "tokenizer.model").write_bytes(build_model(pieces, spm.BPE))
+    run_cfg = RunConfig(model=ModelConfig(**MODEL_PRESETS["tiny"]),
+                        data=DataConfig(), train=TrainConfig(),
+                        mesh=MeshConfig(), llama_model_path=str(tmp_path),
+                        model_name="tiny")
+    with pytest.raises(ValueError, match="vocab"):
+        build_train_state(run_cfg)
 
 
 def test_load_tokenizer_pure_python_fallback(tmp_path):
