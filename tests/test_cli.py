@@ -127,3 +127,25 @@ def test_grain_loader_cli(synth_root, tmp_path):
             "--loader", "grain", "--dp", "1", "--output_dir", out, "--debug"]
     run_main(argv)
     assert os.path.exists(os.path.join(out, "log.txt"))
+
+
+def test_real_tokenizer_cli(synth_root, tmp_path):
+    """The full real-tokenizer path: a LLaMA-layout tokenizer.model read by
+    text/spm.py (no sentencepiece package) → prompts → masking → one train
+    step ('small' = real 32k vocab; S 384 since per-char fallback runs
+    long). Reference flow: llama/tokenizer.py:14-42 + train.py:78-152."""
+    tok_dir = tmp_path / "tok"
+    tok_dir.mkdir()
+    subprocess.run(
+        [sys.executable, "scripts/make_synthetic_tokenizer.py", "--out",
+         str(tok_dir / "tokenizer.model")], check=True, capture_output=True)
+    out = str(tmp_path / "out_tok")
+    argv = ["--model", "small", "--dataset", "nextqa", "--data_root",
+            synth_root, "--batch_size", "2", "--max_seq_len", "384",
+            "--epochs", "1", "--warmup_epochs", "0.5", "--blr", "9e-1",
+            "--vaq", "--qav", "--tokenizer_path",
+            str(tok_dir / "tokenizer.model"), "--dp", "1",
+            "--output_dir", out, "--debug"]
+    run_main(argv)
+    lines = [json.loads(l) for l in open(os.path.join(out, "log.txt"))]
+    assert np.isfinite(lines[0]["train_loss"])  # in-vocab ids, no OOB NaN
