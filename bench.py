@@ -35,6 +35,17 @@ PRESETS = {
                            vocab_size=32000, multiple_of=256,
                            max_seq_len=650, adapter_len=10, adapter_layer=32,
                            max_feats=10, bias=3.0, tau=100.0),
+    # DramaQA recipe (reference: README.md:78-80 — seq 384, bs 2, bias 3)
+    "7b_dramaqa": ModelConfig(dim=4096, n_layers=32, n_heads=32,
+                              vocab_size=32000, multiple_of=256,
+                              max_seq_len=384, adapter_len=10,
+                              adapter_layer=32, max_feats=10, bias=3.0,
+                              tau=100.0),
+    # VLEP recipe (reference: README.md:86-88 — seq 256, bs 4)
+    "7b_vlep": ModelConfig(dim=4096, n_layers=32, n_heads=32,
+                           vocab_size=32000, multiple_of=256,
+                           max_seq_len=256, adapter_len=10, adapter_layer=32,
+                           max_feats=10, bias=3.0, tau=100.0),
     # 13B (reference 13B runs use --adapter_layer 40, run-nextqa13B-array.sh)
     "13b": ModelConfig(dim=5120, n_layers=40, n_heads=40, vocab_size=32000,
                        multiple_of=256, max_seq_len=128, adapter_len=10,
