@@ -108,3 +108,50 @@ def test_two_process_train(synth_root16, tmp_path):
     assert os.path.isdir(os.path.join(out, "checkpoint_last"))
     meta = json.load(open(os.path.join(out, "checkpoint_last.meta.json")))
     assert meta["epoch"] == 0
+
+
+@pytest.fixture(scope="module")
+def synth_root9(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mp_data9")
+    subprocess.run(
+        [sys.executable, "scripts/make_synthetic_data.py", "--root",
+         str(root), "--n", "9"], check=True, capture_output=True, cwd=REPO)
+    return str(root)
+
+
+def test_two_process_grain_odd_dataset(synth_root9, tmp_path):
+    """Grain backend, 9 examples across 2 processes: the shorter shard must
+    pad by wrap-around so both ranks run the SAME number of batches — with
+    unequal counts the full (non-debug) epoch would hang in the metric
+    sync collective."""
+    out = str(tmp_path / "out_mp_grain")
+    port = _free_port()
+    argv = ["--model", "tiny", "--dataset", "nextqa", "--data_root",
+            synth_root9, "--batch_size", "2", "--max_seq_len", "128",
+            "--epochs", "1", "--warmup_epochs", "0.5", "--blr", "9e-1",
+            "--loader", "grain", "--dp", "2", "--output_dir", out]
+
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ)
+        env.update({
+            "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+            "JAX_NUM_PROCESSES": "2",
+            "JAX_PROCESS_ID": str(rank),
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", DRIVER] + argv, cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+
+    outs = []
+    for rank, p in enumerate(procs):
+        stdout, stderr = p.communicate(timeout=900)
+        assert p.returncode == 0, (
+            f"rank {rank} failed:\nSTDOUT:\n{stdout[-3000:]}\n"
+            f"STDERR:\n{stderr[-3000:]}")
+        outs.append(stdout)
+
+    lines = [json.loads(l) for l in open(os.path.join(out, "log.txt"))]
+    assert len(lines) == 1
+    assert np.isfinite(lines[0]["train_loss"])
