@@ -97,6 +97,7 @@ class SpmModel:
     scores: List[float] = field(default_factory=list)
     types: List[int] = field(default_factory=list)
     model_type: int = UNIGRAM
+    normalizer_name: str = ""
     add_dummy_prefix: bool = True
     remove_extra_whitespaces: bool = True
     escape_whitespaces: bool = True
@@ -158,7 +159,9 @@ def parse_model(data: bytes) -> SpmModel:
                     m.unk_surface = v2.decode("utf-8")
         elif fnum == 3:  # NormalizerSpec
             for f2, _, v2 in _iter_fields(val):
-                if f2 == 3:
+                if f2 == 1:
+                    m.normalizer_name = v2.decode("utf-8")
+                elif f2 == 3:
                     m.add_dummy_prefix = bool(v2)
                 elif f2 == 4:
                     m.remove_extra_whitespaces = bool(v2)
@@ -233,11 +236,17 @@ def load_model(path: str) -> SpmModel:
 
 
 # ---------------------------------------------------------------------------
-# normalization (identity rule set — LLaMA's normalizer is "identity";
-# precompiled_charsmap NFKC rules are not needed for it and are ignored)
+# normalization. LLaMA's normalizer is "identity" (empty rule set). For the
+# common "nmt_nfkc"/"nfkc" normalizers we apply unicodedata NFKC — a close
+# approximation: the precompiled charsmap adds a handful of NMT-specific
+# control-char rules on top of NFKC that are not reproduced here.
 # ---------------------------------------------------------------------------
 
 def normalize(m: SpmModel, s: str) -> str:
+    if "nfkc" in m.normalizer_name:
+        import unicodedata
+
+        s = unicodedata.normalize("NFKC", s)
     if m.remove_extra_whitespaces:
         s = " ".join(p for p in s.split(" ") if p)  # collapse runs + strip
     if m.add_dummy_prefix and s:

@@ -57,15 +57,15 @@ def _f(fnum: int, v: float) -> bytes:
 
 def build_model(pieces, model_type, add_dummy_prefix=True,
                 remove_extra_whitespaces=True, byte_fallback=False,
-                pad_id=-1) -> bytes:
+                pad_id=-1, normalizer_name="identity") -> bytes:
     """pieces: [(piece, score, type)]; specials must be included."""
     out = b""
     for piece, score, ptype in pieces:
         out += _msg(1, _s(1, piece) + _f(2, score) + _i(3, ptype))
     trainer = (_i(3, model_type) + _i(35, int(byte_fallback)) + _i(40, 0)
                + _i(41, 1) + _i(42, 2) + _i(43, pad_id))
-    norm = (_i(3, int(add_dummy_prefix)) + _i(4, int(remove_extra_whitespaces))
-            + _i(5, 1))
+    norm = (_s(1, normalizer_name) + _i(3, int(add_dummy_prefix))
+            + _i(4, int(remove_extra_whitespaces)) + _i(5, 1))
     return out + _msg(2, trainer) + _msg(3, norm)
 
 
@@ -261,6 +261,17 @@ def test_byte_fallback_roundtrip():
     assert all(0 <= i < len(m.pieces) for i in ids)
     assert any(m.types[i] == spm.BYTE for i in ids)
     assert spm.decode(m, ids) == "théâtre"
+
+
+def test_nfkc_normalizer_applied_by_name():
+    # "nmt_nfkc" models fold compatibility forms (full-width Ａ → A);
+    # "identity" (LLaMA) leaves text untouched
+    pieces = SPECIALS + [("A", -1.0, spm.NORMAL)]
+    nfkc = _parse(pieces, spm.BPE, add_dummy_prefix=False,
+                  normalizer_name="nmt_nfkc")
+    ident = _parse(pieces, spm.BPE, add_dummy_prefix=False)
+    assert spm.encode(nfkc, "Ａ") == [3]
+    assert spm.encode(ident, "Ａ") == [0]  # stays full-width → unk
 
 
 def test_decode_skips_control_and_renders_unk():
