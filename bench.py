@@ -379,6 +379,8 @@ def main():
             "device": jax.devices()[0].device_kind,
             "batch": args.batch, "accum": args.accum,
             "seq_len": s, "loss": round(float(m.loss), 4),
+            "quantize": args.quantize,
+            "remat": args.remat and args.remat_policy,
             **_hbm_extra(),
         },
     }

@@ -111,7 +111,9 @@ class SpmModel:
     # derived
     piece_to_id: Dict[str, int] = field(default_factory=dict)
     byte_to_id: Dict[int, int] = field(default_factory=dict)
+    user_defined: set = field(default_factory=set)
     max_piece_chars: int = 1
+    max_ud_chars: int = 0
 
     def finish(self) -> "SpmModel":
         for i, (p, t) in enumerate(zip(self.pieces, self.types)):
@@ -121,8 +123,11 @@ class SpmModel:
                 # piece text is "<0xNN>"
                 self.byte_to_id[int(p[3:5], 16)] = i
             self.piece_to_id.setdefault(p, i)
-            if t in (NORMAL, USER_DEFINED):
+            if t == NORMAL:
                 self.max_piece_chars = max(self.max_piece_chars, len(p))
+            elif t == USER_DEFINED:
+                self.user_defined.add(p)
+                self.max_ud_chars = max(self.max_ud_chars, len(p))
         return self
 
 
@@ -276,7 +281,7 @@ def _bpe_segment(m: SpmModel, chars: List[str]) -> List[str]:
             return
         merged = piece[i] + piece[j]
         idx = m.piece_to_id.get(merged)
-        if idx is not None and m.types[idx] in (NORMAL, USER_DEFINED):
+        if idx is not None and m.types[idx] == NORMAL:
             # max-heap on score, then leftmost; snapshot the two halves so a
             # stale entry (either half since merged away) can be skipped
             heapq.heappush(heap, (-m.scores[idx], i, piece[i], piece[j]))
@@ -310,7 +315,7 @@ _UNK_PENALTY = 10.0
 def _unigram_segment(m: SpmModel, s: str) -> List[str]:
     n = len(s)
     min_score = min((sc for sc, t in zip(m.scores, m.types)
-                     if t in (NORMAL, USER_DEFINED)), default=0.0)
+                     if t == NORMAL), default=0.0)
     unk_score = min_score - _UNK_PENALTY
     best = [-1e30] * (n + 1)
     back: List[Tuple[int, str]] = [(-1, "")] * (n + 1)
@@ -323,7 +328,7 @@ def _unigram_segment(m: SpmModel, s: str) -> List[str]:
         for j in range(i + 1, hi + 1):
             sub = s[i:j]
             idx = m.piece_to_id.get(sub)
-            if idx is None or m.types[idx] not in (NORMAL, USER_DEFINED):
+            if idx is None or m.types[idx] != NORMAL:
                 continue
             if j == i + 1:
                 matched_single = True
@@ -348,24 +353,60 @@ def _unigram_segment(m: SpmModel, s: str) -> List[str]:
 # public encode/decode
 # ---------------------------------------------------------------------------
 
+def _split_user_defined(m: SpmModel, s: str) -> List[Tuple[str, bool]]:
+    """Longest-match extraction of USER_DEFINED pieces as whole units
+    (sentencepiece's PrefixMatcher runs before the model algorithm;
+    user-defined pieces never participate in merges/the lattice).
+    Returns [(span, is_user_defined)]."""
+    if not m.user_defined:
+        return [(s, False)]
+    out: List[Tuple[str, bool]] = []
+    buf: List[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        hit = ""
+        for ln in range(min(m.max_ud_chars, n - i), 0, -1):
+            if s[i:i + ln] in m.user_defined:
+                hit = s[i:i + ln]
+                break
+        if hit:
+            if buf:
+                out.append(("".join(buf), False))
+                buf = []
+            out.append((hit, True))
+            i += len(hit)
+        else:
+            buf.append(s[i])
+            i += 1
+    if buf:
+        out.append(("".join(buf), False))
+    return out
+
+
+def _segment(m: SpmModel, s: str) -> List[str]:
+    if m.model_type == BPE:
+        return _bpe_segment(m, list(s))
+    if m.model_type == UNIGRAM:
+        return _unigram_segment(m, s)
+    if m.model_type == CHAR:
+        return list(s)
+    if m.model_type == WORD:
+        words = [w for w in s.split(WS) if w]
+        if m.escape_whitespaces:
+            words = [WS + w for w in words]
+        return words
+    raise ValueError(f"unsupported model_type {m.model_type}")
+
+
 def encode(m: SpmModel, s: str) -> List[int]:
     """Text → ids (no bos/eos — the caller adds them, as the reference's
     Tokenizer.encode does at llama/tokenizer.py:35-42)."""
     s = normalize(m, s)
     if not s:
         return []
-    if m.model_type == BPE:
-        pieces = _bpe_segment(m, list(s))
-    elif m.model_type == UNIGRAM:
-        pieces = _unigram_segment(m, s)
-    elif m.model_type == CHAR:
-        pieces = list(s)
-    elif m.model_type == WORD:
-        pieces = [w for w in s.split(WS) if w]
-        if m.escape_whitespaces:
-            pieces = [WS + w for w in pieces]
-    else:
-        raise ValueError(f"unsupported model_type {m.model_type}")
+    pieces: List[str] = []
+    for span, is_ud in _split_user_defined(m, s):
+        pieces += [span] if is_ud else _segment(m, span)
 
     ids: List[int] = []
     prev_unk = False

@@ -263,6 +263,20 @@ def test_byte_fallback_roundtrip():
     assert spm.decode(m, ids) == "théâtre"
 
 
+def test_user_defined_pieces_extracted_whole():
+    """USER_DEFINED pieces match as whole units before segmentation
+    (sentencepiece's PrefixMatcher), never via merges/the lattice."""
+    pieces = SPECIALS + [("a", -4.0, spm.NORMAL), ("b", -4.0, spm.NORMAL),
+                         ("ab", -1.0, spm.NORMAL),
+                         ("<x>", 0.0, spm.USER_DEFINED)]
+    for mt in (spm.BPE, spm.UNIGRAM):
+        m = _parse(pieces, mt, add_dummy_prefix=False)
+        ids = spm.encode(m, "a<x>b")
+        assert [m.pieces[i] for i in ids] == ["a", "<x>", "b"], mt
+        # the "ab" merge still applies where no user-defined piece splits it
+        assert [m.pieces[i] for i in spm.encode(m, "ab")] == ["ab"], mt
+
+
 def test_nfkc_normalizer_applied_by_name():
     # "nmt_nfkc" models fold compatibility forms (full-width Ａ → A);
     # "identity" (LLaMA) leaves text untouched
