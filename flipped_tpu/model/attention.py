@@ -43,6 +43,28 @@ def video_block_bias(video_start: jax.Array, seq_len: int, max_feats: int,
     return block[:, None, :, :] * gate2[None, :, None, None]
 
 
+def adapter_prefix_attention(q: jax.Array, adapter_k: jax.Array,
+                             adapter_v: jax.Array,
+                             gate1: jax.Array) -> jax.Array:
+    """Segment A — exact tiny attention over the adapter prefix (L≈10 keys),
+    softmaxed independently and scaled by tanh(gate1) (reference:
+    model.py:115). The ONE implementation shared by the einsum, chunk-extend,
+    decode, and Pallas-recombination paths.
+
+    q: (B, Q, H, Dh) rope'd queries; adapter_k/v: (L, H, Dh) un-rope'd.
+    Returns (B, Q, H, Dh) in q.dtype.
+    """
+    dh = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32)).astype(q.dtype)
+    scores = jnp.einsum("bqhd,lhd->bhql", q, adapter_k.astype(q.dtype),
+                        preferred_element_type=jnp.float32) * scale
+    probs = (jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+             * jnp.tanh(gate1.astype(jnp.float32))[None, :, None, None])
+    return jnp.einsum("bhql,lhd->bqhd", probs.astype(q.dtype),
+                      adapter_v.astype(q.dtype),
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
 def adapter_gated_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                             adapter_k: jax.Array, adapter_v: jax.Array,
                             gate1: jax.Array, gate2: jax.Array,
@@ -75,13 +97,8 @@ def adapter_gated_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                      preferred_element_type=jnp.float32)
 
     # --- segment A: adapter prefix, separate softmax × tanh(gate1) ----------
-    a_scores = jnp.einsum("bhsd,lhd->bhsl", qh, adapter_k.astype(q.dtype),
-                          preferred_element_type=jnp.float32) * scale
-    a_probs = (jax.nn.softmax(a_scores.astype(jnp.float32), axis=-1)
-               * jnp.tanh(gate1.astype(jnp.float32))[None, :, None, None])
-    out = out + jnp.einsum("bhsl,lhd->bhsd", a_probs.astype(q.dtype),
-                           adapter_v.astype(q.dtype),
-                           preferred_element_type=jnp.float32)
+    out = out + jnp.einsum(
+        "bshd->bhsd", adapter_prefix_attention(q, adapter_k, adapter_v, gate1))
 
     return jnp.einsum("bhsd->bshd", out.astype(q.dtype)).reshape(b, s, h * dh)
 
@@ -138,13 +155,7 @@ def chunk_extend_attention(q: jax.Array, k_chunk: jax.Array,
                         preferred_element_type=jnp.float32))
 
     # adapter prefix segment (independent softmax × tanh(gate1))
-    a_scores = jnp.einsum("bqhd,lhd->bhql", q, adapter_k.astype(q.dtype),
-                          preferred_element_type=jnp.float32) * scale
-    a_probs = (jax.nn.softmax(a_scores.astype(jnp.float32), axis=-1)
-               * jnp.tanh(gate1.astype(jnp.float32))[None, :, None, None])
-    out = out + jnp.einsum("bhql,lhd->bqhd", a_probs.astype(q.dtype),
-                           adapter_v.astype(q.dtype),
-                           preferred_element_type=jnp.float32)
+    out = out + adapter_prefix_attention(q, adapter_k, adapter_v, gate1)
     return out.astype(q.dtype).reshape(b, nl, h * dh)
 
 
@@ -182,11 +193,5 @@ def decode_attention(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
     out = jnp.einsum("bhot,bthd->bohd", probs.astype(q.dtype), cache_v,
                      preferred_element_type=jnp.float32)
 
-    a_scores = jnp.einsum("bohd,lhd->bhol", q, adapter_k.astype(q.dtype),
-                          preferred_element_type=jnp.float32) * scale
-    a_probs = (jax.nn.softmax(a_scores.astype(jnp.float32), axis=-1)
-               * jnp.tanh(gate1.astype(jnp.float32))[None, :, None, None])
-    out = out + jnp.einsum("bhol,lhd->bohd", a_probs.astype(q.dtype),
-                           adapter_v.astype(q.dtype),
-                           preferred_element_type=jnp.float32)
+    out = out + adapter_prefix_attention(q, adapter_k, adapter_v, gate1)
     return out.astype(q.dtype).reshape(b, 1, h * dh)

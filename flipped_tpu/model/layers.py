@@ -31,24 +31,32 @@ def precompute_rope(head_dim: int, end: int, theta: float = 10000.0):
     return jnp.cos(angles), jnp.sin(angles)
 
 
-def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
-    """Rotate interleaved pairs (x_{2i}, x_{2i+1}) by position-dependent
-    angles — identical to the reference's complex multiply
-    (model.py:61-67: view_as_complex on ... reshape(-1, 2)).
-
-    x: (B, S, H, Dh); cos/sin: (S, Dh//2).
-    """
+def _rope_core(x: jax.Array, c: jax.Array, s: jax.Array) -> jax.Array:
+    """Rotate interleaved pairs (x_{2i}, x_{2i+1}) by pre-broadcast
+    cos/sin — identical to the reference's complex multiply
+    (model.py:61-67: view_as_complex on ... reshape(-1, 2))."""
     orig_dtype = x.dtype
     x32 = x.astype(jnp.float32)
     x_pairs = x32.reshape(*x.shape[:-1], -1, 2)
     x0, x1 = x_pairs[..., 0], x_pairs[..., 1]
-    # broadcast (S, Dh//2) over (B, S, H, Dh//2)
-    c = cos[None, :, None, :]
-    s = sin[None, :, None, :]
     out0 = x0 * c - x1 * s
     out1 = x0 * s + x1 * c
     out = jnp.stack([out0, out1], axis=-1).reshape(x.shape)
     return out.astype(orig_dtype)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: (B, S, H, Dh); cos/sin: (S, Dh//2) — one shared position table."""
+    return _rope_core(x, cos[None, :, None, :].astype(jnp.float32),
+                      sin[None, :, None, :].astype(jnp.float32))
+
+
+def apply_rope_at(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: (B, Q, H, Dh); cos/sin: (B, Q, Dh//2) — PER-EXAMPLE position
+    tables (KV-cache extend/decode, where each row sits at its own
+    absolute position)."""
+    return _rope_core(x, cos[:, :, None, :].astype(jnp.float32),
+                      sin[:, :, None, :].astype(jnp.float32))
 
 
 def swiglu(x: jax.Array, w1: jax.Array, w2: jax.Array, w3: jax.Array) -> jax.Array:

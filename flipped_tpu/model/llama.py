@@ -36,12 +36,13 @@ from ..core.config import ModelConfig
 from .attention import (adapter_gated_attention, chunk_extend_attention,
                         decode_attention)
 from .int8 import int8_matmul
-from .layers import apply_rope, precompute_rope, rms_norm
+from .layers import apply_rope, apply_rope_at, precompute_rope, rms_norm
 from .pallas import flash_adapter_attention
 
 
-def _torch_linear_init(fan_in: int):
-    # U(±1/sqrt(fan_in)) — torch nn.Linear default bound.
+def _torch_linear_init():
+    # U(±1/sqrt(fan_in)) — torch nn.Linear default bound (fan_in is derived
+    # from the kernel shape by variance_scaling itself).
     return nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
 
@@ -74,7 +75,7 @@ class Linear(nn.Module):
                 return int8_matmul(x, kq, scale)
             kernel = kq.astype(self.dtype) * scale.astype(self.dtype)[None, :]
             return x @ kernel
-        kernel = self.param("kernel", _torch_linear_init(x.shape[-1]),
+        kernel = self.param("kernel", _torch_linear_init(),
                             (x.shape[-1], self.features), self.param_dtype)
         return x @ kernel.astype(self.dtype)
 
@@ -183,8 +184,8 @@ class Attention(nn.Module):
         pos = prefix[:, None] + (jnp.arange(nl) % chunk_len)[None]  # (B,nl)
         cos = rope_cos[pos]
         sin = rope_sin[pos]
-        q = _rope_batched(q, cos, sin)
-        k = _rope_batched(k, cos, sin)
+        q = apply_rope_at(q, cos, sin)
+        k = apply_rope_at(k, cos, sin)
         ak, av, g1 = self._adapter_kv(adapter)
         out = chunk_extend_attention(q, k, v, cache_k, cache_v, ak, av, g1,
                                      self.gate2, video_start, prefix, n_opt,
@@ -201,8 +202,8 @@ class Attention(nn.Module):
         v = self.wv(x).reshape(b, 1, h, dh)
         cos = rope_cos[pos][:, None]          # (B, 1, Dh/2)
         sin = rope_sin[pos][:, None]
-        q = _rope_batched(q, cos, sin)
-        k = _rope_batched(k, cos, sin)
+        q = apply_rope_at(q, cos, sin)
+        k = apply_rope_at(k, cos, sin)
         # in-place-able scatter of the new K/V at per-example pos (XLA can
         # alias this into the scan carry, unlike a one-hot blend)
         batch_idx = jnp.arange(b)
@@ -213,18 +214,6 @@ class Attention(nn.Module):
                                video_start, pos, self.cfg.max_feats)
         return self.wo(out), cache_k, cache_v
 
-
-def _rope_batched(x, cos, sin):
-    """apply_rope with per-example tables: x (B,1,H,Dh), cos/sin (B,1,Dh/2)."""
-    orig = x.dtype
-    x32 = x.astype(jnp.float32)
-    pairs = x32.reshape(*x.shape[:-1], -1, 2)
-    x0, x1 = pairs[..., 0], pairs[..., 1]
-    c = cos[:, :, None, :].astype(jnp.float32)
-    s = sin[:, :, None, :].astype(jnp.float32)
-    out0 = x0 * c - x1 * s
-    out1 = x0 * s + x1 * c
-    return jnp.stack([out0, out1], axis=-1).reshape(x.shape).astype(orig)
 
 
 class FeedForward(nn.Module):
@@ -437,6 +426,17 @@ class FlippedVQAModel(nn.Module):
         first_adapted = cfg.n_layers - cfg.adapter_layer
         return adapters, first_adapted
 
+    def _active_blocks(self):
+        """The reference runs ONLY the last adapter_layer blocks —
+        `self.layers[-1 * self.adapter_layer:]` (model.py:338, and likewise
+        in its eval/generation paths) — so with adapter_layer < n_layers the
+        early blocks are skipped entirely, not merely run adapter-free.
+        Every reference config uses adapter_layer == n_layers, where the
+        two readings coincide; we reproduce the skip for exact parity
+        (tests/test_reference_parity.py covers adapter_layer < n_layers)."""
+        adapters, first_adapted = self._adapters()
+        return list(zip(self.blocks[first_adapted:], adapters))
+
     # --- backbone ------------------------------------------------------------
     def encode(self, tokens: jax.Array, video_feature: jax.Array,
                video_start: jax.Array, splice_index: jax.Array) -> jax.Array:
@@ -452,7 +452,6 @@ class FlippedVQAModel(nn.Module):
         h = self._embed_and_splice(tokens, video_feature, splice_index)
         rope_cos, rope_sin = precompute_rope(cfg.head_dim, tokens.shape[1],
                                              cfg.rope_theta)
-        adapters, first_adapted = self._adapters()
         if self.remat and self.remat_policy == "qkv":
             policy = jax.checkpoint_policies.save_only_these_names(
                 "attn_q", "attn_k", "attn_v", "attn_out")
@@ -461,9 +460,7 @@ class FlippedVQAModel(nn.Module):
             block_call = nn.remat(TransformerBlock.__call__)
         else:
             block_call = TransformerBlock.__call__
-        for i, block in enumerate(self.blocks):
-            adapter = (adapters[i - first_adapted]
-                       if i >= first_adapted else None)
+        for block, adapter in self._active_blocks():
             h = block_call(block, h, rope_cos, rope_sin, adapter, video_start)
         return self.norm(h)
 
@@ -488,12 +485,9 @@ class FlippedVQAModel(nn.Module):
         h = self._embed_and_splice(tokens, video_feature, splice_index)
         rope_cos, rope_sin = precompute_rope(cfg.head_dim, cache_len,
                                              cfg.rope_theta)
-        adapters, first_adapted = self._adapters()
         ck_all, cv_all = [], []
         pad = cache_len - s
-        for i, block in enumerate(self.blocks):
-            adapter = (adapters[i - first_adapted]
-                       if i >= first_adapted else None)
+        for block, adapter in self._active_blocks():
             h, k, v = block.prefill(h, rope_cos, rope_sin, adapter,
                                     video_start)
             ck_all.append(jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0))))
@@ -518,10 +512,7 @@ class FlippedVQAModel(nn.Module):
             self.tok_embeddings(tokens.reshape(b, n_opt * chunk_len)))
         rope_cos, rope_sin = precompute_rope(cfg.head_dim, cache_len,
                                              cfg.rope_theta)
-        adapters, first_adapted = self._adapters()
-        for i, block in enumerate(self.blocks):
-            adapter = (adapters[i - first_adapted]
-                       if i >= first_adapted else None)
+        for i, (block, adapter) in enumerate(self._active_blocks()):
             h = block.extend(h, rope_cos, rope_sin, adapter, video_start,
                              cache_k[i], cache_v[i], prefix, n_opt)
         logits = self.output(self.norm(h))
@@ -541,11 +532,8 @@ class FlippedVQAModel(nn.Module):
         h = jax.lax.stop_gradient(self.tok_embeddings(token[:, None]))
         rope_cos, rope_sin = precompute_rope(cfg.head_dim, cache_len,
                                              cfg.rope_theta)
-        adapters, first_adapted = self._adapters()
         new_ck, new_cv = [], []
-        for i, block in enumerate(self.blocks):
-            adapter = (adapters[i - first_adapted]
-                       if i >= first_adapted else None)
+        for i, (block, adapter) in enumerate(self._active_blocks()):
             h, ck, cv = block.decode(h, rope_cos, rope_sin, adapter,
                                      video_start, cache_k[i], cache_v[i], pos)
             new_ck.append(ck)

@@ -105,12 +105,12 @@ def _round_up(x, m):
 
 def flash_text_attention(q, k, v, gate2, video_start, max_feats,
                          block_q: int = 128, interpret: bool | None = None):
-    interpret = INTERPRET if interpret is None else interpret
     """Causal attention + gate2 video-block bias via Pallas.
 
     q, k, v: (B, S, H, Dh); gate2: (H,); video_start: (B,) int32 (-1 → off).
     Returns (B, S, H, Dh) in q.dtype.
     """
+    interpret = INTERPRET if interpret is None else interpret
     b, s, h, dh = q.shape
     if s > MAX_SEQ_FWD:
         raise ValueError(
@@ -295,17 +295,11 @@ def flash_text_attention_bwd(q, k, v, gate2, video_start, max_feats, g,
 
 
 def _adapter_segment(q, adapter_k, adapter_v, gate1):
-    """Exact tiny attention over the adapter prefix (L≈10 keys), softmaxed
-    independently and scaled by tanh(gate1) (reference: model.py:115)."""
-    b, s, h, dh = q.shape
-    scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32)).astype(q.dtype)
-    scores = jnp.einsum("bshd,lhd->bhsl", q, adapter_k.astype(q.dtype),
-                        preferred_element_type=jnp.float32) * scale
-    probs = (jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-             * jnp.tanh(gate1.astype(jnp.float32))[None, :, None, None])
-    return jnp.einsum("bhsl,lhd->bshd", probs.astype(q.dtype),
-                      adapter_v.astype(q.dtype),
-                      preferred_element_type=jnp.float32).astype(q.dtype)
+    """Exact tiny attention over the adapter prefix, recombined outside the
+    kernel — the shared implementation lives in model/attention.py."""
+    from ..attention import adapter_prefix_attention
+
+    return adapter_prefix_attention(q, adapter_k, adapter_v, gate1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8,))

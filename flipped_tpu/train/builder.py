@@ -112,26 +112,39 @@ def build_train_state(run_cfg: RunConfig, seed: int = 0,
     loaded = load_or_convert_frozen(run_cfg)
     quantized = run_cfg.train.quantize != "none"
     if loaded is not None:
-        # graft loaded leaves into the frozen tree (strict on missing keys
-        # that the reference would load; extra keys ignored like
-        # load_state_dict(strict=False), llama_vqa.py:68); bf16 kernels are
-        # quantized on the fly when the model runs int8
+        # graft loaded leaves into the frozen tree; missing keys keep their
+        # random init with a LOUD warning (the reference's
+        # load_state_dict(strict=False), llama_vqa.py:68, is silent — a
+        # part-random frozen backbone otherwise only shows up as mysteriously
+        # bad accuracy); extra checkpoint keys are ignored. bf16 kernels are
+        # quantized on the fly when the model runs int8.
         from ..ckpt.quantize import quantize_kernel
 
-        def graft(dst, src):
+        missing = []
+
+        def graft(dst, src, path=""):
             if quantized and "kernel_q" in dst and "kernel" in src:
                 return quantize_kernel(src["kernel"])
             out = {}
             for k, v in dst.items():
+                p = f"{path}/{k}" if path else k
                 if v is None:
                     out[k] = None
                 elif isinstance(v, dict):
-                    out[k] = graft(v, src.get(k, {}))
+                    out[k] = graft(v, src.get(k, {}), p)
+                elif k in src:
+                    out[k] = src[k]
                 else:
-                    out[k] = src.get(k, v)
+                    missing.append(p)
+                    out[k] = v
             return out
 
         frozen = graft(frozen, loaded)
+        if missing:
+            print(f"WARNING: checkpoint is missing {len(missing)} frozen "
+                  f"leaves — they stay RANDOMLY initialized (first few: "
+                  f"{missing[:5]}). The converted checkpoint is likely "
+                  f"incomplete.")
     else:
         print("WARNING: no LLaMA checkpoint found — frozen backbone stays "
               "randomly initialized (synthetic mode)")

@@ -37,6 +37,34 @@ def _masked_mean(emb: jax.Array, keep: jax.Array) -> jax.Array:
     return total / count
 
 
+def pool_option_embeddings(model, params, all_tokens, prefix, eos_id):
+    """Per-option answer-span embeddings, exactly as the reference pools
+    them (extract_answers + embed_and_aggregate_answers, model.py:552-576):
+    the span runs from `prefix` to the option's eos (exclusive; to the end
+    when eos is absent), every item's options are padded to its LONGEST
+    span with token id 0, and the mean divides by that padded length — so
+    shorter options mix in (L_max − L_i) id-0 embeddings. → (B, n_opt, D)
+    f32. Oracle-tested against the reference's own methods in
+    tests/test_reference_parity.py."""
+    s = all_tokens.shape[-1]
+    cols = jnp.arange(s)[None, None]
+    opt_span = cols >= prefix[:, None, None]
+    opt_eos = jnp.cumsum((all_tokens == eos_id) & opt_span, axis=2) > 0
+    opt_keep = opt_span & ~opt_eos
+    emb_all = jax.lax.stop_gradient(model.apply(
+        params, all_tokens,
+        method=lambda m, t: m.tok_embeddings(t))).astype(jnp.float32)
+    keep_f = opt_keep.astype(jnp.float32)
+    sums = jnp.einsum("bns,bnsd->bnd", keep_f, emb_all)
+    lens = keep_f.sum(-1)                                # (B, n)
+    lmax = lens.max(axis=1, keepdims=True)               # (B, 1)
+    emb0 = jax.lax.stop_gradient(model.apply(
+        params, jnp.zeros((1,), jnp.int32),
+        method=lambda m, t: m.tok_embeddings(t)))[0].astype(jnp.float32)
+    return ((sums + (lmax - lens)[..., None] * emb0[None, None])
+            / jnp.maximum(lmax, 1.0)[..., None])         # (B, n, D)
+
+
 def make_generation_step(model, eos_id: int,
                          max_new_tokens: int = MAX_NEW_TOKENS):
     """Returns gen_step(trainable, frozen, batch) → dict with
@@ -94,12 +122,8 @@ def make_generation_step(model, eos_id: int,
                                keep)                               # (B, D)
 
         # --- per-option answer-span embeddings (model.py:552-576) -----------
-        cols = jnp.arange(s)[None, None]
-        opt_span = cols >= prefix[:, None, None]
-        opt_eos = jnp.cumsum((all_tokens == eos_id) & opt_span, axis=2) > 0
-        opt_keep = opt_span & ~opt_eos & (all_tokens != 0)
-        opt_emb = _masked_mean(embed(params, all_tokens).astype(jnp.float32),
-                               opt_keep)                           # (B,n,D)
+        opt_emb = pool_option_embeddings(model, params, all_tokens, prefix,
+                                         eos_id)             # (B, n, D)
 
         # --- cosine similarity → prediction (model.py:596-623) --------------
         gen_n = gen_emb / jnp.maximum(

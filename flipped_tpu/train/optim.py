@@ -81,15 +81,21 @@ def merge_params(trainable, frozen):
 def cast_partitions(trainable, frozen, trainable_dtype=jnp.float32,
                     frozen_dtype=jnp.bfloat16):
     """Apply the dtype policy: f32 trainables (reference casts them to float,
-    llama_vqa.py:74), bf16 frozen backbone."""
+    llama_vqa.py:74), bf16 frozen backbone — EXCEPT int8 quantization
+    'scale' leaves, which stay per-channel f32 by design (model/int8.py)."""
     cast = lambda dt: (lambda x: x.astype(dt) if x is not None
                        and jnp.issubdtype(x.dtype, jnp.floating) else x)
     none_leaf = lambda x: x is None
     trainable = jax.tree_util.tree_map(cast(trainable_dtype), trainable,
                                        is_leaf=none_leaf)
-    frozen = jax.tree_util.tree_map(cast(frozen_dtype), frozen,
-                                    is_leaf=none_leaf)
-    return trainable, frozen
+
+    def cast_frozen(node):
+        if not isinstance(node, dict):
+            return cast(frozen_dtype)(node)
+        return {k: (v if k == "scale" and v is not None else cast_frozen(v))
+                for k, v in node.items()}
+
+    return trainable, cast_frozen(frozen)
 
 
 def lr_schedule(cfg: TrainConfig, steps_per_epoch: int, world_batch: int):

@@ -98,28 +98,31 @@ def ref_args(tmp_path):
         is_generation_task=False, max_seq_len=CFG.max_seq_len)
 
 
-def build_mine():
-    model = FlippedVQAModel(CFG, dtype=jnp.float32, frozen_dtype=jnp.float32,
+def build_mine(cfg=CFG):
+    model = FlippedVQAModel(cfg, dtype=jnp.float32, frozen_dtype=jnp.float32,
                             trainable_dtype=jnp.float32)
-    items = make_synthetic_items(TOK, 2, max_feats=CFG.max_feats,
-                                 max_seq_len=CFG.max_seq_len, split="train",
-                                 visual_dim=CFG.visual_dim, seed=21)
-    batch = pack_train_batch(items, CFG.max_feats)
+    items = make_synthetic_items(TOK, 2, max_feats=cfg.max_feats,
+                                 max_seq_len=cfg.max_seq_len, split="train",
+                                 visual_dim=cfg.visual_dim, seed=21)
+    batch = pack_train_batch(items, cfg.max_feats)
     params = model.init(jax.random.PRNGKey(3),
                         jnp.array(batch["vqa_tokens"]),
                         jnp.array(batch["video"]), None,
                         jnp.array(batch["vqa_video_start"]),
                         jnp.array(batch["vqa_splice"]))["params"]
-    # non-trivial gates so both softmax segments matter
-    for li in range(CFG.n_layers):
+    # non-trivial gates so both softmax segments matter. With
+    # adapter_layer < n_layers only the active (last) blocks exist.
+    for li in range(cfg.n_layers):
+        if f"layers_{li}" not in params:
+            continue
         a = dict(params[f"layers_{li}"]["attention"])
-        a["gate1"] = 0.25 + 0.1 * jnp.arange(CFG.n_heads, dtype=jnp.float32)
-        a["gate2"] = -2.0 + 0.3 * jnp.arange(CFG.n_heads, dtype=jnp.float32)
+        a["gate1"] = 0.25 + 0.1 * jnp.arange(cfg.n_heads, dtype=jnp.float32)
+        a["gate2"] = -2.0 + 0.3 * jnp.arange(cfg.n_heads, dtype=jnp.float32)
         params[f"layers_{li}"]["attention"] = a
     return model, params
 
 
-def to_reference_state_dict(params):
+def to_reference_state_dict(params, cfg=CFG):
     sd = {}
     t = lambda x: torch.tensor(np.asarray(x, np.float32))
     sd["tok_embeddings.weight"] = t(params["tok_embeddings"]["embedding"])
@@ -128,7 +131,9 @@ def to_reference_state_dict(params):
     sd["adapter_query.weight"] = t(params["adapter_query"])
     sd["temporal_emb.weight"] = t(params["temporal_emb"])
     sd["visual_proj.weight"] = t(params["visual_proj"]["kernel"]).t().contiguous()
-    for i in range(CFG.n_layers):
+    for i in range(cfg.n_layers):
+        if f"layers_{i}" not in params:
+            continue  # block outside the active adapter window
         lp = params[f"layers_{i}"]
         for w in ("wq", "wk", "wv", "wo"):
             sd[f"layers.{i}.attention.{w}.weight"] = t(
@@ -140,9 +145,9 @@ def to_reference_state_dict(params):
             lp["attention_norm"]["weight"])
         sd[f"layers.{i}.ffn_norm.weight"] = t(lp["ffn_norm"]["weight"])
         sd[f"layers.{i}.attention.gate1"] = t(
-            lp["attention"]["gate1"]).reshape(1, CFG.n_heads, 1, 1)
+            lp["attention"]["gate1"]).reshape(1, cfg.n_heads, 1, 1)
         sd[f"layers.{i}.attention.gate2"] = t(
-            lp["attention"]["gate2"]).reshape(1, CFG.n_heads, 1, 1)
+            lp["attention"]["gate2"]).reshape(1, cfg.n_heads, 1, 1)
     return sd
 
 
@@ -213,6 +218,91 @@ def test_training_losses_match_reference(reference_modules, tmp_path):
                                atol=2e-3)
     np.testing.assert_allclose(float(losses.qav), float(ref_qav), rtol=2e-3,
                                atol=2e-3)
+
+
+def test_partial_adapter_window_matches_reference(reference_modules,
+                                                  tmp_path):
+    """adapter_layer < n_layers: the reference runs ONLY
+    layers[-adapter_layer:] (model.py:338) — the early blocks are skipped
+    entirely. Verify our _active_blocks() reproduces that, not the
+    'all layers, adapter-free early' reading."""
+    import dataclasses
+
+    ref_model, _ = reference_modules
+    cfg = dataclasses.replace(CFG, adapter_layer=1)
+    model, params = build_mine(cfg)
+    assert "layers_0" not in params  # skipped block is never materialized
+
+    args = ref_args(tmp_path)
+    margs = ref_model.ModelArgs(
+        dim=cfg.dim, n_layers=cfg.n_layers, n_heads=cfg.n_heads,
+        vocab_size=cfg.vocab_size, multiple_of=cfg.multiple_of,
+        norm_eps=cfg.norm_eps, max_batch_size=4,
+        max_seq_len=cfg.max_seq_len, adapter_len=cfg.adapter_len,
+        adapter_layer=1)
+    torch.manual_seed(0)
+    ref = ref_model.Transformer(margs, args)
+    ref.load_state_dict(to_reference_state_dict(params, cfg), strict=False)
+
+    items = make_synthetic_items(TOK, 2, max_feats=cfg.max_feats,
+                                 max_seq_len=cfg.max_seq_len, split="train",
+                                 visual_dim=cfg.visual_dim, seed=21)
+    batch = pack_train_batch(items, cfg.max_feats)
+    with torch.no_grad():
+        ref_vqa, ref_vaq, ref_qav = ref(reference_data(batch, "train"))
+
+    jbatch = {k: jnp.array(v) for k, v in batch.items()
+              if isinstance(v, np.ndarray)}
+    losses = compute_objective_losses(model, {"params": params}, jbatch,
+                                      vaq=True, qav=True)
+    np.testing.assert_allclose(float(losses.vqa), float(ref_vqa), rtol=2e-3,
+                               atol=2e-3)
+    np.testing.assert_allclose(float(losses.vaq), float(ref_vaq), rtol=2e-3,
+                               atol=2e-3)
+    np.testing.assert_allclose(float(losses.qav), float(ref_qav), rtol=2e-3,
+                               atol=2e-3)
+
+
+def test_option_pooling_matches_reference(reference_modules, tmp_path):
+    """Generation-eval choice embeddings: the reference pads each item's
+    option spans to the longest with id 0 and mean-pools over that padded
+    length (extract_answers + embed_and_aggregate_answers,
+    model.py:552-576). pool_option_embeddings must reproduce it exactly."""
+    from flipped_tpu.train.generation import pool_option_embeddings
+
+    ref_model, _ = reference_modules
+    model, params = build_mine()
+
+    args = ref_args(tmp_path)
+    margs = ref_model.ModelArgs(
+        dim=CFG.dim, n_layers=CFG.n_layers, n_heads=CFG.n_heads,
+        vocab_size=CFG.vocab_size, multiple_of=CFG.multiple_of,
+        norm_eps=CFG.norm_eps, max_batch_size=16,
+        max_seq_len=CFG.max_seq_len, adapter_len=CFG.adapter_len,
+        adapter_layer=CFG.adapter_layer)
+    torch.manual_seed(0)
+    ref = ref_model.Transformer(margs, args)
+    ref.load_state_dict(to_reference_state_dict(params), strict=False)
+    # the reference reads hardcoded LLaMA anchor ids from its tokenizer;
+    # our 512-vocab mock uses the small-vocab anchors
+    ref.answer_token_id = TOK.a_token_id
+    ref.eos_id = TOK.eos_id
+
+    items = make_synthetic_items(TOK, 3, max_feats=CFG.max_feats,
+                                 max_seq_len=CFG.max_seq_len, split="val",
+                                 visual_dim=CFG.visual_dim, seed=33)
+    batch = pack_eval_batch(items, CFG.max_feats)
+    b, n_opt, s = batch["vqa_tokens"].shape
+
+    vqa_id = torch.tensor(np.asarray(batch["vqa_tokens"])).long()
+    with torch.no_grad():
+        extracted = ref.extract_answers(vqa_id, b, n_opt, s)
+        ref_emb = ref.embed_and_aggregate_answers(extracted).numpy()
+
+    mine = np.asarray(pool_option_embeddings(
+        model, {"params": params}, jnp.array(batch["vqa_tokens"]),
+        jnp.array(batch["prefix"], jnp.int32), TOK.eos_id))
+    np.testing.assert_allclose(mine, ref_emb, rtol=1e-5, atol=1e-5)
 
 
 def test_eval_option_scores_match_reference(reference_modules, tmp_path):
