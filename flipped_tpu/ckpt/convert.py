@@ -101,7 +101,7 @@ def convert_meta_checkpoint(model_dir: str, out_path: str) -> dict:
     with open(model_dir / "params.json") as f:
         params = json.load(f)
 
-    ckpts = sorted(model_dir.glob("*.pth"))
+    ckpts = sorted(model_dir.glob("consolidated.*.pth"))
     if not ckpts:
         raise FileNotFoundError(f"no consolidated.*.pth under {model_dir}")
     shards = [torch.load(p, map_location="cpu", weights_only=True)

@@ -53,7 +53,7 @@ def main(args):
         eval_step = make_eval_step(model)
         gen_step = (make_generation_step(model, tokenizer.eos_id)
                     if run_cfg.train.is_generation_task else None)
-        stats = val_one_epoch(model, tokenizer, eval_step, gen_step,
+        stats = val_one_epoch(tokenizer, eval_step, gen_step,
                               trainable, frozen, loader_val, 0, mesh,
                               run_cfg, args)
         print(json.dumps({f"val_{k}": v for k, v in stats.items()}))

@@ -87,7 +87,7 @@ def _fetch_local_rows(x, n_rows: int) -> np.ndarray:
 
 
 def train_one_epoch(step, trainable, opt_state, frozen, loader, epoch, mesh,
-                    lr_fn, args):
+                    args):
     """(reference: engine.py:10-56)"""
     logger = MetricLogger()
     logger.add_meter("lr", SmoothedValue(window_size=1, fmt="{value:.6f}"))
@@ -95,17 +95,24 @@ def train_one_epoch(step, trainable, opt_state, frozen, loader, epoch, mesh,
     loader.set_epoch(epoch)
 
     trace_dir = getattr(args, "trace_dir", "")
+    # trace the FIRST epoch actually run (works under --resume) and stop no
+    # later than the final batch, so short epochs still produce a trace
+    trace_this_epoch = trace_dir and epoch == getattr(args, "start_epoch", 0)
+    trace_stop_it = min(4, max(len(loader) - 1, 1))
+    tracing = False
     for it, batch in enumerate(logger.log_every(iter(loader), print_freq,
                                                 f"Epoch: [{epoch}]")):
-        if trace_dir and epoch == 0 and it == 1:
+        if trace_this_epoch and it == 1:
             # skip step 0 (compile); trace a handful of steady-state steps
             jax.profiler.start_trace(trace_dir)
+            tracing = True
         sharded = _shard_batch(batch, mesh, train=True)
         trainable, opt_state, m = step(trainable, opt_state, frozen, sharded)
         loss = float(m.loss)
-        if trace_dir and epoch == 0 and it == 4:
+        if tracing and it >= trace_stop_it:
             jax.profiler.stop_trace()
-            trace_dir = ""
+            tracing = False
+            trace_this_epoch = False
         if not math.isfinite(loss):
             # (reference: engine.py:33-35)
             print(f"Loss is {loss}, stopping training")
@@ -121,7 +128,7 @@ def train_one_epoch(step, trainable, opt_state, frozen, loader, epoch, mesh,
     return trainable, opt_state, logger.averages()
 
 
-def val_one_epoch(model, tokenizer, eval_step, gen_step, trainable, frozen,
+def val_one_epoch(tokenizer, eval_step, gen_step, trainable, frozen,
                   loader, epoch, mesh, run_cfg, args):
     """(reference: engine.py:59-145)"""
     logger = MetricLogger()
@@ -145,9 +152,16 @@ def val_one_epoch(model, tokenizer, eval_step, gen_step, trainable, frozen,
             prediction = _fetch_local_rows(out["prediction"], n_local)[:valid]
             answers = [decode_generated(tokenizer, g, tokenizer.eos_id)
                        for g in generated]
-            extracted_all += [{"qid": int(it * loader.batch_size + i),
-                               "generated_answer": a}
-                              for i, a in enumerate(answers)]
+            # global dataset row: the loader shards val as
+            # order[process_index::process_count] (shuffle off), so local
+            # row j maps to j*process_count + process_index — rank-merged
+            # answer files then carry real, disjoint example ids
+            pi = getattr(loader, "process_index", 0)
+            pc = getattr(loader, "process_count", 1)
+            extracted_all += [
+                {"qid": int((it * loader.batch_size + i) * pc + pi),
+                 "generated_answer": a}
+                for i, a in enumerate(answers)]
             if dataset == "musicavqa":
                 # string-prefix match vs the single GT option
                 # (reference: engine.py:100-116)
@@ -241,9 +255,9 @@ def main(args):
         for epoch in range(start_epoch, run_cfg.train.epochs):
             trainable, opt_state, train_stats = train_one_epoch(
                 train_step, trainable, opt_state, frozen, loader_train,
-                epoch, mesh, lr_fn, args)
+                epoch, mesh, args)
             val_stats = val_one_epoch(
-                model, tokenizer, eval_step, gen_step, trainable, frozen,
+                tokenizer, eval_step, gen_step, trainable, frozen,
                 loader_val, epoch, mesh, run_cfg, args)
 
             # mgr.save is called on ALL processes — Orbax's multihost logic

@@ -95,6 +95,10 @@ class DataConfig:
     audio: bool = False
     audio_only: bool = False
     audio_merge: str = "none"
+    # Generation-style answers (MUSIC-AVQA): free-form answer text instead
+    # of "(A)" option letters (reference: tokenizer.py:78-100). Mirrored
+    # from TrainConfig because the datasets encode prompts from DataConfig.
+    is_generation_task: bool = False
     seed: int = 0
 
 
@@ -244,7 +248,12 @@ def validate_audio_flags(audio: bool, audio_only: bool, audio_merge: str) -> Opt
 def run_config_from_args(args: argparse.Namespace) -> RunConfig:
     merge = validate_audio_flags(args.audio, args.audio_only, args.audio_merge)
     name = args.model.replace("_adapter", "")
-    preset = MODEL_PRESETS.get(name, MODEL_PRESETS["llama7B"])
+    if name not in MODEL_PRESETS:
+        raise ValueError(
+            f"unknown --model '{args.model}' — choose from "
+            f"{sorted(MODEL_PRESETS)} (a silent 7B fallback would build the "
+            f"wrong architecture)")
+    preset = MODEL_PRESETS[name]
     model = ModelConfig(
         max_seq_len=args.max_seq_len,
         adapter_len=args.adapter_len,
@@ -260,7 +269,8 @@ def run_config_from_args(args: argparse.Namespace) -> RunConfig:
         batch_size=args.batch_size, max_seq_len=args.max_seq_len,
         max_feats=args.max_feats, num_workers=args.num_workers, sub=args.sub,
         audio=args.audio, audio_only=args.audio_only,
-        audio_merge=args.audio_merge, seed=args.seed,
+        audio_merge=args.audio_merge,
+        is_generation_task=args.is_generation_task, seed=args.seed,
     )
     train = TrainConfig(
         epochs=args.epochs, warmup_epochs=args.warmup_epochs,

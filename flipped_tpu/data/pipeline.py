@@ -94,26 +94,42 @@ class Loader:
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
         err: list = []
 
         def worker():
             try:
                 for b in self._batches():
-                    q.put(b)
+                    while not stop.is_set():  # bounded put so an abandoned
+                        try:                  # consumer (debug break, raise)
+                            q.put(b, timeout=0.1)  # doesn't pin this thread
+                            break              # + its batches forever
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:  # surface worker errors on the consumer
                 err.append(e)
             finally:
-                q.put(sentinel)
+                while not stop.is_set():  # the sentinel must not be dropped
+                    try:                  # when the queue is full, or the
+                        q.put(sentinel, timeout=0.1)  # consumer blocks on
+                        break                         # q.get() forever
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            b = q.get()
-            if b is sentinel:
-                if err:
-                    raise err[0]
-                return
-            yield b
+        try:
+            while True:
+                b = q.get()
+                if b is sentinel:
+                    if err:
+                        raise err[0]
+                    return
+                yield b
+        finally:
+            stop.set()  # release the worker when the consumer goes away
 
 
 class GrainLoader:

@@ -142,15 +142,27 @@ def pad_ids_dialogue(token_lists: List[List[int]], prefix_index: int,
             out[i, :len(tid)] = tid
             prefix = prefix_index
         elif sub and prefix_i != prefix_main:
-            keep = max_seq_len - (prefix_i + (len(tid) - prefix_main))
-            out[i, :prefix_i] = tid[:prefix_i]
-            out[i, prefix_i:prefix_i + keep] = tid[prefix_i:prefix_i + keep]
-            out[i, prefix_i + keep:] = tid[prefix_main:]
+            tail = len(tid) - prefix_main
+            keep = max_seq_len - (prefix_i + tail)
+            if prefix_i + keep >= 0:
+                # reference semantics (vlep.py:84-88): the QA tail always
+                # survives in full; with keep < 0 it overwrites the END of
+                # the instruction/video head (write order matters)
+                out[i, :prefix_i] = tid[:prefix_i]
+                k = max(keep, 0)
+                out[i, prefix_i:prefix_i + k] = tid[prefix_i:prefix_i + k]
+                out[i, prefix_i + keep:] = tid[prefix_main:]
+            else:
+                # the QA tail ALONE exceeds max_seq_len — the reference's
+                # arithmetic would crash on a length-mismatched assignment;
+                # keep the tail's end (answer + eos)
+                out[i] = tid[-max_seq_len:]
             if kind == "vqa":
                 prefix = max_seq_len - 4
             elif kind == "vaq":
-                hits = np.argwhere(out == tok.q_token_id)
-                prefix = int(hits[0, 1]) + 2
+                hits = np.argwhere(out[i] == tok.q_token_id)
+                prefix = (int(hits[0, 0]) + 2 if hits.size
+                          else min(prefix_i, max_seq_len - 1))
             else:
                 prefix = max_seq_len - max_feats - 1
         else:

@@ -114,6 +114,7 @@ class SpmModel:
     user_defined: set = field(default_factory=set)
     max_piece_chars: int = 1
     max_ud_chars: int = 0
+    min_score: float = 0.0
 
     def finish(self) -> "SpmModel":
         for i, (p, t) in enumerate(zip(self.pieces, self.types)):
@@ -128,6 +129,9 @@ class SpmModel:
             elif t == USER_DEFINED:
                 self.user_defined.add(p)
                 self.max_ud_chars = max(self.max_ud_chars, len(p))
+        self.min_score = min(
+            (sc for sc, t in zip(self.scores, self.types) if t == NORMAL),
+            default=0.0)
         return self
 
 
@@ -314,9 +318,7 @@ _UNK_PENALTY = 10.0
 
 def _unigram_segment(m: SpmModel, s: str) -> List[str]:
     n = len(s)
-    min_score = min((sc for sc, t in zip(m.scores, m.types)
-                     if t == NORMAL), default=0.0)
-    unk_score = min_score - _UNK_PENALTY
+    unk_score = m.min_score - _UNK_PENALTY
     best = [-1e30] * (n + 1)
     back: List[Tuple[int, str]] = [(-1, "")] * (n + 1)
     best[0] = 0.0

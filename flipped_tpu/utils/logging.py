@@ -27,7 +27,11 @@ def setup_for_distributed(force: bool = False):
     main = is_main_process()
 
     def print_fn(*args, **kwargs):
-        if main or force or kwargs.pop("force", False):
+        # pop unconditionally — short-circuiting would leak the kwarg into
+        # builtin print on the main process (reference pops first too,
+        # util/misc.py:179)
+        forced = kwargs.pop("force", False)
+        if main or force or forced:
             now = datetime.datetime.now().time()
             builtin_print(f"[{now}]", *args, **kwargs)
 

@@ -200,6 +200,22 @@ def test_musicavqa_template_fill(data_root):
     assert ds.num_options == 1
 
 
+def test_generation_flag_reaches_dataset_via_cli_args(data_root):
+    """--is_generation_task must survive the args→RunConfig→DataConfig→
+    dataset chain: the datasets encode prompts from DataConfig, and a
+    dropped flag silently trains classification prompts ('(A)') while eval
+    string-matches free-form answers (reference: tokenizer.py:78-100)."""
+    from flipped_tpu.core.config import get_args_parser, run_config_from_args
+
+    args = get_args_parser().parse_args(
+        ["--dataset", "musicavqa", "--data_root", data_root,
+         "--is_generation_task"])
+    run_cfg = run_config_from_args(args)
+    assert run_cfg.data.is_generation_task
+    ds = build_dataset(run_cfg.data, TOK, "train")
+    assert ds.generation
+
+
 def test_valor32k_filters_missing_features(data_root):
     ds = build_dataset(cfg_for(data_root, "valor32k"), TOK, "train")
     assert len(ds) == 4  # 'missing' row dropped
@@ -303,6 +319,29 @@ class TestLoader:
             assert len(got) == len(gl)
             counts.append(len(got))
         assert counts[0] == counts[1] == 2
+
+    def test_prefetch_worker_exits_on_abandon_and_full_queue(self, data_root):
+        """An abandoned iterator (debug break / exception) must release its
+        prefetch thread, and a full queue at producer completion must not
+        drop the end-sentinel (either bug blocks q.get() forever)."""
+        import threading
+        import time as _time
+
+        cfg = cfg_for(data_root, "nextqa")
+        ds = build_dataset(cfg, TOK, "train")  # 6 items
+        before = threading.active_count()
+        it = iter(Loader(ds, 1, shuffle=False, split="train", prefetch=2))
+        next(it)
+        it.close()  # abandon mid-epoch
+        for _ in range(50):
+            if threading.active_count() <= before:
+                break
+            _time.sleep(0.1)
+        assert threading.active_count() <= before
+        # tiny queue + slow consumer: sentinel survives a full queue
+        batches = list(Loader(ds, 1, shuffle=False, split="train",
+                              prefetch=1))
+        assert len(batches) == 6
 
     def test_epoch_shuffling_changes_order(self, data_root):
         cfg = cfg_for(data_root, "nextqa")
