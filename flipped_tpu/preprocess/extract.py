@@ -100,6 +100,24 @@ def write_wav(path: str, wav: np.ndarray, sr: int = 16000):
         w.writeframes(data.tobytes())
 
 
+def read_wav_16k(path: str) -> np.ndarray:
+    """16-bit mono 16 kHz wav → float32 in [-1, 1). The downstream mel
+    constants (mel.WIN/HOP) are fixed at 16 kHz, so anything else must be
+    rejected loudly — np.frombuffer would silently misparse stereo or
+    24/32-bit PCM into garbage features."""
+    import wave
+
+    with wave.open(str(path)) as w:
+        if (w.getnchannels(), w.getsampwidth(), w.getframerate()) != (1, 2, 16000):
+            raise ValueError(
+                f"{path}: expected 16-bit mono 16 kHz wav, got "
+                f"channels={w.getnchannels()} sampwidth={w.getsampwidth()} "
+                f"rate={w.getframerate()} — re-extract with "
+                f"`preprocess.extract raw-audio` (resamples to 16 kHz mono)")
+        data = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+    return data.astype(np.float32) / 32768.0
+
+
 def audio_backend() -> str | None:
     """First available video→audio decoder: ffmpeg (no python deps) else
     moviepy (the reference's choice, extract_raw_audio.py:2)."""
@@ -171,9 +189,7 @@ def extract_audio_mels(wav_dir: str, out_dir: str, target_length: int = 1024,
     rng = None if seed is None else np.random.default_rng(seed)
     wavs = sorted(Path(wav_dir).glob("*.wav"))
     for p in wavs:
-        with wave.open(str(p)) as w:
-            data = np.frombuffer(w.readframes(w.getnframes()), np.int16)
-            wavf = data.astype(np.float32) / 32768.0
+        wavf = read_wav_16k(p)
         mel = log_mel_spectrogram(wavf)
         fusion = three_crop_mel(mel, target_length, rng)
         np.save(os.path.join(out_dir, p.stem + ".npy"), fusion)
@@ -182,11 +198,12 @@ def extract_audio_mels(wav_dir: str, out_dir: str, target_length: int = 1024,
     return len(wavs)
 
 
-def extract_audio_features(wav_dir: str, out_path: str, n_chunks: int = 10):
+def extract_audio_features(wav_dir: str, out_path: str, n_chunks: int = 10,
+                           target_length: int = 2240,
+                           audio_mean: float | None = None,
+                           audio_std: float | None = None):
     """wav → log-mel → 10 chunk images → CLIP image encoder → (10, 768)
     (reference: extract.py:151-186 over audio_loader.py chunks)."""
-    import wave
-
     import torch
 
     from .mel import chunk_and_stack, log_mel_spectrogram
@@ -194,11 +211,11 @@ def extract_audio_features(wav_dir: str, out_path: str, n_chunks: int = 10):
     model = _load_clip()
     feats: Dict[str, "torch.Tensor"] = {}
     for p in sorted(Path(wav_dir).glob("*.wav")):
-        with wave.open(str(p)) as w:
-            data = np.frombuffer(w.readframes(w.getnframes()), np.int16)
-            wavf = data.astype(np.float32) / 32768.0
+        wavf = read_wav_16k(p)
         mel = log_mel_spectrogram(wavf)
-        chunks = chunk_and_stack(mel, n_chunks)           # (10,3,224,224)
+        chunks = chunk_and_stack(mel, n_chunks,           # (10,3,224,224)
+                                 target_length=target_length,
+                                 audio_mean=audio_mean, audio_std=audio_std)
         imgs = np.transpose(chunks, (0, 2, 3, 1))
         # chunks are already normalized; bypass CLIP renorm
         imgs = imgs * _CLIP_STD + _CLIP_MEAN
@@ -219,6 +236,14 @@ def main():
     a.add_argument("--wav_dir", required=True)
     a.add_argument("--out", required=True)
     a.add_argument("--n_chunks", type=int, default=10)
+    a.add_argument("--target_length", type=int, default=2240,
+                   help="mel frames per clip before chunking (reference "
+                        "extract.py --targetlength default)")
+    a.add_argument("--audio_mean", type=float, default=None)
+    a.add_argument("--audio_std", type=float, default=None,
+                   help="dataset-global normalization stats "
+                        "(reference: (x-mean)/(2*std), audio_loader.py:72); "
+                        "omitted → per-chunk whitening")
     r = sub.add_parser("raw-audio", help="videos → 16 kHz .wav files "
                        "(reference: extract_raw_audio.py)")
     r.add_argument("--video_dir", required=True)
@@ -236,7 +261,10 @@ def main():
     if args.cmd == "video":
         extract_video_features(args.video_dir, args.out, args.fps)
     elif args.cmd == "audio":
-        extract_audio_features(args.wav_dir, args.out, args.n_chunks)
+        extract_audio_features(args.wav_dir, args.out, args.n_chunks,
+                               target_length=args.target_length,
+                               audio_mean=args.audio_mean,
+                               audio_std=args.audio_std)
     elif args.cmd == "raw-audio":
         extract_raw_audio(args.video_dir, args.out_dir, args.sr)
     else:

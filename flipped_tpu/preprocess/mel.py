@@ -53,15 +53,22 @@ def log_mel_spectrogram(wav: np.ndarray, sr: int = SAMPLE_RATE,
     wav = np.asarray(wav, np.float32)
     if wav.ndim > 1:
         wav = wav.mean(axis=-1)
-    wav = wav - wav.mean()  # DC removal (reference: audio_loader.py:75,
+    wav = wav - wav.mean()  # global DC removal (reference: audio_loader.py:75,
     #                         extract_audio_features.py:87)
     n_frames = max(1 + (len(wav) - win_length) // hop_length, 1)
     if len(wav) < win_length:
         wav = np.pad(wav, (0, win_length - len(wav)))
-    window = np.hanning(win_length).astype(np.float32)
     idx = (np.arange(win_length)[None, :]
            + hop_length * np.arange(n_frames)[:, None])
-    frames = wav[idx] * window[None]
+    frames = wav[idx]
+    # kaldi fbank per-frame defaults (torchaudio.compliance.kaldi.fbank,
+    # which the reference calls): remove_dc_offset=True then
+    # preemphasis_coefficient=0.97 with the first sample reflected
+    frames = frames - frames.mean(axis=1, keepdims=True)
+    pre = np.concatenate([frames[:, :1], frames[:, :-1]], axis=1)
+    frames = frames - 0.97 * pre
+    window = np.hanning(win_length).astype(np.float32)
+    frames = frames * window[None]
     spec = np.abs(np.fft.rfft(frames, n=n_fft, axis=1)) ** 2
     fb = mel_filterbank(n_mels, n_fft, sr)
     mel = spec @ fb.T
@@ -69,23 +76,38 @@ def log_mel_spectrogram(wav: np.ndarray, sr: int = SAMPLE_RATE,
 
 
 def chunk_and_stack(mel: np.ndarray, n_chunks: int = 10,
-                    image_size: int = 224) -> np.ndarray:
-    """Split a (T, 128) mel into n_chunks time chunks, resize each to a
-    3-channel image tensor (n_chunks, 3, image_size, image_size), normalized
-    per chunk (reference: audio_loader.py:52-87 — chunk, 3-channel stack,
-    mean/std normalize)."""
+                    image_size: int = 224, target_length: int = 2240,
+                    audio_mean: float | None = None,
+                    audio_std: float | None = None) -> np.ndarray:
+    """(T, 128) mel → (n_chunks, 3, image_size, image_size) CLIP-ready
+    chunk images, following the reference's AudioLoader.waveform2melspec
+    (audio_loader.py:35-72): repeat-pad short mels to target_length, split
+    into target_length//n_chunks-frame chunks (ragged tail dropped), stack
+    ×3 channels, and normalize with the DATASET-GLOBAL
+    (x − audio_mean) / (2·audio_std) when stats are given (the reference
+    takes them as required CLI args). Deviation kept deliberately: each
+    chunk is bilinear-resized to image_size² — the reference feeds raw
+    (3, 128, 224) chunks to CLIP ViT-L/14, whose patch/position embedding
+    only accepts 224×224. Without stats, falls back to per-chunk whitening
+    (deterministic, self-contained — suitable for synthetic runs)."""
     t = mel.shape[0]
-    per = max(t // n_chunks, 1)
+    if t < target_length:  # repeat-pad (audio_loader.py:38-40)
+        n_repeat = target_length // t + 1
+        mel = np.tile(mel, (n_repeat, 1))[:target_length]
+    per = target_length // n_chunks
     chunks = []
     for i in range(n_chunks):
         c = mel[i * per:(i + 1) * per]
-        if len(c) == 0:
-            c = np.zeros((1, mel.shape[1]), np.float32)
+        if len(c) < per:
+            break  # ragged tail dropped (audio_loader.py:43-44)
         img = _resize_bilinear(c, image_size, image_size)
-        mean, std = img.mean(), img.std() + 1e-6
-        img = (img - mean) / std
+        if audio_mean is not None and audio_std is not None:
+            img = (img - audio_mean) / (2.0 * audio_std)
+        else:
+            mean, std = img.mean(), img.std() + 1e-6
+            img = (img - mean) / std
         chunks.append(np.stack([img, img, img]))
-    return np.stack(chunks).astype(np.float32)
+    return np.stack(chunks[:n_chunks]).astype(np.float32)
 
 
 def three_crop_mel(mel: np.ndarray, target_length: int,

@@ -31,5 +31,8 @@ if __name__ == "__main__":
     ap.add_argument("paths", nargs="+")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if args.out and len(args.paths) > 1:
+        ap.error("--out is ambiguous with multiple inputs — convert one "
+                 "file at a time or drop --out for per-file <stem>.npz")
     for p in args.paths:
         convert(p, args.out if len(args.paths) == 1 else None)

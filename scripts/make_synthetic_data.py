@@ -13,8 +13,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-WORDS = ("dog cat man woman child ball car tree house bird water play run "
-         "jump walk talk eat laugh open close red blue green small large").split()
+from flipped_tpu.data.batching import _WORDS as WORDS  # noqa: E402
+# one shared vocabulary with make_synthetic_items, so CSV fixtures match
+# the synthetic-item generator (and MockTokenizer coverage) by construction
 
 
 def _features(path, vids, n_frames=16, dim=768, seed=0):

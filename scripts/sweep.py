@@ -43,7 +43,7 @@ def main():
 
     with open(args.params) as f:
         rows = [r.strip() for r in f
-                if r.strip() and not r.startswith("#")]
+                if r.strip() and not r.lstrip().startswith("#")]
     selected = rows if args.row is None else [rows[args.row]]
     for i, row in enumerate(selected):
         idx = args.row if args.row is not None else i
