@@ -46,6 +46,15 @@ PRESETS = {
                            vocab_size=32000, multiple_of=256,
                            max_seq_len=256, adapter_len=10, adapter_layer=32,
                            max_feats=10, bias=3.0, tau=100.0),
+    # Long-context synthetic row: S=4096 exceeds both single-pass kernel
+    # design points (MAX_SEQ_FWD/BWD), so the streaming online-softmax
+    # Pallas kernels carry the whole step — no reference recipe reaches
+    # this length (max S=650, README.md:94-96); this measures the rebuild's
+    # removal of the O(S²) ceiling (SURVEY §5)
+    "7b_s4k": ModelConfig(dim=4096, n_layers=32, n_heads=32,
+                          vocab_size=32000, multiple_of=256,
+                          max_seq_len=4096, adapter_len=10, adapter_layer=32,
+                          max_feats=10, bias=3.0, tau=100.0),
     # 13B (reference 13B runs use --adapter_layer 40, run-nextqa13B-array.sh)
     "13b": ModelConfig(dim=5120, n_layers=40, n_heads=40, vocab_size=32000,
                        multiple_of=256, max_seq_len=128, adapter_len=10,
@@ -353,17 +362,33 @@ def main():
 
     for _ in range(args.warmup):
         trainable, opt_state, m = step(trainable, opt_state, frozen, batch)
-    jax.block_until_ready(m.loss)
+    # host fetch, not block_until_ready: on this environment's relay only a
+    # fetch truly waits — without it, in-flight warmup work would leak into
+    # the timed window below
+    float(m.loss)
 
     if args.trace_dir:
         jax.profiler.start_trace(args.trace_dir)
     t0 = time.perf_counter()
     for _ in range(args.steps):
         trainable, opt_state, m = step(trainable, opt_state, frozen, batch)
-    jax.block_until_ready(m.loss)
+    # donated-buffer chaining serializes the steps; the terminal host fetch
+    # (inside the timed window) guarantees the tail step actually finished
+    float(m.loss)
     dt = (time.perf_counter() - t0) / args.steps
     if args.trace_dir:
         jax.profiler.stop_trace()
+
+    # per-step spread: a second pass with a host fetch per step. Each fetch
+    # adds one host round-trip, so p50 here slightly exceeds the chained
+    # mean above — reported for dispersion, not as the headline.
+    per_step = []
+    for _ in range(args.steps):
+        t1 = time.perf_counter()
+        trainable, opt_state, m = step(trainable, opt_state, frozen, batch)
+        float(m.loss)
+        per_step.append(time.perf_counter() - t1)
+    p50, p95 = (float(x) for x in np.percentile(per_step, [50, 95]))
 
     examples_per_sec = b / dt
     s = cfg.max_seq_len
@@ -379,6 +404,12 @@ def main():
         "vs_baseline": round(mfu / 0.45, 4),
         "extra": {
             "step_time_s": round(dt, 4),
+            "step_time_p50_s": round(p50, 4),
+            "step_time_p95_s": round(p95, 4),
+            "vs_baseline_note": "measured MFU / 0.45 target-MFU — the "
+                                "reference publishes no throughput numbers "
+                                "(BASELINE.md); NOT a ratio to a measured "
+                                "PyTorch baseline",
             "mfu": round(mfu, 4),
             "model_flops_per_step": flops,
             "device": jax.devices()[0].device_kind,

@@ -18,7 +18,20 @@ import orbax.checkpoint as ocp
 
 
 def _to_numpy_tree(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    """Host-fetch a (possibly multi-process) param tree to numpy.
+
+    Under a multi-process mesh, jit may leave updated trainables/opt-state
+    sharded across processes (e.g. GSPMD shards them over tp when tp spans
+    process boundaries) — np.asarray alone raises on those. The allgather is
+    collective, which is safe here: save()/restore() are already called on
+    every process (Orbax multihost contract, see save())."""
+    def fetch(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(fetch, tree)
 
 
 class CheckpointManager:

@@ -18,7 +18,7 @@ import jax
 from ..ckpt.manager import CheckpointManager
 from ..core.config import get_args_parser, run_config_from_args
 from ..core.distributed import init_distributed_mode
-from ..core.mesh import make_mesh, replicated
+from ..core.mesh import loader_shards, make_mesh, param_shardings
 from ..data.pipeline import load_data
 from ..train.builder import build_train_state
 from ..train.generation import make_generation_step
@@ -36,8 +36,10 @@ def main(args):
 
     model, cfg, tokenizer, trainable, frozen = build_train_state(run_cfg)
     with mesh:
-        trainable = jax.device_put(trainable, replicated(mesh))
-        frozen = jax.device_put(frozen, replicated(mesh))
+        # same sharding policy as cli/train.py: TP rules on the frozen
+        # backbone, replication everywhere else
+        trainable = jax.device_put(trainable, param_shardings(mesh, trainable))
+        frozen = jax.device_put(frozen, param_shardings(mesh, frozen))
 
         if run_cfg.train.resume:
             mgr = CheckpointManager(run_cfg.train.output_dir)
@@ -48,9 +50,21 @@ def main(args):
             print(f"loaded {run_cfg.train.resume} "
                   f"(epoch {meta['epoch']}, best_acc {meta['best_acc']:.4f})")
 
+        shard_idx, n_shards = loader_shards(mesh)
         loader_val = load_data(run_cfg.data, tokenizer, "val",
-                               backend=getattr(args, "loader", "thread"))
-        eval_step = make_eval_step(model)
+                               backend=getattr(args, "loader", "thread"),
+                               process_index=shard_idx,
+                               process_count=n_shards)
+        # same setup-time span pinning as cli/train.py: multi-process eval
+        # runs with zero per-batch collectives
+        span_pin = None
+        if (jax.process_count() > 1 and not run_cfg.train.is_generation_task):
+            from ..data.pipeline import dataset_eval_span
+            from ..train.step import bucket_span
+            need, exact = dataset_eval_span(loader_val.dataset)
+            if exact:
+                span_pin = bucket_span(need, run_cfg.data.max_seq_len)
+        eval_step = make_eval_step(model, span_len=span_pin)
         gen_step = (make_generation_step(model, tokenizer.eos_id)
                     if run_cfg.train.is_generation_task else None)
         stats = val_one_epoch(tokenizer, eval_step, gen_step,

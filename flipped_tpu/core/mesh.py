@@ -39,6 +39,25 @@ def make_mesh(cfg: MeshConfig | None = None, devices=None) -> Mesh:
     return Mesh(dev_array, (DP_AXIS, TP_AXIS))
 
 
+def loader_shards(mesh: Mesh) -> tuple:
+    """(shard_index, shard_count) for the data loader under this mesh.
+
+    The loader shards the dataset along the mesh's dp axis, not the raw
+    process index: with the process-major device order of `jax.devices()`
+    and the (dp, tp) row-major mesh reshape, `tp` columns that span process
+    boundaries (tp > local_device_count) put several processes inside ONE
+    dp row-group — those processes must feed IDENTICAL rows or the
+    assembled global batch is garbage. When tp fits inside a process
+    (the common case, tp over intra-host ICI), this degrades to the
+    DistributedSampler-style per-process slice (reference:
+    dataloader/__init__.py:21)."""
+    local = max(jax.local_device_count(), 1)
+    tp = mesh.shape.get(TP_AXIS, 1)
+    group = max(1, tp // local)  # processes sharing one dp row-group
+    return (jax.process_index() // group,
+            max(1, jax.process_count() // group))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading (batch) dim sharded over dp, everything else replicated."""
     return NamedSharding(mesh, P(DP_AXIS))

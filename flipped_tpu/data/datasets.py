@@ -71,6 +71,7 @@ class VideoQADataset:
 
     name = "base"
     dialogue = False  # VLEP/TVQA use the dialogue encoders + truncation
+    text_only = False  # skip video/audio loading (span precompute passes)
 
     def __init__(self, cfg, tokenizer, split: str = "train"):
         self.cfg = cfg
@@ -129,10 +130,10 @@ class VideoQADataset:
                 generation=self.generation)
         audio_only = getattr(self.cfg, "audio_only", False)
         video = video_len = None
-        if not audio_only:
+        if not audio_only and not self.text_only:
             video, video_len = self._video(vid, start, end, fps_scale)
         audio = audio_len = None
-        if getattr(self.cfg, "audio", False):
+        if getattr(self.cfg, "audio", False) and not self.text_only:
             audio, audio_len = self._audio(vid)
         return Item(features=feats, video=video, video_len=video_len or 0,
                     audio=audio, audio_len=audio_len or 0, answer=answer,
@@ -201,11 +202,13 @@ class DramaQA(VideoQADataset):
         print(f"Num {self.split} data: {len(self.data)}")
 
     def _video(self, vid: str, start=None, end=None, fps_scale=1):
+        # start/end carry the scene's shot_contained range (passed explicitly
+        # through _finish_item — no mutable reader state, safe for concurrent
+        # get_item calls)
         from .feature_store import uniform_downsample
         if vid[-4:] == "0000":  # scene: concat contained shots
-            shots = self._current_shots
             chunks = []
-            for i in range(shots[0], shots[1] + 1):
+            for i in range(start, end + 1):
                 chunks.append(self.video_store.raw(vid[:-4] + f"{i:04d}"))
             feats = np.concatenate(chunks, axis=0)
             return uniform_downsample(feats, self.max_feats, self.features_dim)
@@ -213,12 +216,12 @@ class DramaQA(VideoQADataset):
 
     def get_item(self, idx: int) -> Item:
         row = self.data[idx]
-        self._current_shots = row.get("shot_contained", [0, 0])
+        shots = row.get("shot_contained", [0, 0])
         options = row["answers"]
         text = PromptText(q_text=_question_text(row["que"]),
                           o_text=_options_text(options), options=options)
         return self._finish_item(row["vid"], -1, int(row["correct_idx"]),
-                                 text, idx)
+                                 text, idx, start=shots[0], end=shots[1])
 
 
 class VLEP(VideoQADataset):

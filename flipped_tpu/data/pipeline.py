@@ -211,6 +211,33 @@ class GrainLoader:
         yield from it
 
 
+def dataset_eval_span(dataset: VideoQADataset) -> tuple:
+    """Global cached-scorer span bound over the WHOLE dataset, from text
+    features only (video/audio loading skipped via `text_only`).
+
+    A deterministic function of (dataset files, tokenizer) — both of which
+    every JAX process loads in full (only index *selection* is sharded) — so
+    all processes compute identical values with NO collective. Replaces the
+    per-eval-batch `process_allgather` span agreement (round-2 verdict,
+    weak #3): the CLI pins this value into `make_eval_step(span_len=...)`
+    once, and multi-process eval then runs with zero host syncs per batch.
+    """
+    from .batching import eval_span
+
+    need, exact = 1, True
+    old = dataset.text_only
+    dataset.text_only = True
+    try:
+        for i in range(len(dataset)):
+            f = dataset.get_item(i).features
+            n, e = eval_span(f.label["vqa"], f.prefix_index["vqa"])
+            need = max(need, n)
+            exact = exact and e
+    finally:
+        dataset.text_only = old
+    return need, exact
+
+
 def load_data(cfg, tokenizer, split: str = "train", accum_iter: int = 1,
               process_index: Optional[int] = None,
               process_count: Optional[int] = None,

@@ -98,6 +98,7 @@ class SpmModel:
     types: List[int] = field(default_factory=list)
     model_type: int = UNIGRAM
     normalizer_name: str = ""
+    has_charsmap: bool = False  # NormalizerSpec.precompiled_charsmap nonempty
     add_dummy_prefix: bool = True
     remove_extra_whitespaces: bool = True
     escape_whitespaces: bool = True
@@ -170,6 +171,8 @@ def parse_model(data: bytes) -> SpmModel:
             for f2, _, v2 in _iter_fields(val):
                 if f2 == 1:
                     m.normalizer_name = v2.decode("utf-8")
+                elif f2 == 2:  # precompiled_charsmap (bytes)
+                    m.has_charsmap = len(v2) > 0
                 elif f2 == 3:
                     m.add_dummy_prefix = bool(v2)
                 elif f2 == 4:
@@ -248,14 +251,31 @@ def load_model(path: str) -> SpmModel:
 # normalization. LLaMA's normalizer is "identity" (empty rule set). For the
 # common "nmt_nfkc"/"nfkc" normalizers we apply unicodedata NFKC — a close
 # approximation: the precompiled charsmap adds a handful of NMT-specific
-# control-char rules on top of NFKC that are not reproduced here.
+# control-char rules on top of NFKC that are not reproduced here. "…_cf"
+# variants additionally case-fold (str.casefold ≈ Unicode full case folding).
+# Any OTHER normalizer that ships a precompiled charsmap is refused loudly —
+# silently tokenizing with the wrong normalization would corrupt every
+# downstream id (cf. reference tokenizer.py:19, which delegates to the
+# SentencePiece C++ runtime and so never faces this).
 # ---------------------------------------------------------------------------
 
+_NFKC_NAMES = ("nmt_nfkc", "nfkc", "nmt_nfkc_cf", "nfkc_cf")
+
+
 def normalize(m: SpmModel, s: str) -> str:
+    if m.has_charsmap and m.normalizer_name not in _NFKC_NAMES:
+        raise ValueError(
+            f"tokenizer.model uses normalizer "
+            f"{m.normalizer_name or '<unnamed>'!r} with a precompiled "
+            f"charsmap that this dependency-free reader cannot reproduce; "
+            f"known-safe normalizers are 'identity' (LLaMA) and "
+            f"{_NFKC_NAMES}. Install sentencepiece or re-export the model.")
     if "nfkc" in m.normalizer_name:
         import unicodedata
 
         s = unicodedata.normalize("NFKC", s)
+        if m.normalizer_name.endswith("_cf"):
+            s = s.casefold()
     if m.remove_extra_whitespaces:
         s = " ".join(p for p in s.split(" ") if p)  # collapse runs + strip
     if m.add_dummy_prefix and s:

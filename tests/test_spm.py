@@ -57,14 +57,17 @@ def _f(fnum: int, v: float) -> bytes:
 
 def build_model(pieces, model_type, add_dummy_prefix=True,
                 remove_extra_whitespaces=True, byte_fallback=False,
-                pad_id=-1, normalizer_name="identity") -> bytes:
+                pad_id=-1, normalizer_name="identity",
+                charsmap: bytes = b"") -> bytes:
     """pieces: [(piece, score, type)]; specials must be included."""
     out = b""
     for piece, score, ptype in pieces:
         out += _msg(1, _s(1, piece) + _f(2, score) + _i(3, ptype))
     trainer = (_i(3, model_type) + _i(35, int(byte_fallback)) + _i(40, 0)
                + _i(41, 1) + _i(42, 2) + _i(43, pad_id))
-    norm = (_s(1, normalizer_name) + _i(3, int(add_dummy_prefix))
+    norm = (_s(1, normalizer_name)
+            + _field(2, 2, _varint(len(charsmap)) + charsmap)
+            + _i(3, int(add_dummy_prefix))
             + _i(4, int(remove_extra_whitespaces)) + _i(5, 1))
     return out + _msg(2, trainer) + _msg(3, norm)
 
@@ -286,6 +289,33 @@ def test_nfkc_normalizer_applied_by_name():
     ident = _parse(pieces, spm.BPE, add_dummy_prefix=False)
     assert spm.encode(nfkc, "Ａ") == [3]
     assert spm.encode(ident, "Ａ") == [0]  # stays full-width → unk
+
+
+def test_charsmap_guard():
+    """A precompiled charsmap this reader cannot reproduce must refuse
+    loudly, not silently mis-normalize (round-2 verdict, weak #5). The
+    NFKC-family names remain accepted (documented approximation), and the
+    _cf variants additionally case-fold."""
+    pieces = SPECIALS + [("a", -1.0, spm.NORMAL)]
+    blob = b"\x01\x02\x03nonsense-charsmap"
+
+    unknown = _parse(pieces, spm.BPE, add_dummy_prefix=False,
+                     normalizer_name="custom_rules", charsmap=blob)
+    assert unknown.has_charsmap
+    with pytest.raises(ValueError, match="custom_rules"):
+        spm.encode(unknown, "a")
+
+    nfkc = _parse(pieces, spm.BPE, add_dummy_prefix=False,
+                  normalizer_name="nmt_nfkc", charsmap=blob)
+    assert spm.encode(nfkc, "a") == [3]  # accepted: NFKC approximation
+
+    cf = _parse(pieces, spm.BPE, add_dummy_prefix=False,
+                normalizer_name="nmt_nfkc_cf", charsmap=blob)
+    assert spm.encode(cf, "A") == [3]    # case-folded to 'a'
+
+    ident = _parse(pieces, spm.BPE, add_dummy_prefix=False)
+    assert not ident.has_charsmap       # identity: no charsmap, no guard
+    assert spm.encode(ident, "a") == [3]
 
 
 def test_decode_skips_control_and_renders_unk():
