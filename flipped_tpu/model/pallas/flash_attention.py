@@ -43,12 +43,16 @@ NEG_INF = -1e30
 # Set True (tests) to run the kernels through the Pallas interpreter on CPU.
 INTERPRET = False
 
-# Designed VMEM bounds (v5e ~128 MiB/core). The workload's longest recipe is
-# S=650 (TVQA); these enforce the design notes instead of an opaque
-# compile-time OOM. fwd holds K/V (S_pad × Dh_pad) per program; bwd holds
-# ~5 f32 (S_pad × S_pad) matrices.
+# Dispatch thresholds between the single-pass kernels (full K/V — fwd — or
+# full S×S probabilities — bwd — in VMEM; fastest for the workload's recipes,
+# max S=650 TVQA) and the streaming K-blocked online-softmax kernels below,
+# which have no sequence bound (v5e ~128 MiB VMEM/core). Beyond these, the
+# wrappers switch to the streaming variants automatically.
 MAX_SEQ_FWD = 4096
 MAX_SEQ_BWD = 2048
+
+# Streaming kernel block sizes (square blocks keep one padded S for q and k).
+BLOCK_STREAM = 512
 
 
 def _flash_kernel(vs_ref, gate2_ref, q_ref, k_ref, v_ref, o_ref, *,
@@ -113,10 +117,11 @@ def flash_text_attention(q, k, v, gate2, video_start, max_feats,
     interpret = INTERPRET if interpret is None else interpret
     b, s, h, dh = q.shape
     if s > MAX_SEQ_FWD:
-        raise ValueError(
-            f"flash_text_attention holds full K/V per (batch, head) in VMEM "
-            f"— S={s} exceeds the designed bound {MAX_SEQ_FWD}; a K-blocked "
-            f"online-softmax variant is needed beyond it")
+        # beyond the full-K/V-in-VMEM design point: stream k-blocks with an
+        # online softmax instead (no sequence bound)
+        out, _ = flash_streaming_fwd(q, k, v, gate2, video_start, max_feats,
+                                     interpret=interpret)
+        return out
     scale = 1.0 / float(np.sqrt(dh))
     s_pad = _round_up(s, 128)
     bq = min(block_q, s_pad)
@@ -232,12 +237,10 @@ def flash_text_attention_bwd(q, k, v, gate2, video_start, max_feats, g,
     interpret = INTERPRET if interpret is None else interpret
     b, s, h, dh = q.shape
     if s > MAX_SEQ_BWD:
-        raise ValueError(
-            f"flash_text_attention_bwd materializes the full (S_pad, S_pad) "
-            f"probability matrix in VMEM — S={s} exceeds the designed bound "
-            f"{MAX_SEQ_BWD} (~5 f32 S×S buffers ≈ "
-            f"{5 * _round_up(s, 128) ** 2 * 4 >> 20} MiB vs ~128 MiB VMEM); "
-            f"use a kq-blocked backward beyond it")
+        # full (S_pad, S_pad) probabilities no longer fit VMEM — switch to
+        # the two-pass kq-blocked streaming backward (no sequence bound)
+        return flash_streaming_bwd(q, k, v, gate2, video_start, max_feats, g,
+                                   interpret=interpret)
     scale = 1.0 / float(np.sqrt(dh))
     s_pad = _round_up(s, 128)
     dh_pad = _round_up(dh, 128)
@@ -294,6 +297,406 @@ def flash_text_attention_bwd(q, k, v, gate2, video_start, max_feats, g,
     return unprep(dq), unprep(dk), unprep(dv), dg2.sum(axis=0)
 
 
+# ---------------------------------------------------------------------------
+# Streaming (K-blocked, online-softmax) kernels — no sequence bound.
+#
+# The grid walks (batch, head, q-block, k-block) with the k axis innermost;
+# TPU grids execute sequentially, so VMEM scratch carries the online-softmax
+# state (running max m, normalizer l, unnormalized accumulator) across the
+# k sweep of each q-block (SURVEY §5: the rebuild exists to remove the
+# reference's O(S²) materialization, model.py:299-300). Causally-dead blocks
+# (k entirely above the diagonal) skip their compute via pl.when.
+# ---------------------------------------------------------------------------
+
+def _stream_fwd_kernel(vs_ref, g2_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                       m_scr, l_scr, acc_scr, *, bq: int, bk: int,
+                       s_actual: int, max_feats: int, scale: float):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr[:], NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr[:])
+        acc_scr[:] = jnp.zeros_like(acc_scr[:])
+
+    # causal skip: this k-block is entirely above the q-block's diagonal
+    @pl.when(ki * bk <= qi * bq + bq - 1)
+    def _compute():
+        q = q_ref[:].astype(jnp.bfloat16)
+        k = k_ref[:].astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale        # (BQ, BK)
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + qi * bq
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ki * bk
+        vs = vs_ref[b]
+        gate2 = g2_ref[h]
+        block = ((row >= vs + max_feats) & (col >= vs)
+                 & (col < vs + max_feats) & (vs >= 0))
+        s = s + jnp.where(block, gate2, 0.0)
+        valid = (col <= row) & (col < s_actual)
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_prev = m_scr[:]                                      # (BQ, 128)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        corr = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new[:, :1])                          # (BQ, BK) f32
+        l_scr[:] = l_scr[:] * corr + jnp.sum(p, -1, keepdims=True)
+        acc_scr[:] = (acc_scr[:] * corr[:, :1]
+                      + jax.lax.dot_general(
+                          p.astype(jnp.bfloat16),
+                          v_ref[:].astype(jnp.bfloat16),
+                          (((1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32))
+        m_scr[:] = m_new
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l = l_scr[:, :1]
+        o_ref[:] = (acc_scr[:] / jnp.where(l > 0, l, 1.0)).astype(o_ref.dtype)
+        # log-sum-exp per row, for the backward's probability recompute
+        # (padded rows carry ≈NEG_INF — the backward masks them anyway).
+        # Stored with 8 broadcast lanes: Mosaic requires the block's trailing
+        # dims to tile (8, 128) or equal the array dims, so a (…, S) layout
+        # with (1, 1, bq) blocks cannot lower.
+        lse_ref[0, 0] = (m_scr[:, :8]
+                         + jnp.log(jnp.where(l > 0, l, 1.0))[:, :1])
+
+
+def flash_streaming_fwd(q, k, v, gate2, video_start, max_feats,
+                        block: int = BLOCK_STREAM,
+                        interpret: bool | None = None):
+    """Streaming causal attention + gate2 video-block bias. No bound on S.
+
+    q, k, v: (B, S, H, Dh). Returns (out (B,S,H,Dh) in q.dtype,
+    lse (B,H,S_pad,8) f32 — 8 broadcast lanes, padded S; consumed by the
+    backward kernels)."""
+    interpret = INTERPRET if interpret is None else interpret
+    b, s, h, dh = q.shape
+    scale = 1.0 / float(np.sqrt(dh))
+    bq = bk = min(block, _round_up(s, 128))
+    s_pad = _round_up(s, bq)
+    dh_pad = _round_up(dh, 128)
+
+    def prep(x):
+        return _pad_to(_pad_to(x.transpose(0, 2, 1, 3), s_pad, 2), dh_pad, 3)
+
+    qt, kt, vt = prep(q), prep(k), prep(v)
+    grid = (b, h, s_pad // bq, s_pad // bk)
+    kernel = functools.partial(_stream_fwd_kernel, bq=bq, bk=bk, s_actual=s,
+                               max_feats=max_feats, scale=scale)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, dh_pad),
+                         lambda bi, hi, qi, ki, *_: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, bk, dh_pad),
+                         lambda bi, hi, qi, ki, *_: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, bk, dh_pad),
+                         lambda bi, hi, qi, ki, *_: (bi, hi, ki, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, dh_pad),
+                         lambda bi, hi, qi, ki, *_: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, bq, 8),
+                         lambda bi, hi, qi, ki, *_: (bi, hi, qi, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),     # running max
+            pltpu.VMEM((bq, 128), jnp.float32),     # running normalizer
+            pltpu.VMEM((bq, dh_pad), jnp.float32),  # unnormalized output
+        ],
+    )
+
+    def kernel_4d(vs_ref, g2_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                  m_scr, l_scr, acc_scr):
+        kernel(vs_ref, g2_ref, q_ref.at[0, 0], k_ref.at[0, 0],
+               v_ref.at[0, 0], o_ref.at[0, 0], lse_ref, m_scr, l_scr, acc_scr)
+
+    out, lse = pl.pallas_call(
+        kernel_4d,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, s_pad, dh_pad), q.dtype),
+            # (B, H, S_pad, 8): 8 broadcast lanes, see _finalize above
+            jax.ShapeDtypeStruct((b, h, s_pad, 8), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * s * s * dh + b * h * s * s * dh,
+            bytes_accessed=3 * b * h * s * dh * 2 + b * h * s * dh * 2,
+            transcendentals=b * h * s * s,
+        ),
+    )(video_start.astype(jnp.int32), gate2.astype(jnp.float32), qt, kt, vt)
+
+    return out[:, :, :s, :dh].transpose(0, 2, 1, 3), lse
+
+
+def _stream_scores(vs, gate2, q, k, row0, col0, bq, bk, s_actual,
+                   max_feats, scale):
+    """Shared score/mask construction for the streaming backward kernels.
+    `vs`/`gate2` are VALUES read from the scalar-prefetch refs at kernel top
+    level (pl.program_id must not be called inside pl.when closures — the
+    interpreter cannot lower it there). Returns (scores f32 with bias
+    applied, valid mask, gate2-block mask)."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    row = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + row0
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + col0
+    block = ((row >= vs + max_feats) & (col >= vs)
+             & (col < vs + max_feats) & (vs >= 0))
+    s = s + jnp.where(block, gate2, 0.0)
+    valid = (col <= row) & (col < s_actual) & (row < s_actual)
+    return s, valid, block
+
+
+def _stream_dq_kernel(vs_ref, g2_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                      dd_ref, dq_ref, dg2_ref, dq_scr, dg2_scr, *,
+                      bq: int, bk: int, s_actual: int, max_feats: int,
+                      scale: float):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    nq = pl.num_programs(2)
+    nk = pl.num_programs(3)
+    vs = vs_ref[b]
+    gate2 = g2_ref[h]
+
+    @pl.when((qi == 0) & (ki == 0))
+    def _init_g2():
+        dg2_scr[0] = 0.0
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr[:])
+
+    @pl.when(ki * bk <= qi * bq + bq - 1)
+    def _compute():
+        q = q_ref[:].astype(jnp.bfloat16)
+        k = k_ref[:].astype(jnp.bfloat16)
+        v = v_ref[:].astype(jnp.bfloat16)
+        do = do_ref[:].astype(jnp.bfloat16)
+        s, valid, block = _stream_scores(vs, gate2, q, k, qi * bq,
+                                         ki * bk, bq, bk, s_actual,
+                                         max_feats, scale)
+        lse = lse_ref[0, 0][:, :1]                            # (BQ, 1)
+        p = jnp.where(valid, jnp.exp(s - lse), 0.0)           # (BQ, BK) f32
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dd = dd_ref[0, 0][:, :1]
+        ds = p * (dp - dd)
+        dg2_scr[0] += jnp.sum(jnp.where(block, ds, 0.0))
+        dq_scr[:] += jax.lax.dot_general(
+            ds.astype(jnp.bfloat16), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        dq_ref[:] = dq_scr[:].astype(dq_ref.dtype)
+
+    @pl.when((qi == nq - 1) & (ki == nk - 1))
+    def _finalize_g2():
+        dg2_ref[b, h] = dg2_scr[0]
+
+
+def _stream_dkv_kernel(vs_ref, g2_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                       dd_ref, dk_ref, dv_ref, dk_scr, dv_scr, *,
+                       bq: int, bk: int, s_actual: int, max_feats: int,
+                       scale: float):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    ki = pl.program_id(2)
+    qi = pl.program_id(3)
+    nq = pl.num_programs(3)
+    vs = vs_ref[b]
+    gate2 = g2_ref[h]
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr[:])
+        dv_scr[:] = jnp.zeros_like(dv_scr[:])
+
+    @pl.when(qi * bq + bq - 1 >= ki * bk)
+    def _compute():
+        q = q_ref[:].astype(jnp.bfloat16)
+        k = k_ref[:].astype(jnp.bfloat16)
+        v = v_ref[:].astype(jnp.bfloat16)
+        do = do_ref[:].astype(jnp.bfloat16)
+        s, valid, _ = _stream_scores(vs, gate2, q, k, qi * bq, ki * bk,
+                                     bq, bk, s_actual, max_feats, scale)
+        lse = lse_ref[0, 0][:, :1]
+        p = jnp.where(valid, jnp.exp(s - lse), 0.0)
+        dv_scr[:] += jax.lax.dot_general(
+            p.astype(jnp.bfloat16), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dd = dd_ref[0, 0][:, :1]
+        ds = p * (dp - dd)
+        dk_scr[:] += jax.lax.dot_general(
+            ds.astype(jnp.bfloat16), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+    @pl.when(qi == nq - 1)
+    def _finalize():
+        dk_ref[:] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[:] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def flash_streaming_bwd(q, k, v, gate2, video_start, max_feats, g,
+                        o_text=None, lse=None, block: int = BLOCK_STREAM,
+                        interpret: bool | None = None):
+    """Streaming backward: two K/Q-blocked passes (dq+dgate2, then dk/dv),
+    each holding only block-sized tiles in VMEM. No bound on S.
+
+    o_text/lse: the text-segment forward output and its row log-sum-exps
+    (saved by the custom VJP's forward); recomputed here when absent."""
+    interpret = INTERPRET if interpret is None else interpret
+    b, s, h, dh = q.shape
+    scale = 1.0 / float(np.sqrt(dh))
+    bq = bk = min(block, _round_up(s, 128))
+    s_pad = _round_up(s, bq)
+    dh_pad = _round_up(dh, 128)
+
+    if lse is None or o_text is None:
+        o_text, lse = flash_streaming_fwd(q, k, v, gate2, video_start,
+                                          max_feats, block=block,
+                                          interpret=interpret)
+    # per-row D = Σ_dh dO ∘ O_text (text segment only — the adapter segment
+    # has its own independent softmax and VJP). Carried like lse: padded S,
+    # 8 broadcast lanes (Mosaic block-tiling rule, see _stream_fwd_kernel).
+    dd = jnp.sum(g.astype(jnp.float32) * o_text.astype(jnp.float32),
+                 axis=-1).transpose(0, 2, 1)                   # (B, H, S)
+    dd = jnp.broadcast_to(_pad_to(dd, s_pad, 2)[..., None],
+                          (b, h, s_pad, 8))
+    lse = _pad_to(lse, s_pad, 2)[:, :, :s_pad]
+
+    def prep(x):
+        return _pad_to(_pad_to(x.transpose(0, 2, 1, 3), s_pad, 2), dh_pad, 3)
+
+    qt, kt, vt, gt = prep(q), prep(k), prep(v), prep(g)
+    nq, nk = s_pad // bq, s_pad // bk
+    common = dict(bq=bq, bk=bk, s_actual=s, max_feats=max_feats, scale=scale)
+
+    # pass 1: dq + dgate2, k innermost
+    dq_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, h, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, dh_pad),
+                         lambda bi, hi, qi, ki, *_: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, bk, dh_pad),
+                         lambda bi, hi, qi, ki, *_: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, bk, dh_pad),
+                         lambda bi, hi, qi, ki, *_: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, bq, dh_pad),
+                         lambda bi, hi, qi, ki, *_: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, bq, 8),
+                         lambda bi, hi, qi, ki, *_: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, bq, 8),
+                         lambda bi, hi, qi, ki, *_: (bi, hi, qi, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, dh_pad),
+                         lambda bi, hi, qi, ki, *_: (bi, hi, qi, 0)),
+            pl.BlockSpec((b, h), lambda bi, hi, qi, ki, *_: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, dh_pad), jnp.float32),
+            pltpu.SMEM((1,), jnp.float32),
+        ],
+    )
+
+    def dq_kernel_4d(vs_ref, g2_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                     dd_ref, dq_ref, dg2_ref, dq_scr, dg2_scr):
+        functools.partial(_stream_dq_kernel, **common)(
+            vs_ref, g2_ref, q_ref.at[0, 0], k_ref.at[0, 0], v_ref.at[0, 0],
+            do_ref.at[0, 0], lse_ref, dd_ref, dq_ref.at[0, 0], dg2_ref,
+            dq_scr, dg2_scr)
+
+    dq, dg2 = pl.pallas_call(
+        dq_kernel_4d,
+        grid_spec=dq_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, s_pad, dh_pad), q.dtype),
+            jax.ShapeDtypeStruct((b, h), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=5 * b * h * s * s * dh,
+            bytes_accessed=5 * b * h * s * dh * 2,
+            transcendentals=b * h * s * s,
+        ),
+    )(video_start.astype(jnp.int32), gate2.astype(jnp.float32),
+      qt, kt, vt, gt, lse, dd)
+
+    # pass 2: dk + dv, q innermost
+    dkv_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, h, nk, nq),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, dh_pad),
+                         lambda bi, hi, ki, qi, *_: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, bk, dh_pad),
+                         lambda bi, hi, ki, qi, *_: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, bk, dh_pad),
+                         lambda bi, hi, ki, qi, *_: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, bq, dh_pad),
+                         lambda bi, hi, ki, qi, *_: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, bq, 8),
+                         lambda bi, hi, ki, qi, *_: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, bq, 8),
+                         lambda bi, hi, ki, qi, *_: (bi, hi, qi, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bk, dh_pad),
+                         lambda bi, hi, ki, qi, *_: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, bk, dh_pad),
+                         lambda bi, hi, ki, qi, *_: (bi, hi, ki, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, dh_pad), jnp.float32),
+            pltpu.VMEM((bk, dh_pad), jnp.float32),
+        ],
+    )
+
+    def dkv_kernel_4d(vs_ref, g2_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                      dd_ref, dk_ref, dv_ref, dk_scr, dv_scr):
+        functools.partial(_stream_dkv_kernel, **common)(
+            vs_ref, g2_ref, q_ref.at[0, 0], k_ref.at[0, 0], v_ref.at[0, 0],
+            do_ref.at[0, 0], lse_ref, dd_ref, dk_ref.at[0, 0],
+            dv_ref.at[0, 0], dk_scr, dv_scr)
+
+    dk, dv = pl.pallas_call(
+        dkv_kernel_4d,
+        grid_spec=dkv_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, s_pad, dh_pad), q.dtype),
+            jax.ShapeDtypeStruct((b, h, s_pad, dh_pad), q.dtype),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=5 * b * h * s * s * dh,
+            bytes_accessed=5 * b * h * s * dh * 2,
+            transcendentals=b * h * s * s,
+        ),
+    )(video_start.astype(jnp.int32), gate2.astype(jnp.float32),
+      qt, kt, vt, gt, lse, dd)
+
+    unprep = lambda x: x[:, :, :s, :dh].transpose(0, 2, 1, 3)
+    return unprep(dq), unprep(dk), unprep(dv), dg2.sum(axis=0)
+
+
 def _adapter_segment(q, adapter_k, adapter_v, gate1):
     """Exact tiny attention over the adapter prefix, recombined outside the
     kernel — the shared implementation lives in model/attention.py."""
@@ -312,18 +715,35 @@ def _flash_adapter_attention(q, k, v, adapter_k, adapter_v, gate1, gate2,
 
 
 def _fwd(q, k, v, adapter_k, adapter_v, gate1, gate2, video_start, max_feats):
-    out = _flash_adapter_attention(q, k, v, adapter_k, adapter_v, gate1,
-                                   gate2, video_start, max_feats)
-    return out, (q, k, v, adapter_k, adapter_v, gate1, gate2, video_start)
+    b, s, h, dh = q.shape
+    if s > MAX_SEQ_BWD:
+        # streaming regime: the backward needs the text output (for the
+        # per-row D) and row log-sum-exps — save both instead of recomputing
+        # an extra forward pass inside the backward
+        text, lse = flash_streaming_fwd(q, k, v, gate2, video_start,
+                                        max_feats)
+        out = (text + _adapter_segment(q, adapter_k, adapter_v, gate1)
+               ).reshape(b, s, h * dh)
+    else:
+        out = _flash_adapter_attention(q, k, v, adapter_k, adapter_v, gate1,
+                                       gate2, video_start, max_feats)
+        text = lse = None
+    return out, (q, k, v, adapter_k, adapter_v, gate1, gate2, video_start,
+                 text, lse)
 
 
 def _bwd(max_feats, res, g):
-    q, k, v, adapter_k, adapter_v, gate1, gate2, video_start = res
+    q, k, v, adapter_k, adapter_v, gate1, gate2, video_start, text, lse = res
     b, s, h, dh = q.shape
     g4 = g.reshape(b, s, h, dh)
-    # text segment: Pallas backward kernel (recompute, no HBM probs)
-    dq_t, dk, dv, dg2 = flash_text_attention_bwd(
-        q, k, v, gate2, video_start, max_feats, g4)
+    if lse is not None:
+        # streaming backward from saved (text, lse) — no recompute pass
+        dq_t, dk, dv, dg2 = flash_streaming_bwd(
+            q, k, v, gate2, video_start, max_feats, g4, o_text=text, lse=lse)
+    else:
+        # text segment: Pallas backward kernel (recompute, no HBM probs)
+        dq_t, dk, dv, dg2 = flash_text_attention_bwd(
+            q, k, v, gate2, video_start, max_feats, g4)
     # adapter segment: exact tiny attention, autodiffed
     _, avjp = jax.vjp(_adapter_segment, q, adapter_k, adapter_v, gate1)
     dq_a, dak, dav, dg1 = avjp(g4.astype(q.dtype))

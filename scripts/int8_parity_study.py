@@ -37,18 +37,58 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def _synthesize_frozen(frozen, seed: int, quantize: bool):
+# Residual-stream role of each backbone matmul (for the 'outlier' ensemble):
+# readers consume the residual basis on their INPUT rows, writers produce it
+# on their OUTPUT columns. Amplifying one global set of residual channels in
+# both reproduces the emergent-outlier-feature structure of trained LLMs
+# (LLM.int8(): ~0.1–0.5% of hidden dims at 20–100× magnitude) — writers make
+# downstream ACTIVATIONS carry outlier channels (the per-token act-quant
+# stressor for w8a8), readers put outlier ROWS inside each output channel's
+# absmax window (the weight-quant stressor for int8).
+_RESIDUAL_READERS = ("wq", "wk", "wv", "w1", "w3", "output")
+_RESIDUAL_WRITERS = ("wo", "w2")
+OUTLIER_FRAC = 0.005          # fraction of residual dims amplified
+OUTLIER_RANGE = (10.0, 30.0)  # amplification factors (× channel RMS)
+
+
+def _synthesize_frozen(frozen, seed: int, quantize: bool,
+                       dist: str = "gaussian", model_dim: int = 0):
     """Replace every frozen matmul kernel with a deterministic random weight
     (identical draws across phases), as bf16 or as int8-of-that-bf16.
-    Pushes leaf by leaf and frees the init buffer, so peak HBM stays ~1×."""
+    Pushes leaf by leaf and frees the init buffer, so peak HBM stays ~1×.
+
+    dist: 'gaussian' (round-2 baseline), 'student_t' (df=4 heavy tails,
+    variance-normalized — random large individual entries), or 'outlier'
+    (gaussian + one global set of amplified residual channels, see above).
+    """
     import jax
     import jax.numpy as jnp
 
     from flipped_tpu.ckpt.quantize import quantize_kernel
 
     rs = np.random.RandomState(seed)
+    if dist == "outlier":
+        o_rs = np.random.RandomState(seed + 7919)   # same dims every phase
+        n_o = max(1, int(OUTLIER_FRAC * model_dim))
+        o_dims = np.sort(o_rs.choice(model_dim, size=n_o, replace=False))
+        o_fac = o_rs.uniform(*OUTLIER_RANGE, size=n_o).astype(np.float32)
 
-    def walk(node):
+    def draw(shape, fan_in, name):
+        if dist == "student_t":
+            # df=4 student-t has variance df/(df-2)=2 → normalize to match
+            # the gaussian ensemble's scale
+            w = rs.standard_t(4, size=shape).astype(np.float32) / np.sqrt(2.0)
+        else:
+            w = rs.randn(*shape).astype(np.float32)
+        w /= np.sqrt(fan_in)
+        if dist == "outlier":
+            if name in _RESIDUAL_READERS and shape[0] == model_dim:
+                w[o_dims, :] *= o_fac[:, None]
+            if name in _RESIDUAL_WRITERS and shape[-1] == model_dim:
+                w[:, o_dims] *= o_fac[None, :]
+        return w
+
+    def walk(node, name=""):
         if not isinstance(node, dict):
             return node
         out = {}
@@ -57,7 +97,7 @@ def _synthesize_frozen(frozen, seed: int, quantize: bool):
             if k in ("kernel", "kernel_q") and v is not None:
                 shape = v.shape
                 fan_in = shape[0]
-                w = (rs.randn(*shape) / np.sqrt(fan_in)).astype(np.float32)
+                w = draw(shape, fan_in, name)
                 wb = w.astype(jnp.bfloat16)  # the converted-checkpoint dtype
                 if hasattr(v, "delete"):
                     v.delete()
@@ -70,7 +110,7 @@ def _synthesize_frozen(frozen, seed: int, quantize: bool):
             elif k == "scale" and "kernel_q" in node:
                 continue  # rewritten alongside kernel_q above
             else:
-                out[k] = walk(v)
+                out[k] = walk(v, k)
         return out
     return walk(frozen)
 
@@ -118,7 +158,8 @@ def run_train_phase(args):
         ib["vqa_splice"][0])["params"]
     trainable, frozen = partition_params(params)
     frozen = _synthesize_frozen(frozen, seed=args.weight_seed + 1,
-                                quantize=quantized)
+                                quantize=quantized, dist=args.weights,
+                                model_dim=cfg.dim)
 
     tcfg = TrainConfig(epochs=5, warmup_epochs=1, accum_iter=1, blr=9e-2,
                        weight_decay=0.14, vaq=True, qav=True)
@@ -137,38 +178,54 @@ def run_train_phase(args):
             print(f"[study:train:{args.phase}] compile+first step "
                   f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
     os.makedirs(args.out, exist_ok=True)
-    np.savez(os.path.join(args.out, f"train_{args.phase}.npz"),
+    np.savez(os.path.join(args.out, f"train_{args.phase}{_sfx(args)}.npz"),
              loss=np.asarray(losses), grad_norm=np.asarray(gnorms))
-    print(f"[study:train:{args.phase}] {args.steps} steps "
+    print(f"[study:train:{args.phase}:{args.weights}] {args.steps} steps "
           f"({time.perf_counter() - t0:.1f}s) → {args.out}", file=sys.stderr)
 
 
+def _sfx(args) -> str:
+    """Output-file suffix per weight ensemble ('' keeps the round-2 gaussian
+    files readable in place)."""
+    return "" if args.weights == "gaussian" else f"_{args.weights}"
+
+
+DISTS = ("gaussian", "student_t", "outlier")
+
+
 def report_train(args):
-    bf = np.load(os.path.join(args.out, "train_bf16.npz"))
-    out = {"n_steps": int(len(bf["loss"])),
-           "loss_first_bf16": float(bf["loss"][0]),
-           "loss_last_bf16": float(bf["loss"][-1]),
-           "loss_drop_bf16": float(bf["loss"][0] - bf["loss"][-1])}
-    for ph in ("int8", "w8a8"):
-        path = os.path.join(args.out, f"train_{ph}.npz")
-        if not os.path.exists(path):
+    out_all = {}
+    for dist in DISTS:
+        sfx = "" if dist == "gaussian" else f"_{dist}"
+        bf_path = os.path.join(args.out, f"train_bf16{sfx}.npz")
+        if not os.path.exists(bf_path):
             continue
-        q8 = np.load(path)
-        dl = np.abs(bf["loss"] - q8["loss"])
-        out[ph] = {
-            "loss_first": float(q8["loss"][0]),
-            "loss_last": float(q8["loss"][-1]),
-            "loss_drop": float(q8["loss"][0] - q8["loss"][-1]),
-            "loss_abs_delta_mean": float(dl.mean()),
-            "loss_abs_delta_max": float(dl.max()),
-            "loss_rel_delta_mean": float((dl / np.abs(bf["loss"])).mean()),
-            "grad_norm_rel_delta_mean": float(
-                (np.abs(bf["grad_norm"] - q8["grad_norm"])
-                 / np.abs(bf["grad_norm"])).mean()),
-        }
-    print(json.dumps(out, indent=2))
+        bf = np.load(bf_path)
+        out = {"n_steps": int(len(bf["loss"])),
+               "loss_first_bf16": float(bf["loss"][0]),
+               "loss_last_bf16": float(bf["loss"][-1]),
+               "loss_drop_bf16": float(bf["loss"][0] - bf["loss"][-1])}
+        for ph in ("int8", "w8a8"):
+            path = os.path.join(args.out, f"train_{ph}{sfx}.npz")
+            if not os.path.exists(path):
+                continue
+            q8 = np.load(path)
+            dl = np.abs(bf["loss"] - q8["loss"])
+            out[ph] = {
+                "loss_first": float(q8["loss"][0]),
+                "loss_last": float(q8["loss"][-1]),
+                "loss_drop": float(q8["loss"][0] - q8["loss"][-1]),
+                "loss_abs_delta_mean": float(dl.mean()),
+                "loss_abs_delta_max": float(dl.max()),
+                "loss_rel_delta_mean": float((dl / np.abs(bf["loss"])).mean()),
+                "grad_norm_rel_delta_mean": float(
+                    (np.abs(bf["grad_norm"] - q8["grad_norm"])
+                     / np.abs(bf["grad_norm"])).mean()),
+            }
+        out_all[dist] = out
+    print(json.dumps(out_all, indent=2))
     with open(os.path.join(args.out, "report_train.json"), "w") as f:
-        json.dump(out, f, indent=2)
+        json.dump(out_all, f, indent=2)
 
 
 def _config(args):
@@ -229,7 +286,8 @@ def run_phase(args):
     # trainable adapters/gates keep their (path-keyed, phase-identical) flax
     # init; the backbone is re-synthesized identically in both phases
     frozen = _synthesize_frozen(frozen, seed=args.weight_seed + 1,
-                                quantize=quantized)
+                                quantize=quantized, dist=args.weights,
+                                model_dim=cfg.dim)
 
     step = make_eval_step(model, cached=True, span_len=span)
     all_scores, all_answers = [], []
@@ -246,21 +304,29 @@ def run_phase(args):
     scores = np.concatenate(all_scores)        # (N·B, n_opt)
     answers = np.concatenate(all_answers)
     os.makedirs(args.out, exist_ok=True)
-    np.savez(os.path.join(args.out, f"scores_{args.phase}.npz"),
+    np.savez(os.path.join(args.out, f"scores_{args.phase}{_sfx(args)}.npz"),
              scores=scores, answers=answers, span=span)
-    print(f"[study:{args.phase}] scored {len(scores)} examples "
-          f"({time.perf_counter() - t0:.1f}s) → {args.out}", file=sys.stderr)
+    print(f"[study:{args.phase}:{args.weights}] scored {len(scores)} "
+          f"examples ({time.perf_counter() - t0:.1f}s) → {args.out}",
+          file=sys.stderr)
 
 
 def report(args):
-    """Compare every quantized phase present on disk against bf16."""
-    bf = np.load(os.path.join(args.out, "scores_bf16.npz"))
+    """Compare every quantized phase present on disk against its bf16
+    baseline, per weight ensemble."""
     out_all = {}
-    for phase in ("int8", "w8a8"):
-        path = os.path.join(args.out, f"scores_{phase}.npz")
-        if not os.path.exists(path):
+    for dist in DISTS:
+        sfx = "" if dist == "gaussian" else f"_{dist}"
+        bf_path = os.path.join(args.out, f"scores_bf16{sfx}.npz")
+        if not os.path.exists(bf_path):
             continue
-        out_all[phase] = _compare(bf, np.load(path))
+        bf = np.load(bf_path)
+        out_all[dist] = {}
+        for phase in ("int8", "w8a8"):
+            path = os.path.join(args.out, f"scores_{phase}{sfx}.npz")
+            if not os.path.exists(path):
+                continue
+            out_all[dist][phase] = _compare(bf, np.load(path))
     print(json.dumps(out_all, indent=2))
     with open(os.path.join(args.out, "report.json"), "w") as f:
         json.dump(out_all, f, indent=2)
@@ -311,6 +377,10 @@ def main():
     ap.add_argument("--data_seed", type=int, default=1234)
     ap.add_argument("--weight_seed", type=int, default=0)
     ap.add_argument("--mode", default="eval", choices=["eval", "train"])
+    ap.add_argument("--weights", default="gaussian", choices=list(DISTS),
+                    help="weight ensemble: gaussian (round-2 baseline), "
+                         "student_t (heavy tails), outlier (amplified "
+                         "residual channels — the absmax stressor)")
     args = ap.parse_args()
     if args.phase == "report":
         report_train(args) if args.mode == "train" else report(args)

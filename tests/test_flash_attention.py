@@ -108,17 +108,179 @@ def test_flash_gradients_flow():
     assert float(jnp.abs(grads[6]).sum()) > 0
 
 
-def test_seq_len_bounds_enforced():
-    """The VMEM design bounds are enforced errors, not compile-time OOMs."""
+# ---------------------------------------------------------------------------
+# streaming (K-blocked online-softmax) kernels — no sequence bound
+# (round-2 verdict, missing #3; SURVEY §5: the rebuild exists to remove the
+# reference's O(S²) materialization, llama/model.py:299-300)
+# ---------------------------------------------------------------------------
+
+def _text_ref(q, k, v, g2, vs, mf):
+    """Dense f32 text-segment reference (segment B of the einsum path)."""
+    from flipped_tpu.model.attention import NEG_INF, video_block_bias
+
+    b, s, h, dh = q.shape
+    scores = jnp.einsum("bshd,bthd->bhst", q, k,
+                        preferred_element_type=jnp.float32) / np.sqrt(dh)
+    causal = jnp.tril(jnp.ones((s, s), bool))
+    scores = jnp.where(causal[None, None], scores, NEG_INF)
+    scores = scores + video_block_bias(vs, s, mf, g2.astype(jnp.float32))
+    p = jax.nn.softmax(scores.astype(jnp.float32), -1)
+    return jnp.einsum("bhst,bthd->bshd", p, v.astype(jnp.float32))
+
+
+def _text_ref_rows(q, k, v, g2, vs, mf, rows):
+    """Row-sliced exact reference: attention output for selected query rows
+    only — O(R·S) memory, so 8k-token rows stay testable on a small host
+    (causality makes each row independent of later rows)."""
+    b, s, h, dh = q.shape
+    qs = q[:, rows]                                   # (B, R, H, Dh)
+    scores = jnp.einsum("brhd,bshd->bhrs", qs, k,
+                        preferred_element_type=jnp.float32) / np.sqrt(dh)
+    col = jnp.arange(s)[None, :]
+    rowv = jnp.asarray(rows)[:, None]
+    vsb = vs[:, None, None]                           # (B, 1, 1)
+    block = ((rowv[None] >= vsb + mf) & (col[None] >= vsb)
+             & (col[None] < vsb + mf) & (vsb >= 0))   # (B, R, S)
+    scores = scores + (block[:, None] * g2.astype(jnp.float32)[None, :, None, None])
+    valid = col <= rowv
+    scores = jnp.where(valid[None, None], scores, -1e30)
+    p = jax.nn.softmax(scores.astype(jnp.float32), -1)
+    return jnp.einsum("bhrs,bshd->brhd", p, v.astype(jnp.float32))
+
+
+@pytest.mark.parametrize("vs_values", [(9, -1), (0, 40)])
+def test_streaming_fwd_small_nonmultiple(vs_values):
+    """Streaming fwd at S=150 with 128-blocks: padding, masking, and the
+    gate2 block must match the dense reference."""
+    from flipped_tpu.model.pallas.flash_attention import flash_streaming_fwd
+
+    c = _rand_case(b=2, s=150, h=2, dh=8, seed=3)
+    vs = jnp.array(vs_values, jnp.int32)
+    out, lse = flash_streaming_fwd(c["q"], c["k"], c["v"], c["g2"], vs, 10,
+                                   block=128, interpret=True)
+    ref = _text_ref(c["q"], c["k"], c["v"], c["g2"], vs, 10)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+    assert np.isfinite(np.asarray(lse)[:, :, :150]).all()
+
+
+def test_streaming_dispatch_full_vjp(monkeypatch):
+    """With the dispatch thresholds forced low, the full custom_vjp routes
+    through the streaming fwd + saved-lse streaming bwd and must still match
+    autodiff through the einsum formulation (all grads incl. gates)."""
     import flipped_tpu.model.pallas.flash_attention as fa
 
-    s = fa.MAX_SEQ_BWD + 1
-    q = jnp.zeros((1, s, 1, 8), jnp.float32)
-    g2 = jnp.zeros((1,), jnp.float32)
-    vs = jnp.zeros((1,), jnp.int32)
-    with pytest.raises(ValueError, match="exceeds the designed bound"):
-        fa.flash_text_attention_bwd(q, q, q, g2, vs, 10, q)
-    s = fa.MAX_SEQ_FWD + 1
-    q = jnp.zeros((1, s, 1, 8), jnp.float32)
-    with pytest.raises(ValueError, match="exceeds the designed bound"):
-        fa.flash_text_attention(q, q, q, g2, vs, 10)
+    monkeypatch.setattr(fa, "MAX_SEQ_FWD", 16)
+    monkeypatch.setattr(fa, "MAX_SEQ_BWD", 16)
+    # S=600 > one 512-block → a genuinely multi-block (2×2) streaming grid
+    c = _rand_case(b=2, s=600, h=2, dh=8, al=3, seed=9)
+    vs = jnp.array([37, -1], jnp.int32)
+    mf = 10
+
+    def loss_ref(q, k, v, ak, av, g1, g2):
+        out = adapter_gated_attention(q, k, v, ak, av, g1, g2, vs, mf)
+        return jnp.sum(out * jnp.cos(out))
+
+    def loss_flash(q, k, v, ak, av, g1, g2):
+        out = fa._flash_adapter_attention(q, k, v, ak, av, g1, g2, vs, mf)
+        return jnp.sum(out * jnp.cos(out))
+
+    args = (c["q"], c["k"], c["v"], c["ak"], c["av"], c["g1"], c["g2"])
+    ref = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    monkeypatch.setattr(fa, "INTERPRET", True)
+    got = jax.grad(loss_flash, argnums=tuple(range(7)))(*args)
+    names = ["dq", "dk", "dv", "dak", "dav", "dg1", "dg2"]
+    for n, r, g in zip(names, ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=4e-2,
+                                   atol=4e-2, err_msg=n)
+
+
+def test_streaming_parity_1k():
+    """S=1024 multi-block fwd + bwd vs the dense f32 reference."""
+    from flipped_tpu.model.pallas.flash_attention import (
+        flash_streaming_bwd, flash_streaming_fwd)
+
+    c = _rand_case(b=1, s=1024, h=2, dh=64, seed=4)
+    vs = jnp.array([57], jnp.int32)
+    mf = 10
+    out, lse = flash_streaming_fwd(c["q"], c["k"], c["v"], c["g2"], vs, mf,
+                                   block=256, interpret=True)
+    ref = _text_ref(c["q"], c["k"], c["v"], c["g2"], vs, mf)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+    rs = np.random.RandomState(5)
+    w = jnp.array(rs.randn(*out.shape).astype(np.float32))
+
+    def loss(q, k, v, g2):
+        return jnp.sum(_text_ref(q, k, v, g2, vs, mf) * w)
+
+    dq_r, dk_r, dv_r, dg2_r = jax.grad(loss, argnums=(0, 1, 2, 3))(
+        c["q"], c["k"], c["v"], c["g2"])
+    dq, dk, dv, dg2 = flash_streaming_bwd(
+        c["q"], c["k"], c["v"], c["g2"], vs, mf, w.astype(c["q"].dtype),
+        o_text=out, lse=lse, block=256, interpret=True)
+    for n, r, g in (("dq", dq_r, dq), ("dk", dk_r, dk), ("dv", dv_r, dv),
+                    ("dg2", dg2_r, dg2)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=4e-2,
+                                   atol=4e-2, err_msg=n)
+
+
+@pytest.mark.parametrize("s", [4096, 8192])
+def test_streaming_parity_long(s):
+    """S ∈ {4k, 8k}: fwd parity on row slices spread across the sequence
+    (exact via causal row-independence) and bwd parity under a row-sparse
+    cotangent (keeps the reference O(R·S) so an 8k check runs on CPU)."""
+    from flipped_tpu.model.pallas.flash_attention import (
+        flash_streaming_bwd, flash_streaming_fwd)
+
+    c = _rand_case(b=1, s=s, h=1, dh=64, seed=6)
+    vs = jnp.array([33], jnp.int32)
+    mf = 10
+    rows = [0, 32, 43, 511, 512, 2047, 2048, s - 513, s - 1]
+
+    out, lse = flash_streaming_fwd(c["q"], c["k"], c["v"], c["g2"], vs, mf,
+                                   block=512, interpret=True)
+    ref_rows = _text_ref_rows(c["q"], c["k"], c["v"], c["g2"], vs, mf, rows)
+    np.testing.assert_allclose(np.asarray(out[:, rows]),
+                               np.asarray(ref_rows), rtol=2e-2, atol=2e-2)
+
+    # row-sparse cotangent: dk/dv/dg2 receive contributions from the chosen
+    # rows across ALL their keys — long-range blocking is exercised exactly
+    rs = np.random.RandomState(8)
+    w = jnp.array(rs.randn(*ref_rows.shape).astype(np.float32))
+
+    def loss(q, k, v, g2):
+        return jnp.sum(_text_ref_rows(q, k, v, g2, vs, mf, rows) * w)
+
+    dq_r, dk_r, dv_r, dg2_r = jax.grad(loss, argnums=(0, 1, 2, 3))(
+        c["q"], c["k"], c["v"], c["g2"])
+    g4 = jnp.zeros_like(c["q"]).at[:, rows].set(w.astype(c["q"].dtype))
+    dq, dk, dv, dg2 = flash_streaming_bwd(
+        c["q"], c["k"], c["v"], c["g2"], vs, mf, g4,
+        o_text=out, lse=lse, block=512, interpret=True)
+    for n, r, g in (("dq", dq_r, dq), ("dk", dk_r, dk), ("dv", dv_r, dv),
+                    ("dg2", dg2_r, dg2)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=4e-2,
+                                   atol=4e-2, err_msg=n)
+
+
+def test_wrappers_dispatch_beyond_bounds(monkeypatch):
+    """flash_text_attention / _bwd no longer hard-error past the single-pass
+    VMEM design points — they dispatch to the streaming kernels."""
+    import flipped_tpu.model.pallas.flash_attention as fa
+
+    monkeypatch.setattr(fa, "MAX_SEQ_FWD", 64)
+    monkeypatch.setattr(fa, "MAX_SEQ_BWD", 64)
+    c = _rand_case(b=1, s=150, h=2, dh=8, seed=10)
+    vs = jnp.array([9], jnp.int32)
+    out = fa.flash_text_attention(c["q"], c["k"], c["v"], c["g2"], vs, 10,
+                                  interpret=True)
+    ref = _text_ref(c["q"], c["k"], c["v"], c["g2"], vs, 10)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+    g = jnp.ones_like(c["q"])
+    dq, dk, dv, dg2 = fa.flash_text_attention_bwd(
+        c["q"], c["k"], c["v"], c["g2"], vs, 10, g, interpret=True)
+    assert np.isfinite(np.asarray(dq)).all()
+    assert dg2.shape == (2,)

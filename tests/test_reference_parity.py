@@ -305,6 +305,114 @@ def test_option_pooling_matches_reference(reference_modules, tmp_path):
     np.testing.assert_allclose(mine, ref_emb, rtol=1e-5, atol=1e-5)
 
 
+def test_generation_inference_end_to_end_matches_reference(reference_modules,
+                                                           tmp_path):
+    """COMPOSED generation-inference parity (round-2 verdict, missing #2):
+    run the reference's full `Transformer.inference` (model.py:367-546 —
+    31-position greedy re-forward decode → extract_answers →
+    embed_and_aggregate → find_most_similar) on identical weights and data,
+    and assert our `make_generation_step` + `decode_generated` reproduce the
+    greedy tokens, the cosine similarities, the predicted option AND the
+    extracted answer strings end-to-end — not just the tested pieces."""
+    import dataclasses
+    import types as _types
+
+    ref_model, _ = reference_modules
+    # vocab must exceed the reference's hardcoded question-anchor id 894
+    # (model.py:529 `.index(894)`), and S must leave room for the 31
+    # generated positions after `prefix` (the reference indexes
+    # prefix+30 unguarded, model.py:461 — its real recipes use S ≥ 128)
+    cfg = dataclasses.replace(CFG, vocab_size=1024, max_seq_len=128)
+    tok = MockTokenizer(cfg.vocab_size)
+
+    model = FlippedVQAModel(cfg, dtype=jnp.float32, frozen_dtype=jnp.float32,
+                            trainable_dtype=jnp.float32)
+    items = make_synthetic_items(tok, 3, max_feats=cfg.max_feats,
+                                 max_seq_len=cfg.max_seq_len, split="val",
+                                 visual_dim=cfg.visual_dim, seed=44)
+    batch = pack_eval_batch(items, cfg.max_feats)
+    # plant the reference's hardcoded question anchor before the answer span
+    # — identical input ids on both sides, so parity is unaffected
+    batch["vqa_tokens"][:, :, 2] = 894
+
+    params = model.init(jax.random.PRNGKey(5),
+                        jnp.array(batch["vqa_tokens"][:, 0]),
+                        jnp.array(batch["video"]), None,
+                        jnp.array(batch["vqa_video_start"]),
+                        jnp.array(batch["vqa_splice"]))["params"]
+    for li in range(cfg.n_layers):
+        if f"layers_{li}" not in params:
+            continue
+        a = dict(params[f"layers_{li}"]["attention"])
+        a["gate1"] = 0.25 + 0.1 * jnp.arange(cfg.n_heads, dtype=jnp.float32)
+        a["gate2"] = -2.0 + 0.3 * jnp.arange(cfg.n_heads, dtype=jnp.float32)
+        params[f"layers_{li}"]["attention"] = a
+
+    args = ref_args(tmp_path)
+    margs = ref_model.ModelArgs(
+        dim=cfg.dim, n_layers=cfg.n_layers, n_heads=cfg.n_heads,
+        vocab_size=cfg.vocab_size, multiple_of=cfg.multiple_of,
+        norm_eps=cfg.norm_eps, max_batch_size=16,
+        max_seq_len=cfg.max_seq_len, adapter_len=cfg.adapter_len,
+        adapter_layer=cfg.adapter_layer)
+    torch.manual_seed(0)
+    ref = ref_model.Transformer(margs, args)
+    ref.load_state_dict(to_reference_state_dict(params, cfg), strict=False)
+    # small-vocab anchors + a real decode (the fixture's sentencepiece shim
+    # decodes to "", which would make the string assertion vacuous)
+    ref.answer_token_id = tok.a_token_id
+    ref.eos_id = tok.eos_id
+    ref.tokenizer = _types.SimpleNamespace(
+        decode=lambda ids: tok.decode(ids))
+
+    b, n_opt, s = batch["vqa_tokens"].shape
+    prefix = batch["prefix"].astype(np.int64)
+    assert (prefix == prefix[0]).all()  # synthetic template → one prefix
+    data = {
+        "video": torch.tensor(np.asarray(batch["video"], np.float32)),
+        "text_id": {"vqa": torch.tensor(
+            np.asarray(batch["vqa_tokens"])).long()},
+        "label": {"vqa": torch.tensor(
+            np.asarray(batch["vqa_labels"])).long()},
+        "video_start": {"vqa": [int(batch["vqa_video_start"][0])]},
+        "prefix_index": {"vqa": [int(p) for p in prefix]},
+        "vid": [f"v{i}" for i in range(b)],
+    }
+    with torch.no_grad():
+        ref_pred, ref_answers = ref.inference(
+            {k: (v if not isinstance(v, dict) else dict(v))
+             for k, v in data.items()})
+    # the reference writes its greedy tokens into data's vqa_id in place —
+    # recover them per row from the mutated tensor
+    mutated = data["text_id"]["vqa"][:, 0, :].numpy()
+    ref_generated = np.stack([mutated[i, prefix[i]:prefix[i] + 31]
+                              for i in range(b)])
+
+    from flipped_tpu.train import partition_params
+    from flipped_tpu.train.generation import (decode_generated,
+                                              make_generation_step)
+
+    trainable, frozen = partition_params(params)
+    jbatch = {k: jnp.array(v) for k, v in batch.items()
+              if isinstance(v, np.ndarray)
+              and k not in ("answer", "qtype", "span_need", "span_exact")}
+    out = make_generation_step(model, tok.eos_id)(trainable, frozen, jbatch)
+
+    # greedy token stream identical (KV-cached decode ≡ the reference's
+    # full re-forward per position, causality argument in generation.py)
+    np.testing.assert_array_equal(np.asarray(out["generated"]),
+                                  ref_generated)
+    # cosine similarities + predicted option identical
+    np.testing.assert_array_equal(np.asarray(out["prediction"]),
+                                  ref_pred.numpy())
+    # extracted answer strings identical
+    for i in range(b):
+        mine = decode_generated(tok, np.asarray(out["generated"])[i],
+                                tok.eos_id)
+        assert mine == ref_answers[i]["generated_answer"], (
+            i, mine, ref_answers[i])
+
+
 def test_eval_option_scores_match_reference(reference_modules, tmp_path):
     """Per-option mean token-CE (the quantity whose argmin is the
     prediction, engine.py:87-93) must match the reference's
