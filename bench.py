@@ -305,6 +305,10 @@ def main():
                          "vs_baseline (costs one extra compile)")
     ap.add_argument("--trace_dir", default="",
                     help="write a jax.profiler trace of the timed steps")
+    ap.add_argument("--vqa_only", action="store_true",
+                    help="train mode: VQA objective only (no VAQ/QAV "
+                         "stack) — the long-context 7b_s4k row uses this "
+                         "to fit 16 GB HBM at S=4096")
     args = ap.parse_args()
 
     cfg = PRESETS[args.preset]
@@ -345,11 +349,12 @@ def main():
         bench_generation(args, cfg, model, trainable, frozen, tok)
         return
 
+    vaq = qav = not args.vqa_only
     tcfg = TrainConfig(epochs=5, warmup_epochs=2, accum_iter=args.accum,
-                       blr=9e-2, weight_decay=0.14, vaq=True, qav=True)
+                       blr=9e-2, weight_decay=0.14, vaq=vaq, qav=qav)
     tx = make_optimizer(tcfg, steps_per_epoch=100, world_batch=b)
     opt_state = tx.init(trainable)
-    step = make_train_step(model, tx, vaq=True, qav=True)
+    step = make_train_step(model, tx, vaq=vaq, qav=qav)
 
     batch = {k: jnp.array(v) for k, v in add_accum_axis(batch, args.accum).items()}
 
@@ -392,7 +397,9 @@ def main():
 
     examples_per_sec = b / dt
     s = cfg.max_seq_len
-    flops = train_step_flops(cfg, n_seqs_lm=2 * b, n_seqs_total=3 * b, s=s)
+    n_obj_lm, n_obj = (1, 1) if args.vqa_only else (2, 3)
+    flops = train_step_flops(cfg, n_seqs_lm=n_obj_lm * b,
+                             n_seqs_total=n_obj * b, s=s)
     mfu = flops / dt / peak_flops()
 
     result = {
