@@ -1,0 +1,115 @@
+"""Summarize a jax.profiler trace into a device-op time breakdown.
+
+Consumes the trace.json.gz written under `<dir>/plugins/profile/<run>/` by
+`bench.py --trace_dir <dir>` (or any jax.profiler.start_trace capture) and
+prints, per device plane: total busy time, the top ops, and a category
+rollup (matmul / attention-kernel / elementwise-fusion / convert-quant /
+copy / reduce / other) — the attribution evidence for docs/PERF.md
+("where does the non-MXU time go", round-2 verdict weak #2).
+
+Usage:
+    python scripts/analyze_trace.py /tmp/trace_w8a8 [--top 25]
+
+If the capture contains no device plane (this environment's TPU relay may
+execute remotely without returning device events), the script says so
+explicitly instead of mislabeling host python time as device time.
+"""
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+
+CATEGORIES = (
+    ("attention_kernel", re.compile(r"flash|_stream_|pallas|custom-call", re.I)),
+    ("matmul", re.compile(r"dot|matmul|conv", re.I)),
+    ("quant_convert", re.compile(r"convert|reduce-precision|round|clamp|quant", re.I)),
+    ("reduce", re.compile(r"reduce|all-reduce|psum", re.I)),
+    ("copy", re.compile(r"copy|transpose|reshape|bitcast|concatenate|dynamic-slice|dynamic-update|pad|slice", re.I)),
+    ("softmax_exp", re.compile(r"exp|softmax|log|tanh|rsqrt|divide", re.I)),
+    ("loop_overhead", re.compile(r"while|condition|tuple|parameter|infeed|outfeed", re.I)),
+)
+
+
+def categorize(name: str) -> str:
+    for cat, rx in CATEGORIES:
+        if rx.search(name):
+            return cat
+    return "other_fusion" if "fusion" in name else "other"
+
+
+def load_events(trace_dir: str):
+    paths = sorted(glob.glob(os.path.join(
+        trace_dir, "plugins", "profile", "*", "*.trace.json.gz")))
+    if not paths:
+        sys.exit(f"no trace.json.gz under {trace_dir}/plugins/profile/*/")
+    path = paths[-1]
+    print(f"# {path}", file=sys.stderr)
+    data = json.load(gzip.open(path))
+    return data.get("traceEvents", [])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("trace_dir")
+    ap.add_argument("--top", type=int, default=25)
+    args = ap.parse_args()
+
+    events = load_events(args.trace_dir)
+
+    # 'M' metadata events name the processes (planes); device planes are
+    # "/device:TPU:N" (or contain 'TPU'/'GPU'); host python planes are
+    # "/host:..." or python threads
+    pid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e.get("args", {}).get("name", "")
+
+    device_pids = {pid for pid, n in pid_names.items()
+                   if re.search(r"TPU|GPU|device", n, re.I)
+                   and not re.search(r"host", n, re.I)}
+    print("planes:", {pid: n for pid, n in pid_names.items()})
+    if not device_pids:
+        print("\nNO DEVICE PLANE in this capture — only host-side events "
+              "were recorded (on this environment's remote-execution relay "
+              "device traces may be unavailable). Use ablation benchmarks "
+              "for attribution instead.")
+        return
+
+    per_op = collections.Counter()
+    per_cat = collections.Counter()
+    n_ev = 0
+    t_min, t_max = float("inf"), 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        dur = float(e.get("dur", 0.0))  # microseconds
+        name = e.get("name", "?")
+        per_op[name] += dur
+        per_cat[categorize(name)] += dur
+        ts = float(e.get("ts", 0.0))
+        t_min, t_max = min(t_min, ts), max(t_max, ts + dur)
+        n_ev += 1
+
+    busy = sum(per_op.values())
+    span = max(t_max - t_min, 1e-9)
+    print(f"\ndevice events: {n_ev}, busy {busy/1e3:.3f} ms over a "
+          f"{span/1e3:.3f} ms span → {100*busy/span:.1f}% busy "
+          f"({100*(1-busy/span):.1f}% gaps/idle)")
+
+    print("\n== category rollup ==")
+    for cat, d in per_cat.most_common():
+        print(f"  {cat:18s} {d/1e3:10.3f} ms  {100*d/busy:5.1f}%")
+
+    print(f"\n== top {args.top} ops ==")
+    for name, d in per_op.most_common(args.top):
+        print(f"  {d/1e3:10.3f} ms  {100*d/busy:5.1f}%  {name[:110]}")
+
+
+if __name__ == "__main__":
+    main()

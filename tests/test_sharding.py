@@ -212,3 +212,35 @@ def test_indivisible_dims_fall_back_to_replication():
     params = {"output": {"kernel": jnp.zeros((32, 126))}}
     sh = param_shardings(mesh, params)
     assert sh["output"]["kernel"].spec == P()
+
+
+def test_loader_shards_mapping(monkeypatch):
+    """loader_shards maps processes to dp row-groups: with tp inside a
+    process it degrades to per-process slicing; with tp spanning processes
+    every process in one dp row-group gets the SAME loader shard."""
+    import flipped_tpu.core.mesh as mesh_mod
+    from flipped_tpu.core.mesh import loader_shards
+
+    class _FakeMesh:
+        def __init__(self, tp):
+            self.shape = {DP_AXIS: -1, TP_AXIS: tp}
+
+    def fake(local, proc_idx, proc_cnt):
+        monkeypatch.setattr(mesh_mod.jax, "local_device_count", lambda: local)
+        monkeypatch.setattr(mesh_mod.jax, "process_index", lambda: proc_idx)
+        monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: proc_cnt)
+
+    # tp=1, 4 procs × 1 device: classic DistributedSampler slicing
+    fake(1, 2, 4)
+    assert loader_shards(_FakeMesh(1)) == (2, 4)
+    # tp=2 inside each 4-device process: still per-process
+    fake(4, 1, 2)
+    assert loader_shards(_FakeMesh(2)) == (1, 2)
+    # tp=2 across 2 procs × 1 device: both procs share shard 0 of 1
+    fake(1, 0, 2)
+    assert loader_shards(_FakeMesh(2)) == (0, 1)
+    fake(1, 1, 2)
+    assert loader_shards(_FakeMesh(2)) == (0, 1)
+    # tp=4 across 4 procs × 2 devices: groups of 2 procs per dp row
+    fake(2, 3, 4)
+    assert loader_shards(_FakeMesh(4)) == (1, 2)
