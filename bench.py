@@ -117,7 +117,7 @@ def bench_eval(args, cfg, model, trainable, frozen, tok):
     """Classification-eval throughput: dense per-option forwards vs the
     prefix-shared cached scorer."""
     from flipped_tpu.data import pack_eval_batch
-    from flipped_tpu.train import make_eval_step, required_eval_span
+    from flipped_tpu.train import make_eval_step
 
     # distinct, per-run-unique batches — this environment's TPU relay caches
     # execution RESULTS content-addressed across processes, which fakes
@@ -133,12 +133,12 @@ def bench_eval(args, cfg, model, trainable, frozen, tok):
                                      visual_dim=cfg.visual_dim,
                                      seed=nonce + i)
         batch = pack_eval_batch(items, cfg.max_feats)
-        need, exact = required_eval_span(batch)  # host-side, before device put
-        assert exact
-        span = max(span, need)
+        assert bool(batch["span_exact"])  # pack-time scalars, host-side
+        span = max(span, int(batch["span_need"]))
         batches.append({k: jnp.array(v) for k, v in batch.items()
                         if isinstance(v, np.ndarray)
-                        and k not in ("answer", "qtype")})
+                        and k not in ("answer", "qtype", "span_need",
+                                      "span_exact")})
     span = -(-span // 8) * 8  # pin one compile shape across all batches
 
     results = {}
@@ -190,7 +190,8 @@ def bench_generation(args, cfg, model, trainable, frozen, tok):
         batch = pack_eval_batch(items, cfg.max_feats)
         batches.append({k: jnp.array(v) for k, v in batch.items()
                         if isinstance(v, np.ndarray)
-                        and k not in ("answer", "qtype")})
+                        and k not in ("answer", "qtype", "span_need",
+                                      "span_exact")})
 
     from flipped_tpu.train.generation import MAX_NEW_TOKENS
 

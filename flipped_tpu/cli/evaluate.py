@@ -58,12 +58,10 @@ def main(args):
         # same setup-time span pinning as cli/train.py: multi-process eval
         # runs with zero per-batch collectives
         span_pin = None
-        if (jax.process_count() > 1 and not run_cfg.train.is_generation_task):
-            from ..data.pipeline import dataset_eval_span
-            from ..train.step import bucket_span
-            need, exact = dataset_eval_span(loader_val.dataset)
-            if exact:
-                span_pin = bucket_span(need, run_cfg.data.max_seq_len)
+        if not run_cfg.train.is_generation_task:
+            from ..data.pipeline import pinned_eval_span
+            span_pin = pinned_eval_span(loader_val.dataset,
+                                        run_cfg.data.max_seq_len)
         eval_step = make_eval_step(model, span_len=span_pin)
         gen_step = (make_generation_step(model, tokenizer.eos_id)
                     if run_cfg.train.is_generation_task else None)

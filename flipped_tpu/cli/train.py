@@ -271,16 +271,14 @@ def main(args):
                                      qav=run_cfg.train.qav, lr_fn=lr_fn)
         # multi-process: pin one dataset-level span at setup so the SPMD eval
         # program is identical on every process with ZERO per-batch
-        # collectives (dataset_eval_span is deterministic from files the
-        # processes share; round-2 verdict, weak #3)
+        # collectives (policy shared with cli/evaluate.py)
         span_pin = None
-        if (jax.process_count() > 1 and not run_cfg.train.is_generation_task):
-            from ..data.pipeline import dataset_eval_span
-            from ..train.step import bucket_span
-            need, exact = dataset_eval_span(loader_val.dataset)
-            if exact:
-                span_pin = bucket_span(need, run_cfg.data.max_seq_len)
-                print(f"eval span pinned: {span_pin} (dataset max {need})")
+        if not run_cfg.train.is_generation_task:
+            from ..data.pipeline import pinned_eval_span
+            span_pin = pinned_eval_span(loader_val.dataset,
+                                        run_cfg.data.max_seq_len)
+            if span_pin is not None:
+                print(f"eval span pinned: {span_pin}")
         eval_step = make_eval_step(model, span_len=span_pin)
         gen_step = (make_generation_step(model, tokenizer.eos_id)
                     if run_cfg.train.is_generation_task else None)

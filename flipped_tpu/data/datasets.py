@@ -207,6 +207,10 @@ class DramaQA(VideoQADataset):
         # get_item calls)
         from .feature_store import uniform_downsample
         if vid[-4:] == "0000":  # scene: concat contained shots
+            if start is None or end is None:
+                raise ValueError(
+                    f"DramaQA scene vid {vid!r} needs its shot_contained "
+                    f"range passed as start/end")
             chunks = []
             for i in range(start, end + 1):
                 chunks.append(self.video_store.raw(vid[:-4] + f"{i:04d}"))

@@ -221,9 +221,16 @@ def dataset_eval_span(dataset: VideoQADataset) -> tuple:
     per-eval-batch `process_allgather` span agreement (round-2 verdict,
     weak #3): the CLI pins this value into `make_eval_step(span_len=...)`
     once, and multi-process eval then runs with zero host syncs per batch.
+
+    Costs one text-only tokenization pass over the dataset at setup (media
+    loading skipped); the result is memoized on the dataset object so
+    repeated pinning (train CLI + evaluate CLI, re-entry) pays it once.
     """
     from .batching import eval_span
 
+    cached = getattr(dataset, "_eval_span_cache", None)
+    if cached is not None:
+        return cached
     need, exact = 1, True
     old = dataset.text_only
     dataset.text_only = True
@@ -235,7 +242,27 @@ def dataset_eval_span(dataset: VideoQADataset) -> tuple:
             exact = exact and e
     finally:
         dataset.text_only = old
+    dataset._eval_span_cache = (need, exact)
     return need, exact
+
+
+def pinned_eval_span(dataset, max_seq_len: int):
+    """The one shared policy for setup-time span pinning (used by BOTH the
+    train and evaluate CLIs): multi-process classification eval pins a
+    bucketed dataset-level span so the SPMD eval program is identical on
+    every process with zero per-batch collectives; single-process runs
+    return None and use the loader's pack-time scalars instead. Returns the
+    span to pass as make_eval_step(span_len=...), or None."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return None
+    from ..train.step import bucket_span
+
+    need, exact = dataset_eval_span(dataset)
+    if not exact:   # impossible under this repo's masking; defensive
+        return None
+    return bucket_span(need, max_seq_len)
 
 
 def load_data(cfg, tokenizer, split: str = "train", accum_iter: int = 1,

@@ -359,8 +359,10 @@ def _stream_fwd_kernel(vs_ref, g2_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     def _finalize():
         l = l_scr[:, :1]
         o_ref[:] = (acc_scr[:] / jnp.where(l > 0, l, 1.0)).astype(o_ref.dtype)
-        # log-sum-exp per row, for the backward's probability recompute
-        # (padded rows carry ≈NEG_INF — the backward masks them anyway).
+        # log-sum-exp per row, for the backward's probability recompute.
+        # NB: padded rows (row ≥ s_actual) still see their real columns as
+        # valid here, so their lse is FINITE garbage — every consumer must
+        # re-mask rows (the streaming backward's _stream_scores does).
         # Stored with 8 broadcast lanes: Mosaic requires the block's trailing
         # dims to tile (8, 128) or equal the array dims, so a (…, S) layout
         # with (1, 1, bq) blocks cannot lower.

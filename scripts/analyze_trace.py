@@ -27,8 +27,10 @@ import sys
 
 CATEGORIES = (
     ("attention_kernel", re.compile(r"flash|_stream_|pallas|custom-call", re.I)),
-    ("matmul", re.compile(r"dot|matmul|conv", re.I)),
+    # quant_convert BEFORE matmul: 'convert.N' must not substring-match a
+    # matmul pattern ('conv'), and this workload has no convolutions
     ("quant_convert", re.compile(r"convert|reduce-precision|round|clamp|quant", re.I)),
+    ("matmul", re.compile(r"dot|matmul|convolution", re.I)),
     ("reduce", re.compile(r"reduce|all-reduce|psum", re.I)),
     ("copy", re.compile(r"copy|transpose|reshape|bitcast|concatenate|dynamic-slice|dynamic-update|pad|slice", re.I)),
     ("softmax_exp", re.compile(r"exp|softmax|log|tanh|rsqrt|divide", re.I)),

@@ -102,32 +102,11 @@ def synth_root16(tmp_path_factory):
 
 def test_two_process_train(synth_root16, tmp_path):
     out = str(tmp_path / "out_mp")
-    port = _free_port()
     argv = ["--model", "tiny", "--dataset", "nextqa", "--data_root",
             synth_root16, "--batch_size", "2", "--max_seq_len", "128",
             "--epochs", "1", "--warmup_epochs", "0.5", "--blr", "9e-1",
             "--vaq", "--qav", "--dp", "2", "--output_dir", out, "--debug"]
-
-    procs = []
-    for rank in range(2):
-        env = dict(os.environ)
-        env.update({
-            "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
-            "JAX_NUM_PROCESSES": "2",
-            "JAX_PROCESS_ID": str(rank),
-            "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
-        })
-        procs.append(subprocess.Popen(
-            [sys.executable, "-c", DRIVER] + argv, cwd=REPO, env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
-
-    outs = []
-    for rank, p in enumerate(procs):
-        stdout, stderr = p.communicate(timeout=900)
-        assert p.returncode == 0, (
-            f"rank {rank} failed:\nSTDOUT:\n{stdout[-3000:]}\n"
-            f"STDERR:\n{stderr[-3000:]}")
-        outs.append(stdout)
+    outs = _launch_cli(2, argv)
 
     # launcher discovery: env-var path, both ranks joined one runtime
     assert "initialized jax.distributed via env: process 0/2" in outs[0]
@@ -165,36 +144,12 @@ def test_two_process_grain_odd_dataset(synth_root9, tmp_path):
     unequal counts the full (non-debug) epoch would hang in the metric
     sync collective."""
     out = str(tmp_path / "out_mp_grain")
-    port = _free_port()
     argv = ["--model", "tiny", "--dataset", "nextqa", "--data_root",
             synth_root9, "--batch_size", "2", "--max_seq_len", "128",
             "--epochs", "1", "--warmup_epochs", "0.5", "--blr", "9e-1",
             "--loader", "grain", "--dp", "2", "--output_dir", out]
-
-    procs = []
-    for rank in range(2):
-        env = dict(os.environ)
-        env.update({
-            "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
-            "JAX_NUM_PROCESSES": "2",
-            "JAX_PROCESS_ID": str(rank),
-            "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
-        })
-        procs.append(subprocess.Popen(
-            [sys.executable, "-c", DRIVER] + argv, cwd=REPO, env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
-
-    outs = []
-    for rank, p in enumerate(procs):
-        stdout, stderr = p.communicate(timeout=900)
-        assert p.returncode == 0, (
-            f"rank {rank} failed:\nSTDOUT:\n{stdout[-3000:]}\n"
-            f"STDERR:\n{stderr[-3000:]}")
-        outs.append(stdout)
-
-    lines = [json.loads(l) for l in open(os.path.join(out, "log.txt"))]
-    assert len(lines) == 1
-    assert np.isfinite(lines[0]["train_loss"])
+    _launch_cli(2, argv)
+    assert np.isfinite(_log_line(out)["train_loss"])
 
 
 def _base_argv(root, out, batch_size):
