@@ -297,7 +297,7 @@ def main():
     ap.set_defaults(remat=False)
     ap.add_argument("--remat_policy", default="qkv", choices=["full", "qkv"])
     ap.add_argument("--quantize", default="w8a8",
-                    choices=["none", "int8", "w8a8"])
+                    choices=["none", "int8", "w8a8", "int8g", "w8a8g"])
     ap.add_argument("--mode", default="train",
                     choices=["train", "eval", "generation"])
     ap.add_argument("--ref_style", action="store_true",
@@ -319,7 +319,9 @@ def main():
                             remat=args.remat,
                             remat_policy=args.remat_policy,
                             quantized=args.quantize != "none",
-                            act_quant=args.quantize == "w8a8")
+                            act_quant=args.quantize in ("w8a8", "w8a8g"),
+                            quant_group=(128 if args.quantize.endswith("g")
+                                         else 0))
 
     b = args.batch * args.accum
     # per-run-unique data: the env's TPU relay content-caches execution

@@ -218,11 +218,13 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="'qkv' saves attention q/k/v+out (no attention "
                         "recompute; +~2.4GB at 7B) — use when HBM allows")
     p.add_argument("--quantize", default="none",
-                   choices=["none", "int8", "w8a8"],
+                   choices=["none", "int8", "w8a8", "int8g", "w8a8g"],
                    help="int8: weight-only quantization of the frozen "
                         "backbone (halves its HBM); w8a8: additionally "
                         "quantize activations per token and run block "
-                        "matmuls as int8×int8 on the MXU (2× rate)")
+                        "matmuls as int8×int8 on the MXU (2× rate); the "
+                        "'g' variants use grouped (128-wide sub-channel) "
+                        "scales — outlier-robust, slightly slower")
     p.add_argument("--no_remat", action="store_true")
     p.add_argument("--no_flash", action="store_true")
     p.add_argument("--clip_grad", type=float, default=None)

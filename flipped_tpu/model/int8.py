@@ -68,3 +68,60 @@ def _bwd(res, g):
 
 
 int8_matmul.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Grouped (sub-channel) w8a8: scales per (input-group, output-channel) for
+# weights and per (token, input-group) for activations. The outlier-robust
+# variant: a single amplified channel only degrades the resolution of its
+# OWN group of `group` input dims instead of the whole row/column absmax
+# window (LLM.int8()-style emergent outliers; quantified in
+# scripts/int8_parity_study.py --weights outlier).
+# ---------------------------------------------------------------------------
+
+def _grouped_matmul_impl(x, kq, scale_g):
+    """x (…, K) float; kq (K, N) int8; scale_g (G, N) f32 with G = K/g."""
+    k_dim, n = kq.shape
+    g_count = scale_g.shape[0]
+    g = k_dim // g_count
+    lead = x.shape[:-1]
+    m = int(np.prod(lead)) if lead else 1
+
+    x32 = x.reshape(m, g_count, g).astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)   # (M, G, 1)
+    xs = jnp.maximum(amax / 127.0, _EPS)
+    xq = jnp.round(x32 / xs).astype(jnp.int8)
+
+    kg = kq.reshape(g_count, g, n)
+    # batched over groups: (G, M, g) × (G, g, N) → (G, M, N) int32
+    out_g = jax.lax.dot_general(
+        jnp.transpose(xq, (1, 0, 2)), kg,
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)
+    out = jnp.sum(out_g.astype(jnp.float32)
+                  * jnp.transpose(xs, (1, 0, 2))            # (G, M, 1)
+                  * scale_g[:, None, :], axis=0)            # (M, N)
+    return out.reshape(*lead, n).astype(x.dtype)
+
+
+@jax.custom_vjp
+def int8_matmul_grouped(x, kq, scale_g):
+    return _grouped_matmul_impl(x, kq, scale_g)
+
+
+def _g_fwd(x, kq, scale_g):
+    return _grouped_matmul_impl(x, kq, scale_g), (kq, scale_g)
+
+
+def _g_bwd(res, g):
+    kq, scale_g = res
+    k_dim, n = kq.shape
+    grp = k_dim // scale_g.shape[0]
+    w = (kq.reshape(scale_g.shape[0], grp, n).astype(jnp.bfloat16)
+         * scale_g[:, None, :].astype(jnp.bfloat16)).reshape(k_dim, n)
+    dx = (g.astype(jnp.bfloat16) @ w.T).astype(g.dtype)
+    zero = np.zeros((), jax.dtypes.float0)
+    return (dx, np.broadcast_to(zero, kq.shape), jnp.zeros_like(scale_g))
+
+
+int8_matmul_grouped.defvjp(_g_fwd, _g_bwd)

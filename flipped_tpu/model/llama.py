@@ -56,19 +56,38 @@ class Linear(nn.Module):
 
     act_quant=True additionally quantizes the *activations* per token and
     runs the matmul as int8×int8→int32 on the MXU (2× the bf16 rate on
-    v5e) — the w8a8 path (--quantize w8a8); see model/int8.py."""
+    v5e) — the w8a8 path (--quantize w8a8); see model/int8.py.
+
+    quant_group>0 switches to GROUPED (sub-channel) scales — (K/group, N)
+    for weights and per-(token, group) for activations — the outlier-robust
+    variant (--quantize int8g|w8a8g): one amplified channel degrades only
+    its own `quant_group` input dims, not a whole absmax window."""
 
     features: int
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.bfloat16
     quantized: bool = False
     act_quant: bool = False
+    quant_group: int = 0
 
     @nn.compact
     def __call__(self, x):
         if self.quantized:
+            k_dim = x.shape[-1]
             kq = self.param("kernel_q", nn.initializers.zeros,
-                            (x.shape[-1], self.features), jnp.int8)
+                            (k_dim, self.features), jnp.int8)
+            if self.quant_group > 0 and k_dim % self.quant_group == 0:
+                from .int8 import int8_matmul_grouped
+                g_count = k_dim // self.quant_group
+                scale = self.param("scale", nn.initializers.ones,
+                                   (g_count, self.features), jnp.float32)
+                if self.act_quant:
+                    return int8_matmul_grouped(x, kq, scale)
+                kernel = (kq.reshape(g_count, self.quant_group,
+                                     self.features).astype(self.dtype)
+                          * scale[:, None, :].astype(self.dtype)
+                          ).reshape(k_dim, self.features)
+                return x @ kernel
             scale = self.param("scale", nn.initializers.ones,
                                (self.features,), jnp.float32)
             if self.act_quant:
@@ -102,13 +121,15 @@ class Attention(nn.Module):
     use_flash: bool = False
     quantized: bool = False
     act_quant: bool = False
+    quant_group: int = 0
 
     def setup(self):
         cfg = self.cfg
         lin = functools.partial(Linear, cfg.dim, dtype=self.dtype,
                                 param_dtype=self.frozen_dtype,
                                 quantized=self.quantized,
-                                act_quant=self.act_quant)
+                                act_quant=self.act_quant,
+                                quant_group=self.quant_group)
         self.wq, self.wk, self.wv, self.wo = (lin(name=n) for n in
                                               ("wq", "wk", "wv", "wo"))
         # Zero-init tanh gate on the adapter segment; -bias init on the
@@ -224,20 +245,19 @@ class FeedForward(nn.Module):
     frozen_dtype: Any = jnp.bfloat16
     quantized: bool = False
     act_quant: bool = False
+    quant_group: int = 0
 
     @nn.compact
     def __call__(self, x):
         hidden = self.cfg.ffn_hidden
-        w1 = Linear(hidden, dtype=self.dtype, param_dtype=self.frozen_dtype,
-                    quantized=self.quantized, act_quant=self.act_quant,
-                    name="w1")
-        w2 = Linear(self.cfg.dim, dtype=self.dtype,
-                    param_dtype=self.frozen_dtype,
-                    quantized=self.quantized, act_quant=self.act_quant,
-                    name="w2")
-        w3 = Linear(hidden, dtype=self.dtype, param_dtype=self.frozen_dtype,
-                    quantized=self.quantized, act_quant=self.act_quant,
-                    name="w3")
+        lin = functools.partial(Linear, dtype=self.dtype,
+                                param_dtype=self.frozen_dtype,
+                                quantized=self.quantized,
+                                act_quant=self.act_quant,
+                                quant_group=self.quant_group)
+        w1 = lin(hidden, name="w1")
+        w2 = lin(self.cfg.dim, name="w2")
+        w3 = lin(hidden, name="w3")
         return w2(jax.nn.silu(w1(x)) * w3(x))
 
 
@@ -251,14 +271,16 @@ class TransformerBlock(nn.Module):
     use_flash: bool = False
     quantized: bool = False
     act_quant: bool = False
+    quant_group: int = 0
 
     def setup(self):
         self.attention = Attention(self.cfg, self.dtype, self.frozen_dtype,
                                    self.trainable_dtype, self.use_flash,
-                                   self.quantized, self.act_quant)
+                                   self.quantized, self.act_quant,
+                                   self.quant_group)
         self.feed_forward = FeedForward(self.cfg, self.dtype,
                                         self.frozen_dtype, self.quantized,
-                                        self.act_quant)
+                                        self.act_quant, self.quant_group)
         self.attention_norm = RMSNorm(self.cfg.dim, self.cfg.norm_eps,
                                       self.frozen_dtype)
         self.ffn_norm = RMSNorm(self.cfg.dim, self.cfg.norm_eps,
@@ -333,6 +355,10 @@ class FlippedVQAModel(nn.Module):
     # The LM head ('output') stays weight-only — its logits feed the eval
     # argmin (engine.py:87-93) directly, so it keeps bf16 activations.
     act_quant: bool = False
+    # grouped (sub-channel) scales: scale shape (K/quant_group, N), plus
+    # per-(token, group) activation scales under act_quant — the
+    # outlier-robust int8 variant (--quantize int8g|w8a8g)
+    quant_group: int = 0
 
     def setup(self):
         cfg = self.cfg
@@ -344,14 +370,15 @@ class FlippedVQAModel(nn.Module):
             TransformerBlock(cfg, self.dtype, self.frozen_dtype,
                              self.trainable_dtype, self.use_flash,
                              self.quantized, self.act_quant,
-                             name=f"layers_{i}")
+                             self.quant_group, name=f"layers_{i}")
             for i in range(cfg.n_layers)
         ]
         self.norm = RMSNorm(cfg.dim, cfg.norm_eps, self.frozen_dtype,
                             name="norm")
         self.output = Linear(cfg.vocab_size, dtype=self.dtype,
                              param_dtype=self.frozen_dtype,
-                             quantized=self.quantized, name="output")
+                             quantized=self.quantized,
+                             quant_group=self.quant_group, name="output")
         # Trainables (reference: model.py:208, 229; llama_vqa.py:71-77)
         self.adapter_query = self.param(
             "adapter_query", nn.initializers.normal(1.0),

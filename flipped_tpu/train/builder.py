@@ -52,11 +52,13 @@ def build_model(run_cfg: RunConfig, use_flash: bool | None = None,
     if use_flash is None:
         use_flash = (run_cfg.train.flash_attention
                      and jax.default_backend() == "tpu")
+    q = run_cfg.train.quantize
     model = FlippedVQAModel(cfg, use_flash=use_flash,
                             remat=remat and run_cfg.train.remat,
                             remat_policy=run_cfg.train.remat_policy,
-                            quantized=run_cfg.train.quantize != "none",
-                            act_quant=run_cfg.train.quantize == "w8a8")
+                            quantized=q != "none",
+                            act_quant=q in ("w8a8", "w8a8g"),
+                            quant_group=128 if q.endswith("g") else 0)
     return model, cfg
 
 
@@ -124,7 +126,9 @@ def build_train_state(run_cfg: RunConfig, seed: int = 0,
 
         def graft(dst, src, path=""):
             if quantized and "kernel_q" in dst and "kernel" in src:
-                return quantize_kernel(src["kernel"])
+                group = (dst["kernel_q"].shape[0] // dst["scale"].shape[0]
+                         if getattr(dst.get("scale"), "ndim", 1) == 2 else 0)
+                return quantize_kernel(src["kernel"], group)
             out = {}
             for k, v in dst.items():
                 p = f"{path}/{k}" if path else k

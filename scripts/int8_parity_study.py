@@ -52,7 +52,8 @@ OUTLIER_RANGE = (10.0, 30.0)  # amplification factors (× channel RMS)
 
 
 def _synthesize_frozen(frozen, seed: int, quantize: bool,
-                       dist: str = "gaussian", model_dim: int = 0):
+                       dist: str = "gaussian", model_dim: int = 0,
+                       group: int = 0):
     """Replace every frozen matmul kernel with a deterministic random weight
     (identical draws across phases), as bf16 or as int8-of-that-bf16.
     Pushes leaf by leaf and frees the init buffer, so peak HBM stays ~1×.
@@ -102,7 +103,7 @@ def _synthesize_frozen(frozen, seed: int, quantize: bool,
                 if hasattr(v, "delete"):
                     v.delete()
                 if quantize:
-                    q = quantize_kernel(np.asarray(wb, np.float32))
+                    q = quantize_kernel(np.asarray(wb, np.float32), group)
                     out["kernel_q"] = jax.device_put(q["kernel_q"])
                     out["scale"] = jax.device_put(q["scale"])
                 else:
@@ -131,12 +132,14 @@ def run_train_phase(args):
     from flipped_tpu.train import (make_optimizer, make_train_step,
                                    partition_params)
 
-    quantized = args.phase in ("int8", "w8a8")
+    quantized = args.phase != "bf16"
+    group = 128 if args.phase.endswith("g") else 0
     cfg = _config(args)
     tok = MockTokenizer(cfg.vocab_size)
     on_tpu = jax.default_backend() == "tpu"
     model = FlippedVQAModel(cfg, use_flash=on_tpu, quantized=quantized,
-                            act_quant=args.phase == "w8a8",
+                            act_quant=args.phase.startswith("w8a8"),
+                            quant_group=group,
                             remat=not quantized)
 
     batches = []
@@ -159,7 +162,7 @@ def run_train_phase(args):
     trainable, frozen = partition_params(params)
     frozen = _synthesize_frozen(frozen, seed=args.weight_seed + 1,
                                 quantize=quantized, dist=args.weights,
-                                model_dim=cfg.dim)
+                                model_dim=cfg.dim, group=group)
 
     tcfg = TrainConfig(epochs=5, warmup_epochs=1, accum_iter=1, blr=9e-2,
                        weight_decay=0.14, vaq=True, qav=True)
@@ -205,7 +208,7 @@ def report_train(args):
                "loss_first_bf16": float(bf["loss"][0]),
                "loss_last_bf16": float(bf["loss"][-1]),
                "loss_drop_bf16": float(bf["loss"][0] - bf["loss"][-1])}
-        for ph in ("int8", "w8a8"):
+        for ph in ("int8", "w8a8", "int8g", "w8a8g"):
             path = os.path.join(args.out, f"train_{ph}{sfx}.npz")
             if not os.path.exists(path):
                 continue
@@ -251,12 +254,14 @@ def run_phase(args):
     from flipped_tpu.train import (make_eval_step, partition_params,
                                    required_eval_span)
 
-    quantized = args.phase in ("int8", "w8a8")
+    quantized = args.phase != "bf16"
+    group = 128 if args.phase.endswith("g") else 0
     cfg = _config(args)
     tok = MockTokenizer(cfg.vocab_size)
     on_tpu = jax.default_backend() == "tpu"
     model = FlippedVQAModel(cfg, use_flash=on_tpu, quantized=quantized,
-                            act_quant=args.phase == "w8a8")
+                            act_quant=args.phase.startswith("w8a8"),
+                            quant_group=group)
 
     # identical eval data across phases: fixed seeds, NOT salted — both
     # phases must score the very same examples
@@ -287,7 +292,7 @@ def run_phase(args):
     # init; the backbone is re-synthesized identically in both phases
     frozen = _synthesize_frozen(frozen, seed=args.weight_seed + 1,
                                 quantize=quantized, dist=args.weights,
-                                model_dim=cfg.dim)
+                                model_dim=cfg.dim, group=group)
 
     step = make_eval_step(model, cached=True, span_len=span)
     all_scores, all_answers = [], []
@@ -322,7 +327,7 @@ def report(args):
             continue
         bf = np.load(bf_path)
         out_all[dist] = {}
-        for phase in ("int8", "w8a8"):
+        for phase in ("int8", "w8a8", "int8g", "w8a8g"):
             path = os.path.join(args.out, f"scores_{phase}{sfx}.npz")
             if not os.path.exists(path):
                 continue
@@ -369,7 +374,7 @@ def _compare(bf, q8):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", required=True,
-                    choices=["bf16", "int8", "w8a8", "report"])
+                    choices=["bf16", "int8", "w8a8", "int8g", "w8a8g", "report"])
     ap.add_argument("--out", default="/tmp/int8_study")
     ap.add_argument("--preset", default="7b", choices=["7b", "tiny"])
     ap.add_argument("--batch", type=int, default=8)
