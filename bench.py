@@ -306,6 +306,11 @@ def main():
                          "vs_baseline (costs one extra compile)")
     ap.add_argument("--trace_dir", default="",
                     help="write a jax.profiler trace of the timed steps")
+    ap.add_argument("--cost_analysis", action="store_true",
+                    help="print XLA's compiled cost analysis (flops / bytes "
+                         "accessed) for the train step — roofline-attribution "
+                         "evidence when the TPU relay returns no "
+                         "device-plane trace events")
     ap.add_argument("--vqa_only", action="store_true",
                     help="train mode: VQA objective only (no VAQ/QAV "
                          "stack) — the long-context 7b_s4k row uses this "
@@ -367,6 +372,23 @@ def main():
     jax.block_until_ready(m.loss)
     print(f"[bench] compile+first step {time.perf_counter()-t0:.1f}s, "
           f"loss={float(m.loss):.3f}", file=sys.stderr)
+
+    if args.cost_analysis:
+        # post-first-step values have the same avals; the HLO is cache-hit
+        try:
+            ca = step.lower(trainable, opt_state, frozen,
+                            batch).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):  # older jax returns [dict]
+                ca = ca[0]
+            keys = {k: v for k, v in ca.items()
+                    if k in ("flops", "bytes accessed", "bytes accessed0{}",
+                             "bytes accessed1{}", "bytes accessedout{}",
+                             "optimal_seconds", "utilization operand 0 {}")}
+            print("[bench] cost_analysis: "
+                  + json.dumps({k: float(v) for k, v in keys.items()}),
+                  file=sys.stderr)
+        except Exception as e:  # relay/backend may not expose it — say so
+            print(f"[bench] cost_analysis unavailable: {e!r}", file=sys.stderr)
 
     for _ in range(args.warmup):
         trainable, opt_state, m = step(trainable, opt_state, frozen, batch)
