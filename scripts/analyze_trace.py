@@ -26,7 +26,7 @@ import re
 import sys
 
 CATEGORIES = (
-    ("attention_kernel", re.compile(r"flash|_stream_|pallas|custom-call", re.I)),
+    ("attention_kernel", re.compile(r"flash|_stream_|pallas|custom-call|attention", re.I)),
     # quant_convert BEFORE matmul: 'convert.N' must not substring-match a
     # matmul pattern ('conv'), and this workload has no convolutions
     ("quant_convert", re.compile(r"convert|reduce-precision|round|clamp|quant", re.I)),
@@ -83,26 +83,53 @@ def main():
               "for attribution instead.")
         return
 
+    # Device planes carry nested rows: 'Steps' and 'XLA Modules' are
+    # CONTAINER rows that envelop the leaf-op timeline — counting them
+    # double-counts every op. Attribute busy time from the 'XLA Ops' row
+    # only; take the wall span from the 'Steps' row when present.
+    thread_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            thread_names[(e["pid"], e["tid"])] = e.get("args", {}).get("name", "")
+    op_rows = {k for k, n in thread_names.items()
+               if k[0] in device_pids and n in ("XLA Ops", "Async XLA Ops")}
+    step_rows = {k for k, n in thread_names.items()
+                 if k[0] in device_pids and n == "Steps"}
+
     per_op = collections.Counter()
     per_cat = collections.Counter()
     n_ev = 0
     t_min, t_max = float("inf"), 0.0
+    s_min, s_max = float("inf"), 0.0
+    n_steps = 0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in device_pids:
             continue
+        key = (e.get("pid"), e.get("tid"))
         dur = float(e.get("dur", 0.0))  # microseconds
+        ts = float(e.get("ts", 0.0))
+        if key in step_rows:
+            s_min, s_max = min(s_min, ts), max(s_max, ts + dur)
+            n_steps += 1
+            continue
+        if op_rows and key not in op_rows:
+            continue
         name = e.get("name", "?")
         per_op[name] += dur
         per_cat[categorize(name)] += dur
-        ts = float(e.get("ts", 0.0))
         t_min, t_max = min(t_min, ts), max(t_max, ts + dur)
         n_ev += 1
 
     busy = sum(per_op.values())
-    span = max(t_max - t_min, 1e-9)
-    print(f"\ndevice events: {n_ev}, busy {busy/1e3:.3f} ms over a "
+    span = max((s_max - s_min) if n_steps else (t_max - t_min), 1e-9)
+    print(f"\ndevice leaf ops: {n_ev}"
+          + (f", steps: {n_steps}" if n_steps else "")
+          + f", busy {busy/1e3:.3f} ms over a "
           f"{span/1e3:.3f} ms span → {100*busy/span:.1f}% busy "
           f"({100*(1-busy/span):.1f}% gaps/idle)")
+    if n_steps:
+        print(f"per-step: busy {busy/n_steps/1e3:.3f} ms, "
+              f"span {span/n_steps/1e3:.3f} ms")
 
     print("\n== category rollup ==")
     for cat, d in per_cat.most_common():
