@@ -104,13 +104,24 @@ def _grouped_matmul_impl(x, kq, scale_g):
     return out.reshape(*lead, n).astype(x.dtype)
 
 
-@jax.custom_vjp
-def int8_matmul_grouped(x, kq, scale_g):
+def _grouped_dispatch(x, kq, scale_g):
+    # On TPU the Pallas kernel keeps the per-group reduction in VMEM; the
+    # XLA batched-dot formulation materializes a (G, M, N) f32 intermediate
+    # in HBM (multi-GB at 7B shapes). Numerics are identical — the XLA path
+    # remains the oracle in tests and the CPU/interpret fallback.
+    if jax.default_backend() == "tpu":
+        from .pallas.quant_matmul import grouped_matmul_pallas
+        return grouped_matmul_pallas(x, kq, scale_g)
     return _grouped_matmul_impl(x, kq, scale_g)
 
 
+@jax.custom_vjp
+def int8_matmul_grouped(x, kq, scale_g):
+    return _grouped_dispatch(x, kq, scale_g)
+
+
 def _g_fwd(x, kq, scale_g):
-    return _grouped_matmul_impl(x, kq, scale_g), (kq, scale_g)
+    return _grouped_dispatch(x, kq, scale_g), (kq, scale_g)
 
 
 def _g_bwd(res, g):

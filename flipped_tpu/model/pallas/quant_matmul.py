@@ -1,0 +1,133 @@
+"""Grouped (sub-channel) w8a8 matmul as a Pallas TPU kernel.
+
+The XLA formulation of the grouped int8×int8 matmul (model/int8.py
+`_grouped_matmul_impl`) computes per-group partial products as a batched
+dot — a (G, M, N) f32 intermediate that XLA materializes in HBM before the
+weighted sum. At LLaMA-7B shapes that is multi-GB of pure scale-bookkeeping
+traffic per matmul (w1/w3: 32·3072·11008·4 B ≈ 4.3 GB), swamping the int8
+MXU win. This kernel keeps the whole per-group reduction in VMEM: the grid
+walks (m-block, n-block, k-block) with k innermost, each program quantizes
+its activation block per (row, 128-wide group) on the VPU, runs one int8
+MXU dot per group, and accumulates scale-corrected f32 into a (bm, bn)
+VMEM scratch — nothing bigger than the output tile ever exists.
+
+The reference runs every matmul in fp16 cuBLAS (llama_vqa.py:63-65);
+quantization of any kind is an addition over it. Numerics are identical to
+`_grouped_matmul_impl` (same per-(token, group) absmax activation scales,
+same (K/group, N) weight scales) — asserted in tests/test_quantize.py via
+the interpreter, so the XLA path stays the oracle.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:  # Pallas is TPU/GPU-only at runtime but importable everywhere
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+# Set True (tests) to run the kernel through the Pallas interpreter on CPU.
+INTERPRET = False
+
+_EPS = 1e-8  # keep in sync with model/int8.py (all-zero padding rows)
+
+# Preferred tile edges; shrunk per-dim to the largest divisor of the padded
+# array dim (11008 = 86·128 admits 256 but not 512).
+_BM, _BN, _BK = 512, 512, 512
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _pick(block: int, dim: int) -> int:
+    while dim % block:
+        block //= 2
+    return block
+
+
+def _kernel(x_ref, kq_ref, sg_ref, o_ref, acc_scr, *,
+            gpb: int, group: int, out_dtype):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr[:])
+
+    x32 = x_ref[:].astype(jnp.float32)                   # (bm, bk)
+    acc = acc_scr[:]
+    for g in range(gpb):                                 # static unroll
+        xg = x32[:, g * group:(g + 1) * group]
+        amax = jnp.max(jnp.abs(xg), axis=-1, keepdims=True)
+        xs = jnp.maximum(amax / 127.0, _EPS)             # (bm, 1)
+        xq = jnp.round(xg / xs).astype(jnp.int8)
+        d = jax.lax.dot_general(
+            xq, kq_ref[g * group:(g + 1) * group, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)            # (bm, bn)
+        acc = acc + d.astype(jnp.float32) * xs * sg_ref[0, g:g + 1, :]
+    acc_scr[:] = acc
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        o_ref[:] = acc_scr[:].astype(out_dtype)
+
+
+def grouped_matmul_pallas(x, kq, scale_g, interpret: bool | None = None):
+    """x (…, K) float; kq (K, N) int8; scale_g (G, N) f32 → (…, N) x.dtype.
+
+    Semantics identical to model/int8.py `_grouped_matmul_impl` (per-(row,
+    group) absmax activation quantization folded in)."""
+    interpret = INTERPRET if interpret is None else interpret
+    k_dim, n = kq.shape
+    g_count = scale_g.shape[0]
+    group = k_dim // g_count
+    lead = x.shape[:-1]
+    m = int(np.prod(lead)) if lead else 1
+
+    bm = _pick(_BM, _round_up(max(m, 16), 16))
+    bn = _pick(_BN, n)
+    bk = _pick(_BK, k_dim)
+    if bk % group or group % 128:
+        # unaligned grouping — let XLA handle it
+        from ..int8 import _grouped_matmul_impl
+        return _grouped_matmul_impl(x, kq, scale_g)
+    gpb = bk // group
+
+    m_pad = _round_up(max(m, 16), bm)
+    x2 = x.reshape(m, k_dim)
+    if m_pad != m:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+
+    # scales regrouped per k-block: (K/bk, gpb, N); the (1, gpb, bn) block's
+    # second-minor dim equals the array dim, which Mosaic accepts
+    sgb = scale_g.reshape(k_dim // bk, gpb, n)
+
+    kernel = functools.partial(_kernel, gpb=gpb, group=group,
+                               out_dtype=x.dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(m_pad // bm, n // bn, k_dim // bk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda mi, ni, ki: (mi, ki)),
+            pl.BlockSpec((bk, bn), lambda mi, ni, ki: (ki, ni)),
+            pl.BlockSpec((1, gpb, bn), lambda mi, ni, ki: (ki, 0, ni)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda mi, ni, ki: (mi, ni)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k_dim * n,
+            bytes_accessed=m * k_dim * 2 + k_dim * n + m * n * 2,
+            transcendentals=0,
+        ),
+    )(x2, kq, sgb)
+    return out[:m].reshape(*lead, n)

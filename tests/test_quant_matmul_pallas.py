@@ -1,0 +1,66 @@
+"""Pallas grouped w8a8 matmul vs the XLA oracle (interpret mode on CPU).
+
+model/int8.py `_grouped_matmul_impl` is the reference semantics (itself
+oracle-tested against dequantized bf16 matmuls in test_quantize.py); the
+Pallas kernel must reproduce it bit-for-bit up to f32 accumulation order —
+same per-(row, 128-wide group) absmax activation quantization, same
+(K/group, N) weight scales.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from flipped_tpu.ckpt.quantize import quantize_kernel
+from flipped_tpu.model.int8 import _grouped_matmul_impl
+from flipped_tpu.model.pallas.quant_matmul import grouped_matmul_pallas
+
+
+def _case(m, k, n, group=128, seed=0):
+    rs = np.random.RandomState(seed)
+    w = rs.randn(k, n).astype(np.float32) / np.sqrt(k)
+    # an outlier row, so group scales genuinely differ
+    w[min(3, k - 1), :] *= 25.0
+    q = quantize_kernel(w, group)
+    x = jnp.array(rs.randn(m, k).astype(np.float32))
+    return x, jnp.array(q["kernel_q"]), jnp.array(q["scale"])
+
+
+@pytest.mark.parametrize("m,k,n", [
+    (24, 256, 256),    # single block in every dim (with m padding 24→32)
+    (40, 1024, 384),   # multi-block: 3 m-blocks × 3 n-blocks × 2 k-blocks
+    (8, 256, 128),     # decode-sized m → 16-row tile, heavy padding
+])
+def test_pallas_matches_xla_oracle(m, k, n):
+    x, kq, sg = _case(m, k, n)
+    ref = np.asarray(_grouped_matmul_impl(x, kq, sg))
+    got = np.asarray(grouped_matmul_pallas(x, kq, sg, interpret=True))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_leading_dims_and_bf16():
+    x, kq, sg = _case(24, 256, 256)
+    x3 = x.reshape(2, 12, 256).astype(jnp.bfloat16)
+    ref = np.asarray(_grouped_matmul_impl(x3, kq, sg), np.float32)
+    got = np.asarray(grouped_matmul_pallas(x3, kq, sg, interpret=True),
+                     np.float32)
+    assert got.shape == (2, 12, 256)
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_unaligned_group_falls_back_to_xla():
+    # group=64 is not a multiple of the 128-lane tile → XLA path
+    x, kq, sg = _case(16, 256, 128, group=64)
+    assert sg.shape[0] == 4
+    ref = np.asarray(_grouped_matmul_impl(x, kq, sg))
+    got = np.asarray(grouped_matmul_pallas(x, kq, sg, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_zero_rows_safe():
+    x, kq, sg = _case(24, 256, 256)
+    x = x.at[5].set(0.0)
+    got = np.asarray(grouped_matmul_pallas(x, kq, sg, interpret=True))
+    assert np.all(np.isfinite(got))
+    assert np.allclose(got[5], 0.0)
