@@ -297,7 +297,8 @@ def main():
     ap.set_defaults(remat=False)
     ap.add_argument("--remat_policy", default="qkv", choices=["full", "qkv"])
     ap.add_argument("--quantize", default="w8a8",
-                    choices=["none", "int8", "w8a8", "int8g", "w8a8g"])
+                    choices=["none", "int8", "w8a8", "int8g", "w8a8g",
+                             "int8o", "w8a8o"])
     ap.add_argument("--mode", default="train",
                     choices=["train", "eval", "generation"])
     ap.add_argument("--ref_style", action="store_true",
@@ -324,9 +325,10 @@ def main():
                             remat=args.remat,
                             remat_policy=args.remat_policy,
                             quantized=args.quantize != "none",
-                            act_quant=args.quantize in ("w8a8", "w8a8g"),
-                            quant_group=(128 if args.quantize.endswith("g")
-                                         else 0))
+                            act_quant=args.quantize.startswith("w8a8"),
+                            quant_group=(128 if args.quantize[-1:] in
+                                         ("g", "o") else 0),
+                            quant_outliers=args.quantize.endswith("o"))
 
     b = args.batch * args.accum
     # per-run-unique data: the env's TPU relay content-caches execution

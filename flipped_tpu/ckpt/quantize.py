@@ -21,15 +21,39 @@ import jax.numpy as jnp
 _QUANT_MODULES = ("wq", "wk", "wv", "wo", "w1", "w2", "w3", "output")
 
 
-def quantize_kernel(kernel, group: int = 0) -> dict:
+def outlier_count(k_dim: int) -> int:
+    """Number of bf16-passthrough input rows for --quantize int8o|w8a8o.
+
+    8 per 1024 input dims (~0.8%) with a floor of 8 — above LLM.int8()'s
+    observed 0.1–0.5% emergent-outlier fraction, and small enough that the
+    dense correction matmul is noise next to the int8 backbone matmul.
+    Fixed per k_dim (not data-dependent) so every layer's leaves keep static
+    shapes and stack/scan cleanly."""
+    return max(8, (k_dim // 1024) * 8)
+
+
+def quantize_kernel(kernel, group: int = 0, outliers: int = 0) -> dict:
     """(in, out) float kernel → {'kernel_q': int8, 'scale': f32}.
 
     group=0: per-output-channel absmax scales, scale (out,).
     group>0: GROUPED (sub-channel) scales over `group`-sized input slices,
     scale (in/group, out) — outlier-robust: an amplified input row degrades
     only its own group's resolution (used by --quantize int8g|w8a8g; see
-    scripts/int8_parity_study.py --weights outlier for the evidence)."""
+    scripts/int8_parity_study.py --weights outlier for the evidence).
+    outliers>0: additionally extract the `outliers` largest-absmax input
+    ROWS into a dense bf16 passthrough ({'out_idx': (n,) i32 sorted,
+    'out_w': (n, out) bf16}, LLM.int8()-style mixed decomposition) and
+    quantize the remainder with those rows zeroed — their magnitude no
+    longer pollutes any absmax window (--quantize int8o|w8a8o)."""
     k = np.asarray(kernel, np.float32)
+    extra = {}
+    if outliers > 0:
+        row_amax = np.abs(k).max(axis=1)
+        idx = np.sort(np.argpartition(row_amax, -outliers)[-outliers:])
+        extra = {"out_idx": jnp.asarray(idx.astype(np.int32)),
+                 "out_w": jnp.asarray(k[idx].astype(jnp.bfloat16))}
+        k = k.copy()
+        k[idx] = 0.0
     if group > 0 and k.shape[0] % group == 0:
         g_count = k.shape[0] // group
         kg = k.reshape(g_count, group, k.shape[1])
@@ -37,11 +61,12 @@ def quantize_kernel(kernel, group: int = 0) -> dict:
         scale = np.maximum(scale, 1e-8)
         q = np.clip(np.round(kg / scale[:, None, :]), -127,
                     127).astype(np.int8).reshape(k.shape)
-        return {"kernel_q": jnp.asarray(q), "scale": jnp.asarray(scale)}
+        return {"kernel_q": jnp.asarray(q), "scale": jnp.asarray(scale),
+                **extra}
     scale = np.abs(k).max(axis=0) / 127.0
     scale = np.maximum(scale, 1e-8)
     q = np.clip(np.round(k / scale[None, :]), -127, 127).astype(np.int8)
-    return {"kernel_q": jnp.asarray(q), "scale": jnp.asarray(scale)}
+    return {"kernel_q": jnp.asarray(q), "scale": jnp.asarray(scale), **extra}
 
 
 def dequantize_kernel(node: dict) -> np.ndarray:
@@ -49,20 +74,27 @@ def dequantize_kernel(node: dict) -> np.ndarray:
     s = np.asarray(node["scale"], np.float32)
     if s.ndim == 2:                                     # grouped (G, out)
         group = q.shape[0] // s.shape[0]
-        return (q.reshape(s.shape[0], group, q.shape[1])
-                * s[:, None, :]).reshape(q.shape)
-    return q * s[None, :]
+        w = (q.reshape(s.shape[0], group, q.shape[1])
+             * s[:, None, :]).reshape(q.shape)
+    else:
+        w = q * s[None, :]
+    if "out_w" in node:  # passthrough rows were zeroed before quantization
+        w[np.asarray(node["out_idx"])] = np.asarray(node["out_w"], np.float32)
+    return w
 
 
-def quantize_frozen(frozen: dict, group: int = 0) -> dict:
+def quantize_frozen(frozen: dict, group: int = 0,
+                    outlier_rows: bool = False) -> dict:
     """Rewrite a frozen param tree in place-shape: qualifying Linear subtrees
-    {'kernel': W} become {'kernel_q': ..., 'scale': ...}."""
+    {'kernel': W} become {'kernel_q': ..., 'scale': ...} (plus
+    'out_idx'/'out_w' when outlier_rows)."""
 
     def walk(node, name=""):
         if not isinstance(node, dict):
             return node
         if name in _QUANT_MODULES and "kernel" in node and node["kernel"] is not None:
-            return quantize_kernel(node["kernel"], group)
+            n_out = outlier_count(np.shape(node["kernel"])[0]) if outlier_rows else 0
+            return quantize_kernel(node["kernel"], group, n_out)
         return {k: walk(v, k) for k, v in node.items()}
 
     return walk(frozen)
@@ -89,7 +121,15 @@ def randomize_quantized(frozen: dict, seed: int = 0) -> dict:
                                   1.0 / (127.0 * np.sqrt(fan_in)),
                                   jnp.float32),
             }
-            for old in (q, node.get("scale")):
+            if "out_w" in node:  # outlier-passthrough leaves (int8o/w8a8o)
+                n_out = node["out_w"].shape[0]
+                new["out_idx"] = jnp.asarray(np.sort(rs.choice(
+                    fan_in, size=n_out, replace=False)).astype(np.int32))
+                new["out_w"] = jnp.asarray(
+                    (rs.randn(*np.shape(node["out_w"])) / np.sqrt(fan_in)
+                     ).astype(jnp.bfloat16))
+            for old in (q, node.get("scale"), node.get("out_w"),
+                        node.get("out_idx")):
                 if hasattr(old, "delete"):
                     try:
                         old.delete()

@@ -218,13 +218,19 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="'qkv' saves attention q/k/v+out (no attention "
                         "recompute; +~2.4GB at 7B) — use when HBM allows")
     p.add_argument("--quantize", default="none",
-                   choices=["none", "int8", "w8a8", "int8g", "w8a8g"],
+                   choices=["none", "int8", "w8a8", "int8g", "w8a8g",
+                            "int8o", "w8a8o"],
                    help="int8: weight-only quantization of the frozen "
                         "backbone (halves its HBM); w8a8: additionally "
                         "quantize activations per token and run block "
                         "matmuls as int8×int8 on the MXU (2× rate); the "
                         "'g' variants use grouped (128-wide sub-channel) "
-                        "scales — outlier-robust, slightly slower")
+                        "scales — outlier-robust, slightly slower; the "
+                        "'o' variants add a dense bf16 passthrough of the "
+                        "~0.8% largest-absmax input rows on top of grouped "
+                        "scales (LLM.int8()-style mixed decomposition) — "
+                        "the recommended quantized mode for real trained "
+                        "checkpoints")
     p.add_argument("--no_remat", action="store_true")
     p.add_argument("--no_flash", action="store_true")
     p.add_argument("--clip_grad", type=float, default=None)

@@ -61,7 +61,15 @@ class Linear(nn.Module):
     quant_group>0 switches to GROUPED (sub-channel) scales — (K/group, N)
     for weights and per-(token, group) for activations — the outlier-robust
     variant (--quantize int8g|w8a8g): one amplified channel degrades only
-    its own `quant_group` input dims, not a whole absmax window."""
+    its own `quant_group` input dims, not a whole absmax window.
+
+    quant_outliers=True additionally carries the ~0.8% largest-absmax input
+    rows as a dense bf16 passthrough (LLM.int8()-style mixed decomposition,
+    --quantize int8o|w8a8o): those rows are zeroed in kernel_q at
+    quantization time (ckpt/quantize.py), their exact contribution is the
+    tiny x[:, idx] @ out_w matmul, and under act_quant the same columns are
+    masked out of x before per-(token, group) quantization — outlier
+    ACTIVATION channels stop inflating the activation scales too."""
 
     features: int
     dtype: Any = jnp.bfloat16
@@ -69,6 +77,7 @@ class Linear(nn.Module):
     quantized: bool = False
     act_quant: bool = False
     quant_group: int = 0
+    quant_outliers: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -76,24 +85,41 @@ class Linear(nn.Module):
             k_dim = x.shape[-1]
             kq = self.param("kernel_q", nn.initializers.zeros,
                             (k_dim, self.features), jnp.int8)
+            passthrough = 0.0
+            if self.quant_outliers:
+                from ..ckpt.quantize import outlier_count
+                n_out = outlier_count(k_dim)
+                oi = self.param(
+                    "out_idx",
+                    lambda key, shape, dtype: jnp.arange(shape[0], dtype=dtype),
+                    (n_out,), jnp.int32)
+                ow = self.param("out_w", nn.initializers.zeros,
+                                (n_out, self.features), self.param_dtype)
+                x_out = jnp.take(x, oi, axis=-1).astype(self.dtype)
+                passthrough = x_out @ ow.astype(self.dtype)
+                if self.act_quant:
+                    # keep outlier activation channels out of the absmax
+                    # windows; their contribution is exact via passthrough
+                    # (the matching kernel_q rows are zero)
+                    x = x * jnp.ones((k_dim,), x.dtype).at[oi].set(0)
             if self.quant_group > 0 and k_dim % self.quant_group == 0:
                 from .int8 import int8_matmul_grouped
                 g_count = k_dim // self.quant_group
                 scale = self.param("scale", nn.initializers.ones,
                                    (g_count, self.features), jnp.float32)
                 if self.act_quant:
-                    return int8_matmul_grouped(x, kq, scale)
+                    return int8_matmul_grouped(x, kq, scale) + passthrough
                 kernel = (kq.reshape(g_count, self.quant_group,
                                      self.features).astype(self.dtype)
                           * scale[:, None, :].astype(self.dtype)
                           ).reshape(k_dim, self.features)
-                return x @ kernel
+                return x @ kernel + passthrough
             scale = self.param("scale", nn.initializers.ones,
                                (self.features,), jnp.float32)
             if self.act_quant:
-                return int8_matmul(x, kq, scale)
+                return int8_matmul(x, kq, scale) + passthrough
             kernel = kq.astype(self.dtype) * scale.astype(self.dtype)[None, :]
-            return x @ kernel
+            return x @ kernel + passthrough
         kernel = self.param("kernel", _torch_linear_init(),
                             (x.shape[-1], self.features), self.param_dtype)
         return x @ kernel.astype(self.dtype)
@@ -122,6 +148,7 @@ class Attention(nn.Module):
     quantized: bool = False
     act_quant: bool = False
     quant_group: int = 0
+    quant_outliers: bool = False
 
     def setup(self):
         cfg = self.cfg
@@ -129,7 +156,8 @@ class Attention(nn.Module):
                                 param_dtype=self.frozen_dtype,
                                 quantized=self.quantized,
                                 act_quant=self.act_quant,
-                                quant_group=self.quant_group)
+                                quant_group=self.quant_group,
+                                quant_outliers=self.quant_outliers)
         self.wq, self.wk, self.wv, self.wo = (lin(name=n) for n in
                                               ("wq", "wk", "wv", "wo"))
         # Zero-init tanh gate on the adapter segment; -bias init on the
@@ -246,6 +274,7 @@ class FeedForward(nn.Module):
     quantized: bool = False
     act_quant: bool = False
     quant_group: int = 0
+    quant_outliers: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -254,7 +283,8 @@ class FeedForward(nn.Module):
                                 param_dtype=self.frozen_dtype,
                                 quantized=self.quantized,
                                 act_quant=self.act_quant,
-                                quant_group=self.quant_group)
+                                quant_group=self.quant_group,
+                                quant_outliers=self.quant_outliers)
         w1 = lin(hidden, name="w1")
         w2 = lin(self.cfg.dim, name="w2")
         w3 = lin(hidden, name="w3")
@@ -272,15 +302,17 @@ class TransformerBlock(nn.Module):
     quantized: bool = False
     act_quant: bool = False
     quant_group: int = 0
+    quant_outliers: bool = False
 
     def setup(self):
         self.attention = Attention(self.cfg, self.dtype, self.frozen_dtype,
                                    self.trainable_dtype, self.use_flash,
                                    self.quantized, self.act_quant,
-                                   self.quant_group)
+                                   self.quant_group, self.quant_outliers)
         self.feed_forward = FeedForward(self.cfg, self.dtype,
                                         self.frozen_dtype, self.quantized,
-                                        self.act_quant, self.quant_group)
+                                        self.act_quant, self.quant_group,
+                                        self.quant_outliers)
         self.attention_norm = RMSNorm(self.cfg.dim, self.cfg.norm_eps,
                                       self.frozen_dtype)
         self.ffn_norm = RMSNorm(self.cfg.dim, self.cfg.norm_eps,
@@ -359,6 +391,9 @@ class FlippedVQAModel(nn.Module):
     # per-(token, group) activation scales under act_quant — the
     # outlier-robust int8 variant (--quantize int8g|w8a8g)
     quant_group: int = 0
+    # bf16 passthrough of the largest-absmax input rows per matmul
+    # (LLM.int8()-style mixed decomposition, --quantize int8o|w8a8o)
+    quant_outliers: bool = False
 
     def setup(self):
         cfg = self.cfg
@@ -370,7 +405,8 @@ class FlippedVQAModel(nn.Module):
             TransformerBlock(cfg, self.dtype, self.frozen_dtype,
                              self.trainable_dtype, self.use_flash,
                              self.quantized, self.act_quant,
-                             self.quant_group, name=f"layers_{i}")
+                             self.quant_group, self.quant_outliers,
+                             name=f"layers_{i}")
             for i in range(cfg.n_layers)
         ]
         self.norm = RMSNorm(cfg.dim, cfg.norm_eps, self.frozen_dtype,
@@ -378,7 +414,9 @@ class FlippedVQAModel(nn.Module):
         self.output = Linear(cfg.vocab_size, dtype=self.dtype,
                              param_dtype=self.frozen_dtype,
                              quantized=self.quantized,
-                             quant_group=self.quant_group, name="output")
+                             quant_group=self.quant_group,
+                             quant_outliers=self.quant_outliers,
+                             name="output")
         # Trainables (reference: model.py:208, 229; llama_vqa.py:71-77)
         self.adapter_query = self.param(
             "adapter_query", nn.initializers.normal(1.0),

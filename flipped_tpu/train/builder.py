@@ -57,8 +57,9 @@ def build_model(run_cfg: RunConfig, use_flash: bool | None = None,
                             remat=remat and run_cfg.train.remat,
                             remat_policy=run_cfg.train.remat_policy,
                             quantized=q != "none",
-                            act_quant=q in ("w8a8", "w8a8g"),
-                            quant_group=128 if q.endswith("g") else 0)
+                            act_quant=q.startswith("w8a8"),
+                            quant_group=128 if q[-1:] in ("g", "o") else 0,
+                            quant_outliers=q.endswith("o"))
     return model, cfg
 
 
@@ -128,7 +129,8 @@ def build_train_state(run_cfg: RunConfig, seed: int = 0,
             if quantized and "kernel_q" in dst and "kernel" in src:
                 group = (dst["kernel_q"].shape[0] // dst["scale"].shape[0]
                          if getattr(dst.get("scale"), "ndim", 1) == 2 else 0)
-                return quantize_kernel(src["kernel"], group)
+                n_out = dst["out_w"].shape[0] if "out_w" in dst else 0
+                return quantize_kernel(src["kernel"], group, n_out)
             out = {}
             for k, v in dst.items():
                 p = f"{path}/{k}" if path else k

@@ -53,7 +53,7 @@ OUTLIER_RANGE = (10.0, 30.0)  # amplification factors (× channel RMS)
 
 def _synthesize_frozen(frozen, seed: int, quantize: bool,
                        dist: str = "gaussian", model_dim: int = 0,
-                       group: int = 0):
+                       group: int = 0, outliers: bool = False):
     """Replace every frozen matmul kernel with a deterministic random weight
     (identical draws across phases), as bf16 or as int8-of-that-bf16.
     Pushes leaf by leaf and frees the init buffer, so peak HBM stays ~1×.
@@ -65,7 +65,7 @@ def _synthesize_frozen(frozen, seed: int, quantize: bool,
     import jax
     import jax.numpy as jnp
 
-    from flipped_tpu.ckpt.quantize import quantize_kernel
+    from flipped_tpu.ckpt.quantize import outlier_count, quantize_kernel
 
     rs = np.random.RandomState(seed)
     if dist == "outlier":
@@ -103,12 +103,14 @@ def _synthesize_frozen(frozen, seed: int, quantize: bool,
                 if hasattr(v, "delete"):
                     v.delete()
                 if quantize:
-                    q = quantize_kernel(np.asarray(wb, np.float32), group)
-                    out["kernel_q"] = jax.device_put(q["kernel_q"])
-                    out["scale"] = jax.device_put(q["scale"])
+                    n_out = outlier_count(fan_in) if outliers else 0
+                    q = quantize_kernel(np.asarray(wb, np.float32), group,
+                                        n_out)
+                    for qk, qv in q.items():
+                        out[qk] = jax.device_put(qv)
                 else:
                     out[k] = jax.device_put(wb)
-            elif k == "scale" and "kernel_q" in node:
+            elif k in ("scale", "out_idx", "out_w") and "kernel_q" in node:
                 continue  # rewritten alongside kernel_q above
             else:
                 out[k] = walk(v, k)
@@ -133,13 +135,14 @@ def run_train_phase(args):
                                    partition_params)
 
     quantized = args.phase != "bf16"
-    group = 128 if args.phase.endswith("g") else 0
+    group = 128 if args.phase[-1:] in ("g", "o") else 0
+    outliers = args.phase.endswith("o")
     cfg = _config(args)
     tok = MockTokenizer(cfg.vocab_size)
     on_tpu = jax.default_backend() == "tpu"
     model = FlippedVQAModel(cfg, use_flash=on_tpu, quantized=quantized,
                             act_quant=args.phase.startswith("w8a8"),
-                            quant_group=group,
+                            quant_group=group, quant_outliers=outliers,
                             remat=not quantized)
 
     batches = []
@@ -162,7 +165,8 @@ def run_train_phase(args):
     trainable, frozen = partition_params(params)
     frozen = _synthesize_frozen(frozen, seed=args.weight_seed + 1,
                                 quantize=quantized, dist=args.weights,
-                                model_dim=cfg.dim, group=group)
+                                model_dim=cfg.dim, group=group,
+                                outliers=outliers)
 
     tcfg = TrainConfig(epochs=5, warmup_epochs=1, accum_iter=1, blr=9e-2,
                        weight_decay=0.14, vaq=True, qav=True)
@@ -208,7 +212,7 @@ def report_train(args):
                "loss_first_bf16": float(bf["loss"][0]),
                "loss_last_bf16": float(bf["loss"][-1]),
                "loss_drop_bf16": float(bf["loss"][0] - bf["loss"][-1])}
-        for ph in ("int8", "w8a8", "int8g", "w8a8g"):
+        for ph in ("int8", "w8a8", "int8g", "w8a8g", "int8o", "w8a8o"):
             path = os.path.join(args.out, f"train_{ph}{sfx}.npz")
             if not os.path.exists(path):
                 continue
@@ -255,13 +259,14 @@ def run_phase(args):
                                    required_eval_span)
 
     quantized = args.phase != "bf16"
-    group = 128 if args.phase.endswith("g") else 0
+    group = 128 if args.phase[-1:] in ("g", "o") else 0
+    outliers = args.phase.endswith("o")
     cfg = _config(args)
     tok = MockTokenizer(cfg.vocab_size)
     on_tpu = jax.default_backend() == "tpu"
     model = FlippedVQAModel(cfg, use_flash=on_tpu, quantized=quantized,
                             act_quant=args.phase.startswith("w8a8"),
-                            quant_group=group)
+                            quant_group=group, quant_outliers=outliers)
 
     # identical eval data across phases: fixed seeds, NOT salted — both
     # phases must score the very same examples
@@ -292,7 +297,8 @@ def run_phase(args):
     # init; the backbone is re-synthesized identically in both phases
     frozen = _synthesize_frozen(frozen, seed=args.weight_seed + 1,
                                 quantize=quantized, dist=args.weights,
-                                model_dim=cfg.dim, group=group)
+                                model_dim=cfg.dim, group=group,
+                                outliers=outliers)
 
     step = make_eval_step(model, cached=True, span_len=span)
     all_scores, all_answers = [], []
@@ -327,7 +333,7 @@ def report(args):
             continue
         bf = np.load(bf_path)
         out_all[dist] = {}
-        for phase in ("int8", "w8a8", "int8g", "w8a8g"):
+        for phase in ("int8", "w8a8", "int8g", "w8a8g", "int8o", "w8a8o"):
             path = os.path.join(args.out, f"scores_{phase}{sfx}.npz")
             if not os.path.exists(path):
                 continue
@@ -374,7 +380,8 @@ def _compare(bf, q8):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", required=True,
-                    choices=["bf16", "int8", "w8a8", "int8g", "w8a8g", "report"])
+                    choices=["bf16", "int8", "w8a8", "int8g", "w8a8g",
+                             "int8o", "w8a8o", "report"])
     ap.add_argument("--out", default="/tmp/int8_study")
     ap.add_argument("--preset", default="7b", choices=["7b", "tiny"])
     ap.add_argument("--batch", type=int, default=8)

@@ -315,3 +315,148 @@ def test_model_runs_grouped_quantized():
             model, {"params": merge_params(trainable, frozen)}, jb,
             vaq=True, qav=True)
         assert np.isfinite(float(losses.total)), act
+
+
+# --- outlier passthrough (--quantize int8o|w8a8o) --------------------------
+
+
+def test_outlier_passthrough_extracts_top_rows():
+    """quantize_kernel(outliers=n) extracts the n largest-absmax input rows
+    into an exact bf16 passthrough, zeroes them in kernel_q (their magnitude
+    leaves every absmax window), and dequantize_kernel reconstructs them."""
+    from flipped_tpu.ckpt.quantize import outlier_count
+
+    rs = np.random.RandomState(0)
+    k = 1024
+    w = rs.randn(k, 64).astype(np.float32) / np.sqrt(k)
+    od = [3, 500, 777]
+    w[od, :] *= 30.0
+
+    n_out = outlier_count(k)
+    assert n_out == 8
+    q = quantize_kernel(w, group=128, outliers=n_out)
+    idx = np.asarray(q["out_idx"])
+    assert q["out_idx"].dtype == jnp.int32
+    assert q["out_w"].shape == (n_out, 64)
+    assert set(od) <= set(idx.tolist())
+    assert list(idx) == sorted(idx)
+    # extracted rows are zero in the quantized matrix
+    assert np.all(np.asarray(q["kernel_q"])[idx] == 0)
+    # their scales no longer see the outliers: same as quantizing w/o them
+    w_zeroed = w.copy()
+    w_zeroed[idx] = 0.0
+    np.testing.assert_allclose(np.asarray(q["scale"]),
+                               np.asarray(quantize_kernel(w_zeroed,
+                                                          group=128)["scale"]))
+    # reconstruction on NON-outlier rows beats grouped-only by a wide margin
+    deq = dequantize_kernel(q)
+    deq_g = dequantize_kernel(quantize_kernel(w, group=128))
+    mask = np.ones(k, bool)
+    mask[idx] = False
+    assert (np.abs(deq - w)[mask].max()
+            < np.abs(deq_g - w)[mask].max() / 8)
+    # passthrough rows exact up to bf16 storage
+    assert np.abs(deq[idx] - w[idx]).max() <= np.abs(w[idx]).max() * 2 ** -8
+
+
+def test_outlier_linear_forward_close_to_bf16_dense():
+    """The composed w8a8o Linear (masked grouped int8 + bf16 passthrough)
+    tracks the bf16 dense oracle with error INDEPENDENT of the outlier
+    magnitude — the outlier products are computed exactly in bf16."""
+    from flipped_tpu.ckpt.quantize import outlier_count, quantize_kernel
+    from flipped_tpu.model.llama import Linear
+
+    rs = np.random.RandomState(1)
+    k, n = 512, 256
+    w = rs.randn(k, n).astype(np.float32) / np.sqrt(k)
+    od = np.array([3, 77, 200])
+    x0 = rs.randn(4, k).astype(np.float32) * 0.5
+
+    errs = []
+    for amp in (10.0, 100.0):
+        wa = w.copy()
+        wa[od, :] *= amp
+        x = jnp.array(x0).at[:, od].multiply(amp)
+        q = quantize_kernel(wa, group=128, outliers=outlier_count(k))
+        y_bf16 = np.asarray(jnp.bfloat16(x) @ jnp.bfloat16(wa), np.float32)
+        lin = Linear(n, quantized=True, act_quant=True, quant_group=128,
+                     quant_outliers=True)
+        y = np.asarray(lin.apply({"params": dict(q)}, x), np.float32)
+        rms = np.sqrt((y_bf16 ** 2).mean())
+        errs.append(np.abs(y - y_bf16).max() / rms)
+    # the 10× error level does not grow at 100× amplification (the int8
+    # noise floor of the non-outlier remainder is all that is left)
+    assert errs[1] < errs[0] * 2, errs
+    assert errs[0] < 0.05
+
+
+def test_outlier_linear_gradients_flow():
+    """dx must flow through BOTH the quantized path (masked) and the
+    passthrough (outlier columns) — a zero gradient on outlier dims would
+    silently detach the adapters from those channels."""
+    from flipped_tpu.ckpt.quantize import outlier_count, quantize_kernel
+    from flipped_tpu.model.llama import Linear
+
+    rs = np.random.RandomState(2)
+    k, n = 256, 128
+    w = rs.randn(k, n).astype(np.float32) / np.sqrt(k)
+    w[5, :] *= 25.0
+    q = quantize_kernel(w, group=128, outliers=outlier_count(k))
+    idx = np.asarray(q["out_idx"])
+    lin = Linear(n, quantized=True, act_quant=True, quant_group=128,
+                 quant_outliers=True)
+    x = jnp.array(rs.randn(3, k).astype(np.float32))
+
+    g = jax.grad(lambda xx: float(0) + lin.apply(
+        {"params": dict(q)}, xx).sum())(x)
+    g = np.asarray(g, np.float32)
+    assert np.isfinite(g).all()
+    # passthrough columns: grad == sum over outputs of out_w (exact)
+    expect_out = np.asarray(q["out_w"], np.float32).sum(axis=1)
+    np.testing.assert_allclose(g[0, idx], expect_out, rtol=2e-2, atol=1e-3)
+    # non-outlier columns: grad ≈ dequantized-weight row sums
+    mask = np.ones(k, bool)
+    mask[idx] = False
+    expect_rest = dequantize_kernel(q).sum(axis=1)
+    np.testing.assert_allclose(g[0, mask], expect_rest[mask], rtol=5e-2,
+                               atol=5e-2)
+
+
+def test_model_runs_outlier_quantized():
+    """End-to-end: int8o and w8a8o model variants init, randomize, and train
+    one finite step; out_idx/out_w leaves exist with static shapes."""
+    from flipped_tpu.core.config import ModelConfig
+    from flipped_tpu.data import make_synthetic_items, pack_train_batch
+    from flipped_tpu.text import MockTokenizer
+    from flipped_tpu.train import compute_objective_losses
+
+    cfg = ModelConfig(dim=128, n_layers=2, n_heads=4, vocab_size=512,
+                      multiple_of=32, max_seq_len=64, adapter_len=4,
+                      adapter_layer=2, max_feats=4, visual_dim=16)
+    tok = MockTokenizer(cfg.vocab_size)
+    items = make_synthetic_items(tok, 2, max_feats=cfg.max_feats,
+                                 max_seq_len=cfg.max_seq_len,
+                                 visual_dim=cfg.visual_dim, seed=5)
+    batch = pack_train_batch(items, cfg.max_feats)
+    jb = {k: jnp.array(v) for k, v in batch.items()}
+
+    for act in (False, True):
+        model = FlippedVQAModel(cfg, dtype=jnp.float32,
+                                quantized=True, act_quant=act,
+                                quant_group=64, quant_outliers=True)
+        params = model.init(jax.random.PRNGKey(0), jb["vqa_tokens"],
+                            jb["video"], None, jb["vqa_video_start"],
+                            jb["vqa_splice"])["params"]
+        wq = params["layers_0"]["attention"]["wq"]
+        assert wq["out_idx"].shape == (8,)          # outlier_count(128)
+        assert wq["out_w"].shape == (8, cfg.dim)
+        trainable, frozen = partition_params(params)
+        frozen = randomize_quantized(frozen, seed=3)
+        oi = np.asarray(jax.tree_util.tree_leaves(
+            {k: v for k, v in frozen["layers_0"]["attention"]["wq"].items()
+             if k == "out_idx"})[0])
+        assert len(set(oi.tolist())) == len(oi)      # distinct indices
+        losses = compute_objective_losses(
+            model, {"params": merge_params(trainable, frozen)}, jb,
+            vaq=True, qav=True)
+        assert np.isfinite(float(losses.total)), act
