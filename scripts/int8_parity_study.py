@@ -140,10 +140,14 @@ def run_train_phase(args):
     cfg = _config(args)
     tok = MockTokenizer(cfg.vocab_size)
     on_tpu = jax.default_backend() == "tpu"
+    # remat: bf16 needs it for HBM; plain int8/w8a8 fit without it at
+    # batch 8; the grouped/outlier variants' ~0.3 GB of sub-channel scales
+    # tip batch-8 no-remat just past 16 GB, so they remat too (recompute is
+    # bit-deterministic — the loss trajectory is unaffected)
     model = FlippedVQAModel(cfg, use_flash=on_tpu, quantized=quantized,
                             act_quant=args.phase.startswith("w8a8"),
                             quant_group=group, quant_outliers=outliers,
-                            remat=not quantized)
+                            remat=not quantized or group > 0)
 
     batches = []
     for i in range(args.steps):
