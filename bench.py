@@ -321,14 +321,11 @@ def main():
     cfg = PRESETS[args.preset]
     on_tpu = jax.default_backend() == "tpu"
     tok = MockTokenizer(cfg.vocab_size)
+    from flipped_tpu.core.config import quant_flags
     model = FlippedVQAModel(cfg, use_flash=on_tpu and not args.no_flash,
                             remat=args.remat,
                             remat_policy=args.remat_policy,
-                            quantized=args.quantize != "none",
-                            act_quant=args.quantize.startswith("w8a8"),
-                            quant_group=(128 if args.quantize[-1:] in
-                                         ("g", "o") else 0),
-                            quant_outliers=args.quantize.endswith("o"))
+                            **quant_flags(args.quantize))
 
     b = args.batch * args.accum
     # per-run-unique data: the env's TPU relay content-caches execution

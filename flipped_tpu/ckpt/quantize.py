@@ -112,9 +112,8 @@ def randomize_quantized(frozen: dict, seed: int = 0) -> dict:
         if "kernel_q" in node:
             q = node["kernel_q"]
             fan_in = q.shape[0]
+            kq = rs.randint(-127, 128, q.shape).astype(np.int8)
             new = {
-                "kernel_q": jnp.asarray(
-                    rs.randint(-127, 128, q.shape).astype(np.int8)),
                 # scale keeps the tree's own shape: (out,) per-channel or
                 # (G, out) grouped
                 "scale": jnp.full(np.shape(node.get("scale", q[0])),
@@ -123,11 +122,17 @@ def randomize_quantized(frozen: dict, seed: int = 0) -> dict:
             }
             if "out_w" in node:  # outlier-passthrough leaves (int8o/w8a8o)
                 n_out = node["out_w"].shape[0]
-                new["out_idx"] = jnp.asarray(np.sort(rs.choice(
-                    fan_in, size=n_out, replace=False)).astype(np.int32))
+                idx = np.sort(rs.choice(fan_in, size=n_out,
+                                        replace=False)).astype(np.int32)
+                # invariant from quantize_kernel: passthrough rows are ZERO
+                # in kernel_q (the Linear adds them back exactly) — a random
+                # row there would double-count those input dims
+                kq[idx] = 0
+                new["out_idx"] = jnp.asarray(idx)
                 new["out_w"] = jnp.asarray(
                     (rs.randn(*np.shape(node["out_w"])) / np.sqrt(fan_in)
                      ).astype(jnp.bfloat16))
+            new["kernel_q"] = jnp.asarray(kq)
             for old in (q, node.get("scale"), node.get("out_w"),
                         node.get("out_idx")):
                 if hasattr(old, "delete"):

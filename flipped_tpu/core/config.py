@@ -142,6 +142,20 @@ class TrainConfig:
         return self.blr * world_batch / 256.0
 
 
+def quant_flags(mode: str) -> dict:
+    """Decode a --quantize mode string into FlippedVQAModel quantization
+    kwargs — the ONE place the string grammar lives (int8/w8a8 base,
+    'g' = grouped 128-wide sub-channel scales, 'o' = grouped + bf16
+    outlier-row passthrough). Used by the builder, bench, and the parity
+    study so the four call sites cannot drift."""
+    return {
+        "quantized": mode != "none",
+        "act_quant": mode.startswith("w8a8"),
+        "quant_group": 128 if mode[-1:] in ("g", "o") else 0,
+        "quant_outliers": mode.endswith("o"),
+    }
+
+
 @dataclass(frozen=True)
 class MeshConfig:
     """Device mesh layout. Axis sizes of 1 collapse to pure data parallel.

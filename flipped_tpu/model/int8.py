@@ -108,11 +108,16 @@ def _grouped_dispatch(x, kq, scale_g):
     # On TPU the Pallas kernel keeps the per-group reduction in VMEM; the
     # XLA batched-dot formulation materializes a (G, M, N) f32 intermediate
     # in HBM (multi-GB at 7B shapes). Numerics are identical — the XLA path
-    # remains the oracle in tests and the CPU/interpret fallback.
-    if jax.default_backend() == "tpu":
-        from .pallas.quant_matmul import grouped_matmul_pallas
-        return grouped_matmul_pallas(x, kq, scale_g)
-    return _grouped_matmul_impl(x, kq, scale_g)
+    # remains the oracle in tests and the CPU/interpret fallback. Dispatch
+    # happens per lowering platform (platform_dependent), so a CPU-placed
+    # computation on a TPU-default host still gets the XLA path.
+    from .pallas.quant_matmul import grouped_matmul_pallas, pallas_supported
+    if not pallas_supported(x, kq, scale_g):
+        return _grouped_matmul_impl(x, kq, scale_g)
+    return jax.lax.platform_dependent(
+        x, kq, scale_g,
+        tpu=grouped_matmul_pallas,
+        default=_grouped_matmul_impl)
 
 
 @jax.custom_vjp

@@ -80,6 +80,18 @@ def _kernel(x_ref, kq_ref, sg_ref, o_ref, acc_scr, *,
         o_ref[:] = acc_scr[:].astype(out_dtype)
 
 
+def pallas_supported(x, kq, scale_g) -> bool:
+    """Mosaic-alignment guard: callers fall back to the XLA formulation for
+    shapes the kernel's tiling can't serve (lane dim must be 128-aligned,
+    k-blocks must cover whole groups, groups must fill 128 lanes)."""
+    if not _HAS_PALLAS:
+        return False
+    k_dim, n = kq.shape
+    group = k_dim // scale_g.shape[0]
+    bk = _pick(_BK, k_dim)
+    return n % 128 == 0 and group % 128 == 0 and bk % group == 0
+
+
 def grouped_matmul_pallas(x, kq, scale_g, interpret: bool | None = None):
     """x (…, K) float; kq (K, N) int8; scale_g (G, N) f32 → (…, N) x.dtype.
 
@@ -95,8 +107,7 @@ def grouped_matmul_pallas(x, kq, scale_g, interpret: bool | None = None):
     bm = _pick(_BM, _round_up(max(m, 16), 16))
     bn = _pick(_BN, n)
     bk = _pick(_BK, k_dim)
-    if bk % group or group % 128:
-        # unaligned grouping — let XLA handle it
+    if not pallas_supported(x, kq, scale_g):
         from ..int8 import _grouped_matmul_impl
         return _grouped_matmul_impl(x, kq, scale_g)
     gpb = bk // group

@@ -52,14 +52,11 @@ def build_model(run_cfg: RunConfig, use_flash: bool | None = None,
     if use_flash is None:
         use_flash = (run_cfg.train.flash_attention
                      and jax.default_backend() == "tpu")
-    q = run_cfg.train.quantize
+    from ..core.config import quant_flags
     model = FlippedVQAModel(cfg, use_flash=use_flash,
                             remat=remat and run_cfg.train.remat,
                             remat_policy=run_cfg.train.remat_policy,
-                            quantized=q != "none",
-                            act_quant=q.startswith("w8a8"),
-                            quant_group=128 if q[-1:] in ("g", "o") else 0,
-                            quant_outliers=q.endswith("o"))
+                            **quant_flags(run_cfg.train.quantize))
     return model, cfg
 
 

@@ -134,9 +134,10 @@ def run_train_phase(args):
     from flipped_tpu.train import (make_optimizer, make_train_step,
                                    partition_params)
 
-    quantized = args.phase != "bf16"
-    group = 128 if args.phase[-1:] in ("g", "o") else 0
-    outliers = args.phase.endswith("o")
+    from flipped_tpu.core.config import quant_flags
+    flags = quant_flags("none" if args.phase == "bf16" else args.phase)
+    quantized, group = flags["quantized"], flags["quant_group"]
+    outliers = flags["quant_outliers"]
     cfg = _config(args)
     tok = MockTokenizer(cfg.vocab_size)
     on_tpu = jax.default_backend() == "tpu"
@@ -144,9 +145,8 @@ def run_train_phase(args):
     # batch 8; the grouped/outlier variants' ~0.3 GB of sub-channel scales
     # tip batch-8 no-remat just past 16 GB, so they remat too (recompute is
     # bit-deterministic — the loss trajectory is unaffected)
-    model = FlippedVQAModel(cfg, use_flash=on_tpu, quantized=quantized,
-                            act_quant=args.phase.startswith("w8a8"),
-                            quant_group=group, quant_outliers=outliers,
+    model = FlippedVQAModel(cfg, **flags,
+                            use_flash=on_tpu,
                             remat=not quantized or group > 0)
 
     batches = []
@@ -262,15 +262,14 @@ def run_phase(args):
     from flipped_tpu.train import (make_eval_step, partition_params,
                                    required_eval_span)
 
-    quantized = args.phase != "bf16"
-    group = 128 if args.phase[-1:] in ("g", "o") else 0
-    outliers = args.phase.endswith("o")
+    from flipped_tpu.core.config import quant_flags
+    flags = quant_flags("none" if args.phase == "bf16" else args.phase)
+    quantized, group = flags["quantized"], flags["quant_group"]
+    outliers = flags["quant_outliers"]
     cfg = _config(args)
     tok = MockTokenizer(cfg.vocab_size)
     on_tpu = jax.default_backend() == "tpu"
-    model = FlippedVQAModel(cfg, use_flash=on_tpu, quantized=quantized,
-                            act_quant=args.phase.startswith("w8a8"),
-                            quant_group=group, quant_outliers=outliers)
+    model = FlippedVQAModel(cfg, **flags, use_flash=on_tpu)
 
     # identical eval data across phases: fixed seeds, NOT salted — both
     # phases must score the very same examples

@@ -452,10 +452,12 @@ def test_model_runs_outlier_quantized():
         assert wq["out_w"].shape == (8, cfg.dim)
         trainable, frozen = partition_params(params)
         frozen = randomize_quantized(frozen, seed=3)
-        oi = np.asarray(jax.tree_util.tree_leaves(
-            {k: v for k, v in frozen["layers_0"]["attention"]["wq"].items()
-             if k == "out_idx"})[0])
+        rwq = frozen["layers_0"]["attention"]["wq"]
+        oi = np.asarray(rwq["out_idx"])
         assert len(set(oi.tolist())) == len(oi)      # distinct indices
+        # randomize_quantized must keep the quantize_kernel invariant:
+        # passthrough rows are ZERO in kernel_q (else int8o double-counts)
+        assert np.all(np.asarray(rwq["kernel_q"])[oi] == 0)
         losses = compute_objective_losses(
             model, {"params": merge_params(trainable, frozen)}, jb,
             vaq=True, qav=True)
