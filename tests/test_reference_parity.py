@@ -220,6 +220,91 @@ def test_training_losses_match_reference(reference_modules, tmp_path):
                                atol=2e-3)
 
 
+def test_training_gradients_match_reference(reference_modules, tmp_path):
+    """TRAINING-STEP gradient oracle: backprop the summed triple loss through
+    the reference's own torch autograd (trainable set per llama_vqa.py:71-76:
+    names containing gate/adapter/temporal_emb/visual_proj) and through our
+    jax.grad on identical weights/data, and compare every trainable leaf's
+    gradient. This verifies what the forward-only parity tests cannot: the
+    stop_gradient placement (frozen-embedding trick, llama.py vs
+    model.py:360), the tanh(gate) gradient flow, and that the partitioned
+    trainable set induces the same gradient field as the reference's
+    requires_grad mask."""
+    from flipped_tpu.train import merge_params, partition_params
+
+    ref_model, _ = reference_modules
+    model, params = build_mine()
+
+    args = ref_args(tmp_path)
+    margs = ref_model.ModelArgs(
+        dim=CFG.dim, n_layers=CFG.n_layers, n_heads=CFG.n_heads,
+        vocab_size=CFG.vocab_size, multiple_of=CFG.multiple_of,
+        norm_eps=CFG.norm_eps, max_batch_size=4,
+        max_seq_len=CFG.max_seq_len, adapter_len=CFG.adapter_len,
+        adapter_layer=CFG.adapter_layer)
+    torch.manual_seed(0)
+    ref = ref_model.Transformer(margs, args)
+    ref.load_state_dict(to_reference_state_dict(params), strict=False)
+    for name, p in ref.named_parameters():
+        p.requires_grad = any(m in name for m in
+                              ("gate", "adapter", "temporal_emb",
+                               "visual_proj"))
+
+    items = make_synthetic_items(TOK, 2, max_feats=CFG.max_feats,
+                                 max_seq_len=CFG.max_seq_len, split="train",
+                                 visual_dim=CFG.visual_dim, seed=21)
+    batch = pack_train_batch(items, CFG.max_feats)
+
+    ref_vqa, ref_vaq, ref_qav = ref(reference_data(batch, "train"))
+    (ref_vqa + ref_vaq + ref_qav).backward()
+    ref_grads = {n: p.grad.detach().numpy()
+                 for n, p in ref.named_parameters() if p.requires_grad}
+
+    jbatch = {k: jnp.array(v) for k, v in batch.items()
+              if isinstance(v, np.ndarray)}
+    trainable, frozen = partition_params(params)
+
+    def total_loss(tr):
+        losses = compute_objective_losses(
+            model, {"params": merge_params(tr, frozen)}, jbatch,
+            vaq=True, qav=True)
+        return losses.vqa + losses.vaq + losses.qav
+
+    grads = jax.grad(total_loss)(trainable)
+
+    def close(mine, theirs, what):
+        mine, theirs = np.asarray(mine, np.float64), theirs.astype(np.float64)
+        # mixed rel/abs: gradient entries span orders of magnitude
+        np.testing.assert_allclose(
+            mine, theirs, rtol=5e-3,
+            atol=5e-4 * max(np.abs(theirs).max(), 1e-6), err_msg=what)
+
+    close(grads["adapter_query"], ref_grads["adapter_query.weight"],
+          "adapter_query")
+    close(grads["temporal_emb"], ref_grads["temporal_emb.weight"],
+          "temporal_emb")
+    close(grads["visual_proj"]["kernel"],
+          ref_grads["visual_proj.weight"].T, "visual_proj")
+    for li in range(CFG.n_layers):
+        a = grads[f"layers_{li}"]["attention"]
+        close(a["gate1"],
+              ref_grads[f"layers.{li}.attention.gate1"].reshape(-1),
+              f"gate1 layer {li}")
+        close(a["gate2"],
+              ref_grads[f"layers.{li}.attention.gate2"].reshape(-1),
+              f"gate2 layer {li}")
+    # nothing else may receive gradient on either side: the reference has
+    # exactly these requires_grad leaves, and our trainable tree has no
+    # OTHER non-None leaf (audio markers are inactive in this config)
+    extra = [n for n in ref_grads
+             if not any(s in n for s in ("adapter_query", "temporal_emb",
+                                         "visual_proj", "gate1", "gate2"))]
+    assert not extra, extra
+    n_mine = len([l for l in jax.tree_util.tree_leaves(grads)
+                  if l is not None])
+    assert n_mine == len(ref_grads), (n_mine, len(ref_grads))
+
+
 def test_partial_adapter_window_matches_reference(reference_modules,
                                                   tmp_path):
     """adapter_layer < n_layers: the reference runs ONLY
