@@ -45,6 +45,69 @@ def build(seed=0, n=4, split="train"):
     return model, params["params"], batch, items
 
 
+def test_adamw_update_matches_torch():
+    """Optimizer-update oracle: run the same params + gradient sequence
+    through our make_optimizer chain and through torch.optim.AdamW with
+    timm-style param grouping (reference: train.py:120-121 uses
+    param_groups_weight_decay — weight decay only on ndim>1 params) and the
+    reference's per-update adjust_learning_rate (lr_sched.py:9-21, mirrored
+    by our lr_schedule). Decoupled decay, bias correction, betas (0.9, 0.95)
+    and the warmup-cosine values must all agree for the trees to match."""
+    import optax
+    from flipped_tpu.train.optim import lr_schedule
+
+    cfg = TrainConfig(blr=9e-2, weight_decay=0.14, epochs=5,
+                      warmup_epochs=2.0, accum_iter=1)
+    steps_per_epoch, world_batch = 4, 8
+    rs = np.random.RandomState(7)
+    init = {"proj": {"kernel": rs.randn(6, 5).astype(np.float32)},
+            "gate": rs.randn(4).astype(np.float32),
+            "emb": rs.randn(3, 5).astype(np.float32)}
+    grad_seq = [{"proj": {"kernel": rs.randn(6, 5).astype(np.float32)},
+                 "gate": rs.randn(4).astype(np.float32),
+                 "emb": rs.randn(3, 5).astype(np.float32)}
+                for _ in range(4)]
+
+    tx = make_optimizer(cfg, steps_per_epoch, world_batch)
+    jparams = jax.tree_util.tree_map(jnp.asarray, init)
+    state = tx.init(jparams)
+
+    tparams = {"proj/kernel": torch.nn.Parameter(torch.tensor(init["proj"]["kernel"])),
+               "gate": torch.nn.Parameter(torch.tensor(init["gate"])),
+               "emb": torch.nn.Parameter(torch.tensor(init["emb"]))}
+    decay = [p for p in tparams.values() if p.ndim > 1]
+    no_decay = [p for p in tparams.values() if p.ndim <= 1]
+    opt = torch.optim.AdamW(
+        [{"params": decay, "weight_decay": cfg.weight_decay},
+         {"params": no_decay, "weight_decay": 0.0}],
+        lr=1.0, betas=(0.9, 0.95), eps=1e-8)
+    sched = lr_schedule(cfg, steps_per_epoch, world_batch)
+
+    for count, g in enumerate(grad_seq):
+        jg = jax.tree_util.tree_map(jnp.asarray, g)
+        updates, state = tx.update(jg, state, jparams)
+        jparams = optax.apply_updates(jparams, updates)
+
+        lr = float(sched(count))
+        for group in opt.param_groups:
+            group["lr"] = lr
+        tparams["proj/kernel"].grad = torch.tensor(g["proj"]["kernel"])
+        tparams["gate"].grad = torch.tensor(g["gate"])
+        tparams["emb"].grad = torch.tensor(g["emb"])
+        opt.step()
+        opt.zero_grad()
+
+    np.testing.assert_allclose(np.asarray(jparams["proj"]["kernel"]),
+                               tparams["proj/kernel"].detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(jparams["gate"]),
+                               tparams["gate"].detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(jparams["emb"]),
+                               tparams["emb"].detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_ce_matches_torch_ignore_index():
     rs = np.random.RandomState(0)
     logits = rs.randn(3, 7, 11).astype(np.float32)
