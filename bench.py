@@ -298,7 +298,7 @@ def main():
     ap.add_argument("--remat_policy", default="qkv", choices=["full", "qkv"])
     ap.add_argument("--quantize", default="w8a8",
                     choices=["none", "int8", "w8a8", "int8g", "w8a8g",
-                             "int8o", "w8a8o"])
+                             "int8o", "w8a8o", "int8r", "w8a8r"])
     ap.add_argument("--mode", default="train",
                     choices=["train", "eval", "generation"])
     ap.add_argument("--ref_style", action="store_true",
@@ -312,6 +312,8 @@ def main():
                          "accessed) for the train step — roofline-attribution "
                          "evidence when the TPU relay returns no "
                          "device-plane trace events")
+    ap.add_argument("--lm_head_chunk", type=int, default=0,
+                    help="chunked LM-head CE (0 = dense full-vocab logits)")
     ap.add_argument("--vqa_only", action="store_true",
                     help="train mode: VQA objective only (no VAQ/QAV "
                          "stack) — the long-context 7b_s4k row uses this "
@@ -361,7 +363,8 @@ def main():
                        blr=9e-2, weight_decay=0.14, vaq=vaq, qav=qav)
     tx = make_optimizer(tcfg, steps_per_epoch=100, world_batch=b)
     opt_state = tx.init(trainable)
-    step = make_train_step(model, tx, vaq=vaq, qav=qav)
+    step = make_train_step(model, tx, vaq=vaq, qav=qav,
+                           lm_chunk=args.lm_head_chunk)
 
     batch = {k: jnp.array(v) for k, v in add_accum_axis(batch, args.accum).items()}
 

@@ -268,7 +268,8 @@ def main(args):
         opt_state = jax.device_put(opt_state, replicated(mesh))
 
         train_step = make_train_step(model, tx, vaq=run_cfg.train.vaq,
-                                     qav=run_cfg.train.qav, lr_fn=lr_fn)
+                                     qav=run_cfg.train.qav, lr_fn=lr_fn,
+                                     lm_chunk=run_cfg.train.lm_head_chunk)
         # multi-process: pin one dataset-level span at setup so the SPMD eval
         # program is identical on every process with ZERO per-batch
         # collectives (policy shared with cli/evaluate.py)

@@ -134,6 +134,10 @@ class TrainConfig:
     quantize: str = "none"
     # Use the Pallas flash-attention kernel on TPU (einsum fallback otherwise)
     flash_attention: bool = True
+    # LM-head CE in sequence chunks of this size (0 = dense full-vocab
+    # logits). Bounds vocab-width memory at long context — the 3-objective
+    # stack at S=4096 overflows 16 GB on the dense head alone.
+    lm_head_chunk: int = 0
 
     def absolute_lr(self, world_batch: int) -> float:
         # lr = blr * eff_batch / 256 (reference: train.py:104-107)
@@ -146,13 +150,15 @@ def quant_flags(mode: str) -> dict:
     """Decode a --quantize mode string into FlippedVQAModel quantization
     kwargs — the ONE place the string grammar lives (int8/w8a8 base,
     'g' = grouped 128-wide sub-channel scales, 'o' = grouped + bf16
-    outlier-row passthrough). Used by the builder, bench, and the parity
-    study so the four call sites cannot drift."""
+    outlier-row passthrough, 'r' = residual-stream rotation folded into the
+    checkpoint with PLAIN absmax scales, ckpt/rotate.py). Used by the
+    builder, bench, and the parity study so the call sites cannot drift."""
     return {
         "quantized": mode != "none",
         "act_quant": mode.startswith("w8a8"),
         "quant_group": 128 if mode[-1:] in ("g", "o") else 0,
         "quant_outliers": mode.endswith("o"),
+        "rotated": mode.endswith("r"),
     }
 
 
@@ -233,7 +239,7 @@ def get_args_parser() -> argparse.ArgumentParser:
                         "recompute; +~2.4GB at 7B) — use when HBM allows")
     p.add_argument("--quantize", default="none",
                    choices=["none", "int8", "w8a8", "int8g", "w8a8g",
-                            "int8o", "w8a8o"],
+                            "int8o", "w8a8o", "int8r", "w8a8r"],
                    help="int8: weight-only quantization of the frozen "
                         "backbone (halves its HBM); w8a8: additionally "
                         "quantize activations per token and run block "
@@ -242,9 +248,18 @@ def get_args_parser() -> argparse.ArgumentParser:
                         "scales — outlier-robust, slightly slower; the "
                         "'o' variants add a dense bf16 passthrough of the "
                         "~0.8% largest-absmax input rows on top of grouped "
-                        "scales (LLM.int8()-style mixed decomposition) — "
-                        "the recommended quantized mode for real trained "
-                        "checkpoints")
+                        "scales (LLM.int8()-style mixed decomposition); "
+                        "the 'r' variants instead fold a residual-stream "
+                        "rotation into the checkpoint (QuaRot-style "
+                        "incoherence, ckpt/rotate.py) and keep PLAIN absmax "
+                        "scales — outlier-immune at full w8a8 speed; "
+                        "recommended for real trained checkpoints")
+    p.add_argument("--lm_head_chunk", type=int, default=0,
+                   help="compute the LM-head cross-entropy in sequence "
+                        "chunks of this size instead of materializing "
+                        "(rows, S, vocab) logits — needed for the "
+                        "3-objective stack at long context (e.g. 512 at "
+                        "S=4096); 0 = dense")
     p.add_argument("--no_remat", action="store_true")
     p.add_argument("--no_flash", action="store_true")
     p.add_argument("--clip_grad", type=float, default=None)
@@ -303,6 +318,7 @@ def run_config_from_args(args: argparse.Namespace) -> RunConfig:
         start_epoch=args.start_epoch, clip_grad=args.clip_grad,
         remat=not args.no_remat, flash_attention=not args.no_flash,
         remat_policy=args.remat_policy, quantize=args.quantize,
+        lm_head_chunk=args.lm_head_chunk,
     )
     mesh = MeshConfig(dp=args.dp, tp=args.tp)
     return RunConfig(model=model, data=data, train=train, mesh=mesh,

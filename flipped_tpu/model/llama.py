@@ -394,6 +394,12 @@ class FlippedVQAModel(nn.Module):
     # bf16 passthrough of the largest-absmax input rows per matmul
     # (LLM.int8()-style mixed decomposition, --quantize int8o|w8a8o)
     quant_outliers: bool = False
+    # Residual-stream rotation folded into the checkpoint
+    # (ckpt/rotate.py, --quantize int8r|w8a8r): every weight transform is
+    # offline; the ONE runtime difference is the QAV head, which consumes
+    # norm(h)·vfᵀ directly (reference model.py:358-361) and so needs the
+    # folded final-norm γ restored via the stored Rᵀdiag(γ)R matrix.
+    rotated: bool = False
 
     def setup(self):
         cfg = self.cfg
@@ -417,6 +423,13 @@ class FlippedVQAModel(nn.Module):
                              quant_group=self.quant_group,
                              quant_outliers=self.quant_outliers,
                              name="output")
+        if self.rotated:
+            # Rᵀ diag(γ_norm) R (symmetric; identity until the rotated
+            # checkpoint is grafted in). Frozen: no TRAINABLE_MARKERS match.
+            self.qav_rot = self.param(
+                "qav_rot",
+                lambda key, shape, dtype: jnp.eye(shape[0], dtype=dtype),
+                (cfg.dim, cfg.dim), jnp.float32)
         # Trainables (reference: model.py:208, 229; llama_vqa.py:71-77)
         self.adapter_query = self.param(
             "adapter_query", nn.initializers.normal(1.0),
@@ -535,8 +548,12 @@ class FlippedVQAModel(nn.Module):
     def qav_logits(self, h: jax.Array, video_feature: jax.Array) -> jax.Array:
         """Frame-ordering logits: h · video_featureᵀ / tau over the F frames
         (reference: model.py:358-361 — uses the *pre-temporal* features)."""
-        return (jnp.einsum("bsd,bfd->bsf", h[:, :-1].astype(jnp.float32),
-                           video_feature.astype(jnp.float32))
+        vf = video_feature.astype(jnp.float32)
+        if self.rotated:
+            # restore the folded final-norm γ inside the bilinear form:
+            # norm(h)⊙γ · vfᵀ == h_rot · (Rᵀdiag(γ)R) vf_rotᵀ
+            vf = vf @ self.qav_rot.astype(jnp.float32)
+        return (jnp.einsum("bsd,bfd->bsf", h[:, :-1].astype(jnp.float32), vf)
                 / self.cfg.tau)
 
     # --- KV-cache generation --------------------------------------------------

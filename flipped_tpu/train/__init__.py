@@ -1,6 +1,6 @@
 from .objectives import (Losses, ce_ignore_index, compute_objective_losses,
-                         fused_forward, option_scores, option_scores_cached,
-                         token_ce_unreduced)
+                         fused_forward, lm_ce_rowwise_chunked, option_scores,
+                         option_scores_cached, token_ce_unreduced)
 from .optim import (TRAINABLE_MARKERS, cast_partitions, is_trainable,
                     lr_schedule, make_optimizer, merge_params,
                     partition_params)
@@ -9,7 +9,8 @@ from .step import (TrainMetrics, make_eval_step, make_train_step,
 
 __all__ = [
     "Losses", "ce_ignore_index", "compute_objective_losses", "fused_forward",
-    "option_scores", "option_scores_cached", "token_ce_unreduced",
+    "lm_ce_rowwise_chunked", "option_scores", "option_scores_cached",
+    "token_ce_unreduced",
     "TRAINABLE_MARKERS",
     "cast_partitions", "is_trainable", "lr_schedule", "make_optimizer",
     "merge_params", "partition_params", "TrainMetrics", "make_eval_step",

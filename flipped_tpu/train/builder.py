@@ -111,6 +111,17 @@ def build_train_state(run_cfg: RunConfig, seed: int = 0,
     trainable, frozen = partition_params(params)
     loaded = load_or_convert_frozen(run_cfg)
     quantized = run_cfg.train.quantize != "none"
+    if loaded is not None and run_cfg.train.quantize.endswith("r"):
+        # Fold the residual-stream rotation into the bf16 checkpoint BEFORE
+        # on-the-fly quantization (ckpt/rotate.py). Deterministic in the
+        # default seed, so resume/evaluate rebuild the identical tree.
+        # Fresh-init trainables (adapter_query etc.) simply live in rotated
+        # coordinates — an equivalent parametrization.
+        from ..ckpt.rotate import rotate_params
+
+        print("folding residual-stream rotation into the checkpoint "
+              "(--quantize *r)")
+        loaded = rotate_params(loaded, cfg.n_layers, cfg.adapter_layer)
     if loaded is not None:
         # graft loaded leaves into the frozen tree; missing keys keep their
         # random init with a LOUD warning (the reference's

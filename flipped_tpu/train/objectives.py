@@ -57,6 +57,54 @@ def token_ce_unreduced(logits: jax.Array, labels: jax.Array) -> jax.Array:
     return jnp.where(valid, -tok_ll, 0.0)
 
 
+def lm_ce_rowwise_chunked(model, params, h: jax.Array, labels: jax.Array,
+                          chunk_size: int) -> tuple:
+    """Per-row CE sum and valid-token count WITHOUT materializing the
+    (rows, S, vocab) logit tensor.
+
+    The dense path in `compute_objective_losses` holds the full vocab-width
+    logits (plus f32 log-softmax residuals for backward) — ~1.5 GB at
+    S=4096 for the 2 LM rows, the margin by which the 3-objective stack
+    overflows a 16 GB chip at long context. Here the sequence axis is swept
+    in `chunk_size` slices under `lax.scan`; each slice projects to vocab,
+    reduces to a per-row (sum, count) pair, and is wrapped in
+    `jax.checkpoint` so backward recomputes the slice's logits instead of
+    saving them. Peak live vocab-width memory: ONE chunk. Numerics are
+    identical to the dense path (f32 log-softmax, same sum/count reduction;
+    only the reduction order over chunks differs).
+
+    h: (rows, S-1, D) — already shifted (positions predicting labels[1:]).
+    labels: (rows, S-1) int, ignore_index=0.
+    Returns (sum (rows,) f32, count (rows,) int32).
+    """
+    rows, sm1, d = h.shape
+    nc = -(-sm1 // chunk_size)
+    pad = nc * chunk_size - sm1
+    if pad:
+        h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+        labels = jnp.pad(labels, ((0, 0), (0, pad)))  # pad id 0 == ignore
+    h_c = h.reshape(rows, nc, chunk_size, d).transpose(1, 0, 2, 3)
+    l_c = labels.reshape(rows, nc, chunk_size).transpose(1, 0, 2)
+
+    @jax.checkpoint
+    def chunk_ce(hc, lc):
+        logits = model.apply(params, hc, method="lm_logits")
+        logits = logits.astype(jnp.float32)
+        valid = lc != 0
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tok_ll = jnp.take_along_axis(logp, lc[..., None], axis=-1)[..., 0]
+        return (jnp.where(valid, -tok_ll, 0.0).sum(-1),
+                valid.sum(-1).astype(jnp.int32))
+
+    def body(carry, xs):
+        s, c = chunk_ce(*xs)
+        return (carry[0] + s, carry[1] + c), None
+
+    init = (jnp.zeros((rows,), jnp.float32), jnp.zeros((rows,), jnp.int32))
+    (tot, cnt), _ = jax.lax.scan(body, init, (h_c, l_c))
+    return tot, cnt
+
+
 def fused_forward(model, params, batch: Dict[str, Any], vaq: bool, qav: bool):
     """Run fuse + stacked encode; returns (h per objective, raw video feats).
 
@@ -83,20 +131,35 @@ def fused_forward(model, params, batch: Dict[str, Any], vaq: bool, qav: bool):
 
 
 def compute_objective_losses(model, params, batch: Dict[str, Any], vaq: bool,
-                             qav: bool) -> Losses:
+                             qav: bool, lm_chunk: int = 0) -> Losses:
+    """lm_chunk > 0 sweeps the LM head in sequence chunks of that size
+    (see `lm_ce_rowwise_chunked`) instead of materializing full-vocab
+    logits — same losses, bounded vocab-width memory."""
     parts, vf = fused_forward(model, params, batch, vaq, qav)
     zero = jnp.zeros((), jnp.float32)
 
     # LM head over VQA (+VAQ) rows only.
     lm_keys = ["vqa"] + (["vaq"] if vaq else [])
     lm_h = jnp.concatenate([parts[k] for k in lm_keys], axis=0)
-    logits = model.apply(params, lm_h, method="lm_logits")  # (nB,S,V)
     b = batch["vqa_tokens"].shape[0]
 
-    def lm_loss(k, idx):
-        lg = logits[idx * b:(idx + 1) * b, :-1]
-        labels = batch[f"{k}_labels"][:, 1:]
-        return ce_ignore_index(lg, labels, ignore_index=0)
+    if lm_chunk > 0:
+        lm_labels = jnp.concatenate(
+            [batch[f"{k}_labels"] for k in lm_keys], axis=0)
+        tot, cnt = lm_ce_rowwise_chunked(
+            model, params, lm_h[:, :-1], lm_labels[:, 1:], lm_chunk)
+
+        def lm_loss(k, idx):
+            s = tot[idx * b:(idx + 1) * b].sum()
+            c = cnt[idx * b:(idx + 1) * b].sum()
+            return s / jnp.maximum(c, 1)
+    else:
+        logits = model.apply(params, lm_h, method="lm_logits")  # (nB,S,V)
+
+        def lm_loss(k, idx):
+            lg = logits[idx * b:(idx + 1) * b, :-1]
+            labels = batch[f"{k}_labels"][:, 1:]
+            return ce_ignore_index(lg, labels, ignore_index=0)
 
     vqa_loss = lm_loss("vqa", 0)
     vaq_loss = lm_loss("vaq", 1) if vaq else zero

@@ -92,7 +92,10 @@ def cast_partitions(trainable, frozen, trainable_dtype=jnp.float32,
     def cast_frozen(node):
         if not isinstance(node, dict):
             return cast(frozen_dtype)(node)
-        return {k: (v if k == "scale" and v is not None else cast_frozen(v))
+        # 'scale' (int8 dequant) and 'qav_rot' (rotation-fold restore,
+        # ckpt/rotate.py) stay f32 — both feed f32 numerics directly
+        return {k: (v if k in ("scale", "qav_rot") and v is not None
+                    else cast_frozen(v))
                 for k, v in node.items()}
 
     return trainable, cast_frozen(frozen)

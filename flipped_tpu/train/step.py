@@ -33,16 +33,19 @@ class TrainMetrics(NamedTuple):
 
 
 def make_train_step(model, tx: optax.GradientTransformation, vaq: bool,
-                    qav: bool, lr_fn=None):
+                    qav: bool, lr_fn=None, lm_chunk: int = 0):
     """Returns train_step(trainable, opt_state, frozen, batch) → (trainable,
     opt_state, TrainMetrics).
 
     `batch` leaves have a leading accumulation axis: (accum, B, ...).
+    lm_chunk > 0 computes the LM-head CE in sequence chunks (no full-vocab
+    logit buffer — see objectives.lm_ce_rowwise_chunked).
     """
 
     def loss_fn(trainable, frozen, microbatch):
         params = {"params": merge_params(trainable, frozen)}
-        losses = compute_objective_losses(model, params, microbatch, vaq, qav)
+        losses = compute_objective_losses(model, params, microbatch, vaq, qav,
+                                          lm_chunk=lm_chunk)
         return losses.total, losses
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))

@@ -53,7 +53,7 @@ OUTLIER_RANGE = (10.0, 30.0)  # amplification factors (× channel RMS)
 
 def _synthesize_frozen(frozen, seed: int, quantize: bool,
                        dist: str = "gaussian", model_dim: int = 0,
-                       group: int = 0, outliers: bool = False):
+                       group: int = 0, outliers: bool = False, rot=None):
     """Replace every frozen matmul kernel with a deterministic random weight
     (identical draws across phases), as bf16 or as int8-of-that-bf16.
     Pushes leaf by leaf and frees the init buffer, so peak HBM stays ~1×.
@@ -61,6 +61,15 @@ def _synthesize_frozen(frozen, seed: int, quantize: bool,
     dist: 'gaussian' (round-2 baseline), 'student_t' (df=4 heavy tails,
     variance-normalized — random large individual entries), or 'outlier'
     (gaussian + one global set of amplified residual channels, see above).
+
+    rot (ckpt.rotate.Rotation): the int8r/w8a8r phases fold the
+    residual-stream rotation into each kernel BEFORE plain-absmax
+    quantization (readers: Rᵀ·W on the input axis; writers: W·R on the
+    output axis) — host-side per leaf, so peak host RAM stays ~1 leaf. The
+    study's norm weights are at their flax init (ones), so the γ folds of
+    ckpt/rotate.py are no-ops here and qav_rot = RᵀIR = I (the model's
+    identity init is already correct); _rotate_residual_tensors handles
+    the non-kernel residual-space tensors.
     """
     import jax
     import jax.numpy as jnp
@@ -87,6 +96,11 @@ def _synthesize_frozen(frozen, seed: int, quantize: bool,
                 w[o_dims, :] *= o_fac[:, None]
             if name in _RESIDUAL_WRITERS and shape[-1] == model_dim:
                 w[:, o_dims] *= o_fac[None, :]
+        if rot is not None:
+            if name in _RESIDUAL_READERS and shape[0] == model_dim:
+                w = rot.left_t(w)
+            if name in _RESIDUAL_WRITERS and shape[-1] == model_dim:
+                w = rot.right(w)
         return w
 
     def walk(node, name=""):
@@ -116,6 +130,37 @@ def _synthesize_frozen(frozen, seed: int, quantize: bool,
                 out[k] = walk(v, k)
         return out
     return walk(frozen)
+
+
+def _rotate_residual_tensors(trainable, frozen, rot):
+    """Rotate the non-kernel tensors living in the residual basis so the
+    rotated phase is mathematically the SAME model as the bf16 phase:
+    tok_embeddings (frozen) and adapter_query / temporal_emb / visual_proj
+    (trainable, at flax init). Norm γ = 1 in the study, so the adapter's
+    γ⁻¹ pre-division (ckpt/rotate.py) is a no-op and a'_l = a_l R."""
+    import jax
+    import jax.numpy as jnp
+
+    def rot_leaf(x, fold):
+        y = fold(np.asarray(x, np.float32))
+        return jax.device_put(jnp.asarray(y).astype(x.dtype))
+
+    frozen = dict(frozen)
+    te = dict(frozen["tok_embeddings"])
+    te["embedding"] = rot_leaf(te["embedding"], rot.right)
+    frozen["tok_embeddings"] = te
+
+    trainable = dict(trainable)
+    trainable["adapter_query"] = rot_leaf(trainable["adapter_query"],
+                                          rot.right)
+    trainable["temporal_emb"] = rot_leaf(trainable["temporal_emb"], rot.right)
+    vp = dict(trainable["visual_proj"])
+    vp["kernel"] = rot_leaf(vp["kernel"], rot.right)
+    trainable["visual_proj"] = vp
+    return trainable, frozen
+
+
+ROTATION_SEED = 999  # fixed across phases/legs — any value works
 
 
 def run_train_phase(args):
@@ -167,10 +212,16 @@ def run_train_phase(args):
         ib["video"][0], None, ib["vqa_video_start"][0],
         ib["vqa_splice"][0])["params"]
     trainable, frozen = partition_params(params)
+    rot = None
+    if flags.get("rotated"):
+        from flipped_tpu.ckpt.rotate import Rotation
+        rot = Rotation(cfg.dim, seed=ROTATION_SEED)
     frozen = _synthesize_frozen(frozen, seed=args.weight_seed + 1,
                                 quantize=quantized, dist=args.weights,
                                 model_dim=cfg.dim, group=group,
-                                outliers=outliers)
+                                outliers=outliers, rot=rot)
+    if rot is not None:
+        trainable, frozen = _rotate_residual_tensors(trainable, frozen, rot)
 
     tcfg = TrainConfig(epochs=5, warmup_epochs=1, accum_iter=1, blr=9e-2,
                        weight_decay=0.14, vaq=True, qav=True)
@@ -216,7 +267,8 @@ def report_train(args):
                "loss_first_bf16": float(bf["loss"][0]),
                "loss_last_bf16": float(bf["loss"][-1]),
                "loss_drop_bf16": float(bf["loss"][0] - bf["loss"][-1])}
-        for ph in ("int8", "w8a8", "int8g", "w8a8g", "int8o", "w8a8o"):
+        for ph in ("int8", "w8a8", "int8g", "w8a8g", "int8o", "w8a8o",
+                   "int8r", "w8a8r"):
             path = os.path.join(args.out, f"train_{ph}{sfx}.npz")
             if not os.path.exists(path):
                 continue
@@ -298,10 +350,16 @@ def run_phase(args):
     trainable, frozen = partition_params(params)
     # trainable adapters/gates keep their (path-keyed, phase-identical) flax
     # init; the backbone is re-synthesized identically in both phases
+    rot = None
+    if flags.get("rotated"):
+        from flipped_tpu.ckpt.rotate import Rotation
+        rot = Rotation(cfg.dim, seed=ROTATION_SEED)
     frozen = _synthesize_frozen(frozen, seed=args.weight_seed + 1,
                                 quantize=quantized, dist=args.weights,
                                 model_dim=cfg.dim, group=group,
-                                outliers=outliers)
+                                outliers=outliers, rot=rot)
+    if rot is not None:
+        trainable, frozen = _rotate_residual_tensors(trainable, frozen, rot)
 
     step = make_eval_step(model, cached=True, span_len=span)
     all_scores, all_answers = [], []
@@ -336,7 +394,8 @@ def report(args):
             continue
         bf = np.load(bf_path)
         out_all[dist] = {}
-        for phase in ("int8", "w8a8", "int8g", "w8a8g", "int8o", "w8a8o"):
+        for phase in ("int8", "w8a8", "int8g", "w8a8g", "int8o", "w8a8o",
+                      "int8r", "w8a8r"):
             path = os.path.join(args.out, f"scores_{phase}{sfx}.npz")
             if not os.path.exists(path):
                 continue
@@ -384,7 +443,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", required=True,
                     choices=["bf16", "int8", "w8a8", "int8g", "w8a8g",
-                             "int8o", "w8a8o", "report"])
+                             "int8o", "w8a8o", "int8r", "w8a8r", "report"])
     ap.add_argument("--out", default="/tmp/int8_study")
     ap.add_argument("--preset", default="7b", choices=["7b", "tiny"])
     ap.add_argument("--batch", type=int, default=8)

@@ -45,6 +45,43 @@ def build(seed=0, n=4, split="train"):
     return model, params["params"], batch, items
 
 
+@pytest.mark.parametrize("chunk", [7, 32, 1024])
+def test_chunked_lm_ce_matches_dense(chunk):
+    """lm_head_chunk must be a pure memory optimization: losses AND gradients
+    identical to the dense full-vocab path (chunk sizes that don't divide
+    S-1, that do, and one chunk larger than S all reduce to the same sums)."""
+    from flipped_tpu.train import compute_objective_losses, partition_params
+
+    model, params, batch, _ = build(seed=3, n=4)
+    jbatch = {k: jnp.array(v) for k, v in batch.items()}
+    trainable, frozen = partition_params(params)
+
+    def loss(tr, lm_chunk):
+        p = {"params": merge_params(tr, frozen)}
+        losses = compute_objective_losses(model, p, jbatch, vaq=True,
+                                          qav=True, lm_chunk=lm_chunk)
+        return losses.total, losses
+
+    (dense_tot, dense_l), dense_g = jax.value_and_grad(
+        loss, has_aux=True)(trainable, 0)
+    (ch_tot, ch_l), ch_g = jax.value_and_grad(
+        loss, has_aux=True)(trainable, chunk)
+
+    np.testing.assert_allclose(float(ch_l.vqa), float(dense_l.vqa),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(float(ch_l.vaq), float(dense_l.vaq),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(float(ch_l.qav), float(dense_l.qav),
+                               rtol=1e-6, atol=1e-7)
+    flat_d = jax.tree_util.tree_leaves_with_path(dense_g)
+    flat_c = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(ch_g)}
+    for k, vd in flat_d:
+        np.testing.assert_allclose(
+            np.asarray(flat_c[jax.tree_util.keystr(k)]), np.asarray(vd),
+            rtol=2e-5, atol=1e-6, err_msg=jax.tree_util.keystr(k))
+
+
 def test_adamw_update_matches_torch():
     """Optimizer-update oracle: run the same params + gradient sequence
     through our make_optimizer chain and through torch.optim.AdamW with
