@@ -173,6 +173,61 @@ def test_rotated_quantized_model_runs():
         assert abs(q - b) < 0.35 * max(abs(b), 1.0), (name, b, q)
 
 
+def test_builder_rotated_checkpoint_build(tmp_path):
+    """--quantize w8a8r through the real builder: export a tiny reference
+    checkpoint (non-trivial norm γ), build, and check the fold landed —
+    norm weights at 1, qav_rot ≠ I and f32, plain (out,) absmax scales,
+    and one finite train step."""
+    from flipped_tpu.ckpt import export_reference_style
+    from flipped_tpu.core.config import (DataConfig, RunConfig,
+                                         TrainConfig)
+    from flipped_tpu.train import make_optimizer, make_train_step
+    from flipped_tpu.train.builder import build_train_state
+
+    _, params, _ = _tiny(seed=6)  # perturbed norms → non-trivial γ folds
+    mdir = tmp_path / "tiny_rot"
+    export_reference_style(
+        params, 1, str(mdir),
+        dict(dim=CFG.dim, n_layers=CFG.n_layers, n_heads=CFG.n_heads,
+             norm_eps=CFG.norm_eps, vocab_size=CFG.vocab_size,
+             multiple_of=CFG.multiple_of))
+
+    run_cfg = RunConfig(
+        model=ModelConfig(adapter_len=CFG.adapter_len,
+                          adapter_layer=CFG.adapter_layer,
+                          max_feats=CFG.max_feats, bias=CFG.bias,
+                          tau=CFG.tau),
+        data=DataConfig(max_seq_len=CFG.max_seq_len),
+        train=TrainConfig(quantize="w8a8r", vaq=True, qav=True, remat=False),
+        llama_model_path=str(tmp_path), model_name="tiny_rot")
+    model, cfg, tok, trainable, frozen = build_train_state(run_cfg)
+
+    qr = np.asarray(frozen["qav_rot"])
+    assert frozen["qav_rot"].dtype == jnp.float32          # cast-exempt
+    assert np.abs(qr - np.eye(cfg.dim)).max() > 0.01       # γ folded in
+    for i in range(cfg.n_layers):
+        for nrm in ("attention_norm", "ffn_norm"):
+            np.testing.assert_array_equal(
+                np.asarray(frozen[f"layers_{i}"][nrm]["weight"],
+                           np.float32), 1.0)
+        assert frozen[f"layers_{i}"]["attention"]["wq"]["scale"].ndim == 1
+    np.testing.assert_array_equal(
+        np.asarray(frozen["norm"]["weight"], np.float32), 1.0)
+
+    items = make_synthetic_items(tok, 2, max_feats=cfg.max_feats,
+                                 max_seq_len=cfg.max_seq_len, split="train",
+                                 visual_dim=cfg.visual_dim, seed=1)
+    from flipped_tpu.data import add_accum_axis
+    batch = {k: jnp.array(v) for k, v in
+             add_accum_axis(pack_train_batch(items, cfg.max_feats),
+                            1).items()}
+    tx = make_optimizer(TrainConfig(lr=1e-3), steps_per_epoch=2,
+                        world_batch=2)
+    step = make_train_step(model, tx, vaq=True, qav=True)
+    trainable, _, m = step(trainable, tx.init(trainable), frozen, batch)
+    assert np.isfinite(float(m.loss))
+
+
 def test_rotate_params_partial_tree_guards():
     model, params, _ = _tiny()
     broken = dict(params)
