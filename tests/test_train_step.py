@@ -82,6 +82,46 @@ def test_chunked_lm_ce_matches_dense(chunk):
             rtol=2e-5, atol=1e-6, err_msg=jax.tree_util.keystr(k))
 
 
+def test_chunked_lm_ce_cuts_peak_memory():
+    """The reason the option exists: XLA's own memory analysis of the
+    compiled train step must show a lower temp footprint with the chunked
+    LM head (no (rows, S, vocab) logit buffer — the margin that lets the
+    3-objective stack train at S=4096 on a 16 GB chip, docs/PERF.md)."""
+    from flipped_tpu.core.config import ModelConfig, TrainConfig
+    from flipped_tpu.data import add_accum_axis
+    from flipped_tpu.model import FlippedVQAModel
+    from flipped_tpu.text import MockTokenizer
+    from flipped_tpu.train import make_optimizer
+
+    cfg = ModelConfig(dim=64, n_layers=2, n_heads=4, vocab_size=8192,
+                      multiple_of=32, max_seq_len=512, adapter_len=4,
+                      adapter_layer=2, max_feats=4, visual_dim=16)
+    tok = MockTokenizer(cfg.vocab_size)
+    model = FlippedVQAModel(cfg, dtype=jnp.float32, frozen_dtype=jnp.float32,
+                            trainable_dtype=jnp.float32, remat=True)
+    items = make_synthetic_items(tok, 2, max_feats=cfg.max_feats,
+                                 max_seq_len=cfg.max_seq_len,
+                                 visual_dim=cfg.visual_dim, seed=0)
+    b = {k: jnp.array(v) for k, v in
+         add_accum_axis(pack_train_batch(items, cfg.max_feats), 1).items()}
+    params = model.init(jax.random.PRNGKey(0), b["vqa_tokens"][0],
+                        b["video"][0], None, b["vqa_video_start"][0],
+                        b["vqa_splice"][0])["params"]
+    tr, fz = partition_params(params)
+    tx = make_optimizer(TrainConfig(lr=1e-3), 10, 4)
+    opt = tx.init(tr)
+
+    def temp_bytes(chunk):
+        step = make_train_step(model, tx, vaq=True, qav=True, lm_chunk=chunk)
+        ma = step.lower(tr, opt, fz, b).compile().memory_analysis()
+        return ma.temp_size_in_bytes
+
+    dense, chunked = temp_bytes(0), temp_bytes(128)
+    # dense holds ≥ (4 rows × 511 × 8192) logits in f32 twice (logits +
+    # log-softmax residuals) ≈ 134 MB; chunked should drop well below
+    assert chunked < 0.8 * dense, (dense, chunked)
+
+
 def test_adamw_update_matches_torch():
     """Optimizer-update oracle: run the same params + gradient sequence
     through our make_optimizer chain and through torch.optim.AdamW with
