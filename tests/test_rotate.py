@@ -123,6 +123,30 @@ def test_rotated_model_exactly_equivalent():
     np.testing.assert_allclose(np.asarray(s_rot), np.asarray(s_base),
                                rtol=1e-4, atol=1e-4)
 
+    # prefix-shared cached scorer (prefill + chunk-extend seam)
+    from flipped_tpu.train import option_scores_cached
+    c_base = option_scores_cached(model, {"params": params}, ebatch, 16)
+    c_rot = option_scores_cached(rmodel, {"params": rparams}, ebatch, 16)
+    np.testing.assert_allclose(np.asarray(c_rot), np.asarray(c_base),
+                               rtol=1e-4, atol=1e-4)
+
+    # KV-cached greedy decode seam (prefill + decode_step + output head)
+    def decode_logits(m, p):
+        vf = m.apply({"params": p}, ebatch["video"], None, method="fuse")
+        toks = ebatch["vqa_tokens"][:, 0]
+        s = toks.shape[1]
+        h, ck, cv = m.apply({"params": p}, toks, vf,
+                            ebatch["vqa_video_start"], ebatch["vqa_splice"],
+                            s + 4, method="prefill")
+        pos = jnp.full((toks.shape[0],), s - 1, jnp.int32)
+        lg, _, _ = m.apply({"params": p}, toks[:, -1], ck, cv, pos,
+                           ebatch["vqa_video_start"], method="decode_step")
+        return np.asarray(lg, np.float32)
+
+    np.testing.assert_allclose(decode_logits(rmodel, rparams),
+                               decode_logits(model, params),
+                               rtol=2e-4, atol=2e-4)
+
 
 def test_rotation_fixes_outlier_quantization():
     """The property the scheme exists for: with amplified residual input
