@@ -55,6 +55,12 @@ PRESETS = {
                           vocab_size=32000, multiple_of=256,
                           max_seq_len=4096, adapter_len=10, adapter_layer=32,
                           max_feats=10, bias=3.0, tau=100.0),
+    # S=8192: double the s4k row — streaming kernels have no design bound;
+    # fits a 16 GB chip only with full remat + --vqa_only + --lm_head_chunk
+    "7b_s8k": ModelConfig(dim=4096, n_layers=32, n_heads=32,
+                          vocab_size=32000, multiple_of=256,
+                          max_seq_len=8192, adapter_len=10, adapter_layer=32,
+                          max_feats=10, bias=3.0, tau=100.0),
     # 13B (reference 13B runs use --adapter_layer 40, run-nextqa13B-array.sh)
     "13b": ModelConfig(dim=5120, n_layers=40, n_heads=40, vocab_size=32000,
                        multiple_of=256, max_seq_len=128, adapter_len=10,
