@@ -78,6 +78,7 @@ def lm_ce_rowwise_chunked(model, params, h: jax.Array, labels: jax.Array,
     Returns (sum (rows,) f32, count (rows,) int32).
     """
     rows, sm1, d = h.shape
+    chunk_size = min(chunk_size, sm1)  # don't pad PAST the sequence
     nc = -(-sm1 // chunk_size)
     pad = nc * chunk_size - sm1
     if pad:
