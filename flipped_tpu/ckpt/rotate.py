@@ -170,6 +170,19 @@ def rotate_params(params: dict, n_layers: int, adapter_layer: int = 0,
     def has(node, key):
         return isinstance(node, dict) and node.get(key) is not None
 
+    def _no_quantized(node):
+        if isinstance(node, dict):
+            if "kernel_q" in node:
+                raise ValueError(
+                    "rotate_params got an int8-QUANTIZED tree (kernel_q "
+                    "leaf found) — the rotation must fold into the bf16/f32 "
+                    "kernels BEFORE quantization (ckpt/quantize.py runs "
+                    "after)")
+            for v in node.values():
+                _no_quantized(v)
+
+    _no_quantized(params)
+
     out = {k: (dict(v) if isinstance(v, dict) else v)
            for k, v in params.items()}
     dim = None

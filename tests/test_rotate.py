@@ -260,3 +260,12 @@ def test_rotate_params_partial_tree_guards():
         rotate_params(broken, CFG.n_layers, CFG.adapter_layer)
     with pytest.raises(ValueError, match="adapter_layer"):
         rotate_params(params, CFG.n_layers, 0)
+    # a quantized tree must be rejected outright (silent skip of kernel_q
+    # while zeroing norms would corrupt the model)
+    qtree = dict(params)
+    qtree["layers_0"] = dict(params["layers_0"])
+    qtree["layers_0"]["attention"] = {
+        "wq": {"kernel_q": np.zeros((CFG.dim, CFG.dim), np.int8),
+               "scale": np.ones((CFG.dim,), np.float32)}}
+    with pytest.raises(ValueError, match="QUANTIZED"):
+        rotate_params(qtree, CFG.n_layers, CFG.adapter_layer)
