@@ -299,6 +299,13 @@ def _config(args):
                            vocab_size=32000, multiple_of=256, max_seq_len=128,
                            adapter_len=10, adapter_layer=32, max_feats=10,
                            bias=3.5, tau=100.0)
+    if args.preset == "small":
+        # CPU-runnable scale where outlier incoherence is already visible
+        # (dim 512 spreads an outlier by √512 ≈ 23×) — used to pre-validate
+        # the rotation phases without TPU time
+        return ModelConfig(dim=512, n_layers=4, n_heads=8, vocab_size=4096,
+                           multiple_of=64, max_seq_len=128, adapter_len=10,
+                           adapter_layer=4, max_feats=10, visual_dim=16)
     return ModelConfig(dim=64, n_layers=2, n_heads=4, vocab_size=512,
                        multiple_of=32, max_seq_len=128, adapter_len=10,
                        adapter_layer=2, max_feats=10, visual_dim=16)
@@ -445,7 +452,7 @@ def main():
                     choices=["bf16", "int8", "w8a8", "int8g", "w8a8g",
                              "int8o", "w8a8o", "int8r", "w8a8r", "report"])
     ap.add_argument("--out", default="/tmp/int8_study")
-    ap.add_argument("--preset", default="7b", choices=["7b", "tiny"])
+    ap.add_argument("--preset", default="7b", choices=["7b", "small", "tiny"])
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=128)
     ap.add_argument("--data_seed", type=int, default=1234)
