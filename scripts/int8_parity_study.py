@@ -180,7 +180,13 @@ def run_train_phase(args):
                                    partition_params)
 
     from flipped_tpu.core.config import quant_flags
-    flags = quant_flags("none" if args.phase == "bf16" else args.phase)
+    flags = quant_flags("none" if args.phase in ("bf16", "bf16r")
+                        else args.phase)
+    if args.phase == "bf16r":
+        # rotated-but-UNQUANTIZED control: proves the study's rotation fold
+        # is a pure reparametrization (scores must match bf16 up to bf16
+        # rounding) before attributing int8r/w8a8r deltas to quantization
+        flags["rotated"] = True
     quantized, group = flags["quantized"], flags["quant_group"]
     outliers = flags["quant_outliers"]
     cfg = _config(args)
@@ -267,23 +273,31 @@ def report_train(args):
                "loss_first_bf16": float(bf["loss"][0]),
                "loss_last_bf16": float(bf["loss"][-1]),
                "loss_drop_bf16": float(bf["loss"][0] - bf["loss"][-1])}
+        bfr_path = os.path.join(args.out, f"train_bf16r{sfx}.npz")
+        bfr = np.load(bfr_path) if os.path.exists(bfr_path) else None
         for ph in ("int8", "w8a8", "int8g", "w8a8g", "int8o", "w8a8o",
-                   "int8r", "w8a8r"):
+                   "int8r", "w8a8r", "bf16r"):
             path = os.path.join(args.out, f"train_{ph}{sfx}.npz")
             if not os.path.exists(path):
                 continue
             q8 = np.load(path)
-            dl = np.abs(bf["loss"] - q8["loss"])
+            # rotated trajectories compare against the rotated-unquantized
+            # control (see report(): reparametrization vs quantization)
+            base = bfr if (ph.endswith("r") and ph != "bf16r"
+                           and bfr is not None) else bf
+            dl = np.abs(base["loss"] - q8["loss"])
             out[ph] = {
                 "loss_first": float(q8["loss"][0]),
                 "loss_last": float(q8["loss"][-1]),
                 "loss_drop": float(q8["loss"][0] - q8["loss"][-1]),
                 "loss_abs_delta_mean": float(dl.mean()),
                 "loss_abs_delta_max": float(dl.max()),
-                "loss_rel_delta_mean": float((dl / np.abs(bf["loss"])).mean()),
+                "loss_rel_delta_mean": float(
+                    (dl / np.abs(base["loss"])).mean()),
                 "grad_norm_rel_delta_mean": float(
-                    (np.abs(bf["grad_norm"] - q8["grad_norm"])
-                     / np.abs(bf["grad_norm"])).mean()),
+                    (np.abs(base["grad_norm"] - q8["grad_norm"])
+                     / np.abs(base["grad_norm"])).mean()),
+                **({"baseline": "bf16r"} if base is bfr else {}),
             }
         out_all[dist] = out
     print(json.dumps(out_all, indent=2))
@@ -322,7 +336,13 @@ def run_phase(args):
                                    required_eval_span)
 
     from flipped_tpu.core.config import quant_flags
-    flags = quant_flags("none" if args.phase == "bf16" else args.phase)
+    flags = quant_flags("none" if args.phase in ("bf16", "bf16r")
+                        else args.phase)
+    if args.phase == "bf16r":
+        # rotated-but-UNQUANTIZED control: proves the study's rotation fold
+        # is a pure reparametrization (scores must match bf16 up to bf16
+        # rounding) before attributing int8r/w8a8r deltas to quantization
+        flags["rotated"] = True
     quantized, group = flags["quantized"], flags["quant_group"]
     outliers = flags["quant_outliers"]
     cfg = _config(args)
@@ -400,13 +420,27 @@ def report(args):
         if not os.path.exists(bf_path):
             continue
         bf = np.load(bf_path)
+        bfr_path = os.path.join(args.out, f"scores_bf16r{sfx}.npz")
+        bfr = np.load(bfr_path) if os.path.exists(bfr_path) else None
         out_all[dist] = {}
         for phase in ("int8", "w8a8", "int8g", "w8a8g", "int8o", "w8a8o",
-                      "int8r", "w8a8r"):
+                      "int8r", "w8a8r", "bf16r"):
             path = os.path.join(args.out, f"scores_{phase}{sfx}.npz")
             if not os.path.exists(path):
                 continue
-            out_all[dist][phase] = _compare(bf, np.load(path))
+            # rotated phases are a REPARAMETRIZATION: their bf16 rounding
+            # pattern differs from the unrotated model's, which random
+            # (chaos-amplifying) synthetic weights blow up into large score
+            # deltas that have nothing to do with quantization. Compare
+            # int8r/w8a8r against the rotated-unquantized bf16r control so
+            # the delta isolates QUANTIZATION error; the bf16r-vs-bf16 row
+            # itself quantifies the reparametrization floor.
+            base = bfr if (phase.endswith("r") and phase != "bf16r"
+                           and bfr is not None) else bf
+            cmp = _compare(base, np.load(path))
+            if base is bfr:
+                cmp["baseline"] = "bf16r"
+            out_all[dist][phase] = cmp
     print(json.dumps(out_all, indent=2))
     with open(os.path.join(args.out, "report.json"), "w") as f:
         json.dump(out_all, f, indent=2)
@@ -450,7 +484,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", required=True,
                     choices=["bf16", "int8", "w8a8", "int8g", "w8a8g",
-                             "int8o", "w8a8o", "int8r", "w8a8r", "report"])
+                             "int8o", "w8a8o", "int8r", "w8a8r", "bf16r", "report"])
     ap.add_argument("--out", default="/tmp/int8_study")
     ap.add_argument("--preset", default="7b", choices=["7b", "small", "tiny"])
     ap.add_argument("--batch", type=int, default=8)
