@@ -51,9 +51,59 @@ OUTLIER_FRAC = 0.005          # fraction of residual dims amplified
 OUTLIER_RANGE = (10.0, 30.0)  # amplification factors (× channel RMS)
 
 
+class _SynthCache:
+    """Directory cache of synthesized (post-fold, post-quantize) leaves.
+
+    The rotated phases spend ~45 min of HOST time per leg on draw + fold +
+    quantize at 7B — identical across the eval and train legs (same
+    weight_seed) and across int8r/w8a8r (same kernels; act-quant is a
+    runtime flag). Caching the finished leaves lets that work run ONCE
+    (even offline, --phase synth on the CPU backend while the TPU is busy
+    or down) and each leg just device_put the arrays. bf16 leaves are
+    stored as uint16 views (np.save has no native bfloat16); MANIFEST.json
+    is written LAST and doubles as the completeness marker."""
+
+    def __init__(self, cache_dir: str):
+        import json
+        self.dir = cache_dir
+        self.manifest_path = os.path.join(cache_dir, "MANIFEST.json")
+        self.loading = os.path.exists(self.manifest_path)
+        self.manifest = (json.load(open(self.manifest_path))
+                         if self.loading else {})
+
+    def _fn(self, path):
+        return os.path.join(self.dir, path.replace("/", "__") + ".npy")
+
+    def save(self, path, arr):
+        a = np.asarray(arr)
+        dt = str(a.dtype)
+        os.makedirs(self.dir, exist_ok=True)
+        np.save(self._fn(path), a.view(np.uint16) if dt == "bfloat16" else a)
+        self.manifest[path] = dt
+
+    def load(self, path):
+        a = np.load(self._fn(path))
+        if self.manifest[path] == "bfloat16":
+            import ml_dtypes
+            a = a.view(ml_dtypes.bfloat16)
+        return a
+
+    def keys_under(self, prefix):
+        return sorted(k for k in self.manifest if k.startswith(prefix + "/"))
+
+    def finish(self):
+        import json
+        if not self.loading:
+            os.makedirs(self.dir, exist_ok=True)
+            with open(self.manifest_path, "w") as f:
+                json.dump(self.manifest, f)
+
+
 def _synthesize_frozen(frozen, seed: int, quantize: bool,
                        dist: str = "gaussian", model_dim: int = 0,
-                       group: int = 0, outliers: bool = False, rot=None):
+                       group: int = 0, outliers: bool = False, rot=None,
+                       cache: _SynthCache | None = None,
+                       materialize: bool = True):
     """Replace every frozen matmul kernel with a deterministic random weight
     (identical draws across phases), as bf16 or as int8-of-that-bf16.
     Pushes leaf by leaf and frees the init buffer, so peak HBM stays ~1×.
@@ -103,33 +153,53 @@ def _synthesize_frozen(frozen, seed: int, quantize: bool,
                 w = rot.right(w)
         return w
 
-    def walk(node, name=""):
+    def emit(out, path, parts, original):
+        """Place finished leaves (device or cache or both)."""
+        if hasattr(original, "delete"):
+            original.delete()
+        for qk, qv in parts.items():
+            if cache is not None and not cache.loading:
+                cache.save(f"{path}/{qk}", qv)
+            out[qk] = jax.device_put(qv) if materialize else None
+
+    def walk(node, name="", path=""):
         if not isinstance(node, dict):
             return node
         out = {}
         for k in node:  # insertion order — identical tree traversal per phase
             v = node[k]
+            p = f"{path}/{k}" if path else k
             if k in ("kernel", "kernel_q") and v is not None:
+                if cache is not None and cache.loading:
+                    # finished leaves live under the kernel's PARENT path
+                    # (kernel vs kernel_q/scale/... depends on the mode tag)
+                    if hasattr(v, "delete"):
+                        v.delete()
+                    for full in cache.keys_under(path):
+                        leaf = full[len(path) + 1:]
+                        out[leaf] = (jax.device_put(cache.load(full))
+                                     if materialize else None)
+                    continue
                 shape = v.shape
                 fan_in = shape[0]
                 w = draw(shape, fan_in, name)
                 wb = w.astype(jnp.bfloat16)  # the converted-checkpoint dtype
-                if hasattr(v, "delete"):
-                    v.delete()
                 if quantize:
                     n_out = outlier_count(fan_in) if outliers else 0
-                    q = quantize_kernel(np.asarray(wb, np.float32), group,
-                                        n_out)
-                    for qk, qv in q.items():
-                        out[qk] = jax.device_put(qv)
+                    emit(out, path, quantize_kernel(
+                        np.asarray(wb, np.float32), group, n_out), v)
                 else:
-                    out[k] = jax.device_put(wb)
+                    emit(out, path, {k: wb}, v)
             elif k in ("scale", "out_idx", "out_w") and "kernel_q" in node:
                 continue  # rewritten alongside kernel_q above
             else:
-                out[k] = walk(v, k)
+                out[k] = walk(v, k, p)
         return out
-    return walk(frozen)
+
+    tree = walk(frozen)
+    if cache is not None:
+        cache.finish()
+    return tree
 
 
 def _rotate_residual_tensors(trainable, frozen, rot):
@@ -163,6 +233,71 @@ def _rotate_residual_tensors(trainable, frozen, rot):
 ROTATION_SEED = 999  # fixed across phases/legs — any value works
 
 
+def _flags_for(args) -> dict:
+    from flipped_tpu.core.config import quant_flags
+    flags = quant_flags("none" if args.phase in ("bf16", "bf16r")
+                        else args.phase)
+    if args.phase == "bf16r":
+        flags["rotated"] = True
+    return flags
+
+
+def _cache_for(args, flags):
+    """Shared synthesis cache dir per (ensemble, seed, leaf-content mode) —
+    int8r/w8a8r share one (act-quant is runtime-only), as do the eval and
+    train legs (same weight_seed)."""
+    if not args.cache:
+        return None
+    tag = (f"{args.weights}_s{args.weight_seed + 1}_"
+           + ("bf16" if not flags["quantized"]
+              else f"q{flags['quant_group']}"
+                   + ("o" if flags["quant_outliers"] else ""))
+           + ("r" if flags["rotated"] else ""))
+    return _SynthCache(os.path.join(args.cache, tag))
+
+
+def run_synth(args):
+    """--synth_only: run draw + fold + quantize on the HOST and fill the
+    --cache directory, without touching any device (shape tree via
+    jax.eval_shape) — lets the expensive rotated-phase synthesis run
+    offline while the TPU is busy or down."""
+    import jax
+    import jax.numpy as jnp
+
+    from flipped_tpu.model import FlippedVQAModel
+    from flipped_tpu.train import partition_params
+
+    flags = _flags_for(args)
+    cache = _cache_for(args, flags)
+    if cache is None:
+        raise SystemExit("--synth_only needs --cache")
+    if cache.loading:
+        print(f"[study:synth:{args.phase}:{args.weights}] cache already "
+              f"complete at {cache.dir}", file=sys.stderr)
+        return
+    cfg = _config(args)
+    model = FlippedVQAModel(cfg, **flags)
+    t0 = time.perf_counter()
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(args.weight_seed),
+        jnp.zeros((1, 16), jnp.int32),
+        jnp.zeros((1, cfg.max_feats, cfg.visual_dim), jnp.float32), None,
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, cfg.max_feats), jnp.int32))["params"]
+    _, frozen = partition_params(shapes)
+    rot = None
+    if flags.get("rotated"):
+        from flipped_tpu.ckpt.rotate import Rotation
+        rot = Rotation(cfg.dim, seed=ROTATION_SEED)
+    _synthesize_frozen(frozen, seed=args.weight_seed + 1,
+                       quantize=flags["quantized"], dist=args.weights,
+                       model_dim=cfg.dim, group=flags["quant_group"],
+                       outliers=flags["quant_outliers"], rot=rot,
+                       cache=cache, materialize=False)
+    print(f"[study:synth:{args.phase}:{args.weights}] cache filled at "
+          f"{cache.dir} ({time.perf_counter() - t0:.0f}s)", file=sys.stderr)
+
+
 def run_train_phase(args):
     """Training-parity leg: same synthesized weights + batches, N optimizer
     steps; saves the loss/grad-norm trajectory for bf16-vs-int8 comparison
@@ -180,13 +315,7 @@ def run_train_phase(args):
                                    partition_params)
 
     from flipped_tpu.core.config import quant_flags
-    flags = quant_flags("none" if args.phase in ("bf16", "bf16r")
-                        else args.phase)
-    if args.phase == "bf16r":
-        # rotated-but-UNQUANTIZED control: proves the study's rotation fold
-        # is a pure reparametrization (scores must match bf16 up to bf16
-        # rounding) before attributing int8r/w8a8r deltas to quantization
-        flags["rotated"] = True
+    flags = _flags_for(args)
     quantized, group = flags["quantized"], flags["quant_group"]
     outliers = flags["quant_outliers"]
     cfg = _config(args)
@@ -225,7 +354,8 @@ def run_train_phase(args):
     frozen = _synthesize_frozen(frozen, seed=args.weight_seed + 1,
                                 quantize=quantized, dist=args.weights,
                                 model_dim=cfg.dim, group=group,
-                                outliers=outliers, rot=rot)
+                                outliers=outliers, rot=rot,
+                                cache=_cache_for(args, flags))
     if rot is not None:
         trainable, frozen = _rotate_residual_tensors(trainable, frozen, rot)
 
@@ -336,13 +466,7 @@ def run_phase(args):
                                    required_eval_span)
 
     from flipped_tpu.core.config import quant_flags
-    flags = quant_flags("none" if args.phase in ("bf16", "bf16r")
-                        else args.phase)
-    if args.phase == "bf16r":
-        # rotated-but-UNQUANTIZED control: proves the study's rotation fold
-        # is a pure reparametrization (scores must match bf16 up to bf16
-        # rounding) before attributing int8r/w8a8r deltas to quantization
-        flags["rotated"] = True
+    flags = _flags_for(args)
     quantized, group = flags["quantized"], flags["quant_group"]
     outliers = flags["quant_outliers"]
     cfg = _config(args)
@@ -384,7 +508,8 @@ def run_phase(args):
     frozen = _synthesize_frozen(frozen, seed=args.weight_seed + 1,
                                 quantize=quantized, dist=args.weights,
                                 model_dim=cfg.dim, group=group,
-                                outliers=outliers, rot=rot)
+                                outliers=outliers, rot=rot,
+                                cache=_cache_for(args, flags))
     if rot is not None:
         trainable, frozen = _rotate_residual_tensors(trainable, frozen, rot)
 
@@ -496,8 +621,16 @@ def main():
                     help="weight ensemble: gaussian (round-2 baseline), "
                          "student_t (heavy tails), outlier (amplified "
                          "residual channels — the absmax stressor)")
+    ap.add_argument("--cache", default="",
+                    help="directory for the synthesized-leaf cache "
+                         "(draw+fold+quantize runs once; legs just load)")
+    ap.add_argument("--synth_only", action="store_true",
+                    help="fill the --cache for this phase on the host and "
+                         "exit (no device needed)")
     args = ap.parse_args()
-    if args.phase == "report":
+    if args.synth_only:
+        run_synth(args)
+    elif args.phase == "report":
         report_train(args) if args.mode == "train" else report(args)
     elif args.mode == "train":
         run_train_phase(args)
