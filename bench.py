@@ -304,6 +304,7 @@ def main():
     ap.add_argument("--remat_policy", default="qkv", choices=["full", "qkv"])
     ap.add_argument("--quantize", default="w8a8",
                     choices=["none", "int8", "w8a8", "int8g", "w8a8g",
+                             "int4", "w4a8", "int4r", "w4a8r",
                              "int8o", "w8a8o", "int8r", "w8a8r"])
     ap.add_argument("--mode", default="train",
                     choices=["train", "eval", "generation"])

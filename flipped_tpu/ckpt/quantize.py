@@ -32,7 +32,8 @@ def outlier_count(k_dim: int) -> int:
     return max(8, (k_dim // 1024) * 8)
 
 
-def quantize_kernel(kernel, group: int = 0, outliers: int = 0) -> dict:
+def quantize_kernel(kernel, group: int = 0, outliers: int = 0,
+                    bits: int = 8) -> dict:
     """(in, out) float kernel → {'kernel_q': int8, 'scale': f32}.
 
     group=0: per-output-channel absmax scales, scale (out,).
@@ -44,7 +45,27 @@ def quantize_kernel(kernel, group: int = 0, outliers: int = 0) -> dict:
     ROWS into a dense bf16 passthrough ({'out_idx': (n,) i32 sorted,
     'out_w': (n, out) bf16}, LLM.int8()-style mixed decomposition) and
     quantize the remainder with those rows zeroed — their magnitude no
-    longer pollutes any absmax window (--quantize int8o|w8a8o)."""
+    longer pollutes any absmax window (--quantize int8o|w8a8o).
+    bits=4: PACKED 4-bit weights with mandatory grouped scales and
+    symmetric ±7 levels → {'kernel_q4': int8 (in, out/2) split-half packed,
+    'scale': f32 (in/group, out)} — see model/int4.py. Falls back to a
+    single group when `group` doesn't divide the input dim (tiny configs);
+    incompatible with the outlier-row passthrough (use the rotation modes
+    int4r|w4a8r for outlier robustness at 4 bits)."""
+    if bits == 4:
+        if outliers:
+            raise ValueError("int4 + outlier passthrough is unsupported — "
+                             "use --quantize int4r|w4a8r instead")
+        k = np.asarray(kernel, np.float32)
+        k_dim, n = k.shape
+        g = group if group and k_dim % group == 0 else k_dim
+        kg = k.reshape(k_dim // g, g, n)
+        scale = np.maximum(np.abs(kg).max(axis=1) / 7.0, 1e-8)  # (G, out)
+        q = np.clip(np.round(kg / scale[:, None, :]), -7,
+                    7).astype(np.int8).reshape(k_dim, n)
+        from ..model.int4 import pack_int4
+        return {"kernel_q4": jnp.asarray(pack_int4(q)),
+                "scale": jnp.asarray(scale)}
     k = np.asarray(kernel, np.float32)
     extra = {}
     if outliers > 0:
@@ -70,8 +91,14 @@ def quantize_kernel(kernel, group: int = 0, outliers: int = 0) -> dict:
 
 
 def dequantize_kernel(node: dict) -> np.ndarray:
-    q = np.asarray(node["kernel_q"], np.float32)
     s = np.asarray(node["scale"], np.float32)
+    if "kernel_q4" in node:
+        from ..model.int4 import unpack_int4_np
+        q = unpack_int4_np(np.asarray(node["kernel_q4"])).astype(np.float32)
+        group = q.shape[0] // s.shape[0]
+        return (q.reshape(s.shape[0], group, q.shape[1])
+                * s[:, None, :]).reshape(q.shape)
+    q = np.asarray(node["kernel_q"], np.float32)
     if s.ndim == 2:                                     # grouped (G, out)
         group = q.shape[0] // s.shape[0]
         w = (q.reshape(s.shape[0], group, q.shape[1])
@@ -84,17 +111,21 @@ def dequantize_kernel(node: dict) -> np.ndarray:
 
 
 def quantize_frozen(frozen: dict, group: int = 0,
-                    outlier_rows: bool = False) -> dict:
+                    outlier_rows: bool = False, bits: int = 8) -> dict:
     """Rewrite a frozen param tree in place-shape: qualifying Linear subtrees
     {'kernel': W} become {'kernel_q': ..., 'scale': ...} (plus
-    'out_idx'/'out_w' when outlier_rows)."""
+    'out_idx'/'out_w' when outlier_rows). bits=4 packs 4-bit weights
+    ('kernel_q4', model/int4.py) — EXCEPT the LM head ('output'), which
+    stays int8: its logits feed the eval argmin (engine.py:87-93) directly
+    and it is only 0.13 GB at 7B."""
 
     def walk(node, name=""):
         if not isinstance(node, dict):
             return node
         if name in _QUANT_MODULES and "kernel" in node and node["kernel"] is not None:
             n_out = outlier_count(np.shape(node["kernel"])[0]) if outlier_rows else 0
-            return quantize_kernel(node["kernel"], group, n_out)
+            leaf_bits = 8 if name == "output" else bits
+            return quantize_kernel(node["kernel"], group, n_out, leaf_bits)
         return {k: walk(v, k) for k, v in node.items()}
 
     return walk(frozen)
@@ -109,6 +140,23 @@ def randomize_quantized(frozen: dict, seed: int = 0) -> dict:
     def walk(node):
         if not isinstance(node, dict):
             return node
+        if "kernel_q4" in node:
+            q4 = node["kernel_q4"]
+            fan_in = q4.shape[0]
+            from ..model.int4 import pack_int4
+            vals = rs.randint(-7, 8, (fan_in, q4.shape[1] * 2)).astype(np.int8)
+            new = {
+                "kernel_q4": jnp.asarray(pack_int4(vals)),
+                "scale": jnp.full(np.shape(node["scale"]),
+                                  1.0 / (7.0 * np.sqrt(fan_in)), jnp.float32),
+            }
+            for old in (q4, node.get("scale")):
+                if hasattr(old, "delete"):
+                    try:
+                        old.delete()
+                    except Exception:
+                        pass
+            return new
         if "kernel_q" in node:
             q = node["kernel_q"]
             fan_in = q.shape[0]

@@ -151,12 +151,16 @@ def quant_flags(mode: str) -> dict:
     kwargs — the ONE place the string grammar lives (int8/w8a8 base,
     'g' = grouped 128-wide sub-channel scales, 'o' = grouped + bf16
     outlier-row passthrough, 'r' = residual-stream rotation folded into the
-    checkpoint with PLAIN absmax scales, ckpt/rotate.py). Used by the
-    builder, bench, and the parity study so the call sites cannot drift."""
+    checkpoint with PLAIN absmax scales, ckpt/rotate.py; int4/w4a8 = packed
+    4-bit weights with mandatory grouped scales, model/int4.py — also
+    composable with 'r'). Used by the builder, bench, and the parity study
+    so the call sites cannot drift."""
+    bits4 = mode in ("int4", "w4a8", "int4r", "w4a8r")
     return {
         "quantized": mode != "none",
-        "act_quant": mode.startswith("w8a8"),
-        "quant_group": 128 if mode[-1:] in ("g", "o") else 0,
+        "act_quant": mode.startswith(("w8a8", "w4a8")),
+        "weight_bits": 4 if bits4 else 8,
+        "quant_group": 128 if (bits4 or mode[-1:] in ("g", "o")) else 0,
         "quant_outliers": mode.endswith("o"),
         "rotated": mode.endswith("r"),
     }
@@ -239,7 +243,8 @@ def get_args_parser() -> argparse.ArgumentParser:
                         "recompute; +~2.4GB at 7B) — use when HBM allows")
     p.add_argument("--quantize", default="none",
                    choices=["none", "int8", "w8a8", "int8g", "w8a8g",
-                            "int8o", "w8a8o", "int8r", "w8a8r"],
+                            "int8o", "w8a8o", "int8r", "w8a8r",
+                            "int4", "w4a8", "int4r", "w4a8r"],
                    help="int8: weight-only quantization of the frozen "
                         "backbone (halves its HBM); w8a8: additionally "
                         "quantize activations per token and run block "
@@ -253,7 +258,12 @@ def get_args_parser() -> argparse.ArgumentParser:
                         "rotation into the checkpoint (QuaRot-style "
                         "incoherence, ckpt/rotate.py) and keep PLAIN absmax "
                         "scales — outlier-immune at full w8a8 speed; "
-                        "recommended for real trained checkpoints")
+                        "recommended for real trained checkpoints; "
+                        "int4/w4a8: packed 4-bit frozen weights with "
+                        "grouped scales (backbone 12.6→3.2 GB at 7B, the "
+                        "QLoRA regime — frozen backbone, f32 adapters), "
+                        "LM head stays int8; int4r/w4a8r compose with the "
+                        "rotation fold")
     p.add_argument("--lm_head_chunk", type=int, default=0,
                    help="compute the LM-head cross-entropy in sequence "
                         "chunks of this size instead of materializing "

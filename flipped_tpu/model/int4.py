@@ -1,0 +1,141 @@
+"""4-bit weight quantization of the frozen backbone (int4 / w4a8).
+
+Storage is PACKED: two int4 values per int8 byte, packed along the OUTPUT
+feature dim in a split-half layout — byte (k, j) of `kernel_q4` (K, N/2)
+holds output column j in its low nibble and column j + N/2 in its high
+nibble. Keeping the input dim K intact means every K-side mechanism of the
+int8 path (128-wide grouped scales, the builder's group inference, the
+per-(token, group) activation quantization) applies unchanged, and the
+split-half layout unpacks as two shifts + one concat (no lane interleave).
+
+Grouped (sub-channel) scales are mandatory at 4 bits: per-channel absmax
+over 4096 input dims leaves ~3 bits of signal. Levels are symmetric ±7
+(scale = group absmax / 7).
+
+Why int4 exists here: the frozen 7B backbone is 12.6 GB bf16 → 6.3 GB int8
+→ **3.2 GB packed int4** (+0.4 GB f32 group scales). The 16 GB v5e capacity
+walls measured in docs/PERF.md — batch 16 no-remat over by 1.35 GB, the
+3-objective S=4096 stack over by 1.26 GB, 13B batch limits — are exactly
+weight-capacity walls, and the frozen-backbone + f32-adapter setting is the
+QLoRA regime where 4-bit frozen weights are established practice. Compose
+with the residual-stream rotation (--quantize int4r|w4a8r, ckpt/rotate.py)
+for outlier-immune absmax windows; quantify with
+scripts/int8_parity_study.py --phase int4|w4a8.
+
+The reference runs the whole backbone in fp16 (llama_vqa.py:63-65); any
+quantization is an addition over it. The LM head ('output') stays int8
+weight-only even in int4 modes — its logits feed the eval argmin
+(engine.py:87-93) directly, and it is 0.13 GB at 7B.
+
+Both matmuls carry custom VJPs whose residuals are the PACKED weights: the
+backward re-unpacks (cheap VPU work) instead of pinning an unpacked int8
+copy of the backbone between forward and backward, which would cancel the
+capacity win under no-remat.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def pack_int4(q: np.ndarray) -> np.ndarray:
+    """(K, N) int8 values in [-8, 7] → (K, N/2) packed int8 (split-half
+    layout: low nibble = column j, high nibble = column j + N/2)."""
+    k, n = q.shape
+    if n % 2:
+        raise ValueError(f"int4 packing needs an even output dim, got {n}")
+    lo = (np.asarray(q[:, : n // 2], np.int8).view(np.uint8) & 0xF)
+    hi = (np.asarray(q[:, n // 2:], np.int8).view(np.uint8) & 0xF)
+    return (lo | (hi << 4)).view(np.int8)
+
+
+def unpack_int4(kq4: jax.Array) -> jax.Array:
+    """(K, N/2) packed int8 → (K, N) int8 values in [-8, 7]."""
+    lo = jnp.right_shift(jnp.left_shift(kq4, 4), 4)  # sign-extend low nibble
+    hi = jnp.right_shift(kq4, 4)                     # arithmetic shift
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
+def unpack_int4_np(kq4: np.ndarray) -> np.ndarray:
+    b = np.asarray(kq4, np.int8)
+    lo = (b.view(np.uint8) & 0xF).astype(np.int8)
+    lo = np.where(lo >= 8, lo - 16, lo).astype(np.int8)
+    hi = (b.view(np.uint8) >> 4).astype(np.int8)
+    hi = np.where(hi >= 8, hi - 16, hi).astype(np.int8)
+    return np.concatenate([lo, hi], axis=-1)
+
+
+def _dequant_bf16(kq4, scale_g):
+    """Unpack + grouped dequant → (K, N) bf16 kernel."""
+    w = unpack_int4(kq4)                             # (K, N) int8
+    k_dim, n = w.shape
+    g_count = scale_g.shape[0]
+    group = k_dim // g_count
+    w = (w.reshape(g_count, group, n).astype(jnp.bfloat16)
+         * scale_g[:, None, :].astype(jnp.bfloat16)).reshape(k_dim, n)
+    return w
+
+
+def _zero_tangents(kq4, scale_g):
+    zero = np.zeros((), jax.dtypes.float0)
+    return np.broadcast_to(zero, kq4.shape), jnp.zeros_like(scale_g)
+
+
+# --- weight-only int4: dequantize into a bf16 matmul -------------------------
+
+def _wo_impl(x, kq4, scale_g):
+    return (x @ _dequant_bf16(kq4, scale_g).astype(x.dtype)).astype(x.dtype)
+
+
+@jax.custom_vjp
+def int4_matmul(x, kq4, scale_g):
+    """x (…, K) float; kq4 (K, N/2) packed int8; scale_g (G, N) f32 →
+    (…, N) x.dtype. Weight-only: the matmul runs in x.dtype."""
+    return _wo_impl(x, kq4, scale_g)
+
+
+def _wo_fwd(x, kq4, scale_g):
+    return _wo_impl(x, kq4, scale_g), (kq4, scale_g)
+
+
+def _wo_bwd(res, g):
+    kq4, scale_g = res
+    w = _dequant_bf16(kq4, scale_g)
+    dx = (g.astype(jnp.bfloat16) @ w.T).astype(g.dtype)
+    return (dx, *_zero_tangents(kq4, scale_g))
+
+
+int4_matmul.defvjp(_wo_fwd, _wo_bwd)
+
+
+# --- w4a8: int8 activations × unpacked int4 weights on the MXU ---------------
+
+def _w4a8_impl(x, kq4, scale_g):
+    # Unpacked values live in [-8, 7]: valid int8 contents, so the grouped
+    # w8a8 machinery (XLA oracle + Pallas VMEM-reduction kernel, same
+    # per-(token, group) absmax activation scales) applies verbatim.
+    from .int8 import _grouped_dispatch
+    return _grouped_dispatch(x, unpack_int4(kq4), scale_g)
+
+
+@jax.custom_vjp
+def int4_matmul_grouped(x, kq4, scale_g):
+    """x (…, K) float; kq4 (K, N/2) packed int8; scale_g (G, N) f32 →
+    (…, N) x.dtype, activations quantized per (token, 128-wide group)."""
+    return _w4a8_impl(x, kq4, scale_g)
+
+
+def _g_fwd(x, kq4, scale_g):
+    return _w4a8_impl(x, kq4, scale_g), (kq4, scale_g)
+
+
+def _g_bwd(res, g):
+    kq4, scale_g = res
+    w = _dequant_bf16(kq4, scale_g)
+    dx = (g.astype(jnp.bfloat16) @ w.T).astype(g.dtype)
+    return (dx, *_zero_tangents(kq4, scale_g))
+
+
+int4_matmul_grouped.defvjp(_g_fwd, _g_bwd)

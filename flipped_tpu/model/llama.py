@@ -69,7 +69,12 @@ class Linear(nn.Module):
     quantization time (ckpt/quantize.py), their exact contribution is the
     tiny x[:, idx] @ out_w matmul, and under act_quant the same columns are
     masked out of x before per-(token, group) quantization — outlier
-    ACTIVATION channels stop inflating the activation scales too."""
+    ACTIVATION channels stop inflating the activation scales too.
+
+    weight_bits=4 stores the kernel PACKED two-per-byte ('kernel_q4',
+    (K, N/2) split-half layout, model/int4.py) with mandatory grouped
+    scales — 3.2 GB for the frozen 7B backbone (--quantize int4|w4a8;
+    compose with the rotation fold as int4r|w4a8r)."""
 
     features: int
     dtype: Any = jnp.bfloat16
@@ -78,9 +83,25 @@ class Linear(nn.Module):
     act_quant: bool = False
     quant_group: int = 0
     quant_outliers: bool = False
+    weight_bits: int = 8
 
     @nn.compact
     def __call__(self, x):
+        if self.quantized and self.weight_bits == 4:
+            if self.quant_outliers:
+                raise ValueError("int4 + outlier passthrough is unsupported "
+                                 "(use --quantize int4r|w4a8r)")
+            from .int4 import int4_matmul, int4_matmul_grouped
+            k_dim = x.shape[-1]
+            group = self.quant_group or 128
+            g_count = k_dim // group if k_dim % group == 0 else 1
+            kq4 = self.param("kernel_q4", nn.initializers.zeros,
+                             (k_dim, self.features // 2), jnp.int8)
+            scale = self.param("scale", nn.initializers.ones,
+                               (g_count, self.features), jnp.float32)
+            if self.act_quant:
+                return int4_matmul_grouped(x, kq4, scale)
+            return int4_matmul(x, kq4, scale)
         if self.quantized:
             k_dim = x.shape[-1]
             kq = self.param("kernel_q", nn.initializers.zeros,
@@ -149,6 +170,7 @@ class Attention(nn.Module):
     act_quant: bool = False
     quant_group: int = 0
     quant_outliers: bool = False
+    weight_bits: int = 8
 
     def setup(self):
         cfg = self.cfg
@@ -157,7 +179,8 @@ class Attention(nn.Module):
                                 quantized=self.quantized,
                                 act_quant=self.act_quant,
                                 quant_group=self.quant_group,
-                                quant_outliers=self.quant_outliers)
+                                quant_outliers=self.quant_outliers,
+                                weight_bits=self.weight_bits)
         self.wq, self.wk, self.wv, self.wo = (lin(name=n) for n in
                                               ("wq", "wk", "wv", "wo"))
         # Zero-init tanh gate on the adapter segment; -bias init on the
@@ -275,6 +298,7 @@ class FeedForward(nn.Module):
     act_quant: bool = False
     quant_group: int = 0
     quant_outliers: bool = False
+    weight_bits: int = 8
 
     @nn.compact
     def __call__(self, x):
@@ -284,7 +308,8 @@ class FeedForward(nn.Module):
                                 quantized=self.quantized,
                                 act_quant=self.act_quant,
                                 quant_group=self.quant_group,
-                                quant_outliers=self.quant_outliers)
+                                quant_outliers=self.quant_outliers,
+                                weight_bits=self.weight_bits)
         w1 = lin(hidden, name="w1")
         w2 = lin(self.cfg.dim, name="w2")
         w3 = lin(hidden, name="w3")
@@ -303,16 +328,19 @@ class TransformerBlock(nn.Module):
     act_quant: bool = False
     quant_group: int = 0
     quant_outliers: bool = False
+    weight_bits: int = 8
 
     def setup(self):
         self.attention = Attention(self.cfg, self.dtype, self.frozen_dtype,
                                    self.trainable_dtype, self.use_flash,
                                    self.quantized, self.act_quant,
-                                   self.quant_group, self.quant_outliers)
+                                   self.quant_group, self.quant_outliers,
+                                   self.weight_bits)
         self.feed_forward = FeedForward(self.cfg, self.dtype,
                                         self.frozen_dtype, self.quantized,
                                         self.act_quant, self.quant_group,
-                                        self.quant_outliers)
+                                        self.quant_outliers,
+                                        self.weight_bits)
         self.attention_norm = RMSNorm(self.cfg.dim, self.cfg.norm_eps,
                                       self.frozen_dtype)
         self.ffn_norm = RMSNorm(self.cfg.dim, self.cfg.norm_eps,
@@ -394,6 +422,11 @@ class FlippedVQAModel(nn.Module):
     # bf16 passthrough of the largest-absmax input rows per matmul
     # (LLM.int8()-style mixed decomposition, --quantize int8o|w8a8o)
     quant_outliers: bool = False
+    # 4 = packed int4 frozen weights with grouped scales (--quantize
+    # int4|w4a8, model/int4.py). The LM head stays int8 weight-only: its
+    # logits feed the eval argmin (engine.py:87-93) directly, and it is
+    # 0.13 GB at 7B.
+    weight_bits: int = 8
     # Residual-stream rotation folded into the checkpoint
     # (ckpt/rotate.py, --quantize int8r|w8a8r): every weight transform is
     # offline; the ONE runtime difference is the QAV head, which consumes
@@ -412,7 +445,7 @@ class FlippedVQAModel(nn.Module):
                              self.trainable_dtype, self.use_flash,
                              self.quantized, self.act_quant,
                              self.quant_group, self.quant_outliers,
-                             name=f"layers_{i}")
+                             self.weight_bits, name=f"layers_{i}")
             for i in range(cfg.n_layers)
         ]
         self.norm = RMSNorm(cfg.dim, cfg.norm_eps, self.frozen_dtype,

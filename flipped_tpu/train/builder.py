@@ -134,6 +134,11 @@ def build_train_state(run_cfg: RunConfig, seed: int = 0,
         missing = []
 
         def graft(dst, src, path=""):
+            if quantized and "kernel_q4" in dst and "kernel" in src:
+                # packed int4 leaf: K is intact (packing is along N), so the
+                # group width is inferred exactly as for int8
+                group = dst["kernel_q4"].shape[0] // dst["scale"].shape[0]
+                return quantize_kernel(src["kernel"], group, 0, bits=4)
             if quantized and "kernel_q" in dst and "kernel" in src:
                 group = (dst["kernel_q"].shape[0] // dst["scale"].shape[0]
                          if getattr(dst.get("scale"), "ndim", 1) == 2 else 0)

@@ -169,7 +169,7 @@ def _synthesize_frozen(frozen, seed: int, quantize: bool,
         for k in node:  # insertion order — identical tree traversal per phase
             v = node[k]
             p = f"{path}/{k}" if path else k
-            if k in ("kernel", "kernel_q") and v is not None:
+            if k in ("kernel", "kernel_q", "kernel_q4") and v is not None:
                 if cache is not None and cache.loading:
                     # finished leaves live under the kernel's PARENT path
                     # (kernel vs kernel_q/scale/... depends on the mode tag)
@@ -181,16 +181,25 @@ def _synthesize_frozen(frozen, seed: int, quantize: bool,
                                      if materialize else None)
                     continue
                 shape = v.shape
+                if k == "kernel_q4":    # packed along N (model/int4.py)
+                    shape = (shape[0], shape[1] * 2)
                 fan_in = shape[0]
                 w = draw(shape, fan_in, name)
                 wb = w.astype(jnp.bfloat16)  # the converted-checkpoint dtype
-                if quantize:
+                if k == "kernel_q4":
+                    # per-leaf group from the model's own scale shape
+                    # (tiny configs fall back to a single group)
+                    g4 = fan_in // node["scale"].shape[0]
+                    emit(out, path, quantize_kernel(
+                        np.asarray(wb, np.float32), g4, 0, bits=4), v)
+                elif quantize:
                     n_out = outlier_count(fan_in) if outliers else 0
                     emit(out, path, quantize_kernel(
                         np.asarray(wb, np.float32), group, n_out), v)
                 else:
                     emit(out, path, {k: wb}, v)
-            elif k in ("scale", "out_idx", "out_w") and "kernel_q" in node:
+            elif (k in ("scale", "out_idx", "out_w")
+                  and ("kernel_q" in node or "kernel_q4" in node)):
                 continue  # rewritten alongside kernel_q above
             else:
                 out[k] = walk(v, k, p)
@@ -251,6 +260,7 @@ def _cache_for(args, flags):
     tag = (f"{args.weights}_s{args.weight_seed + 1}_"
            + ("bf16" if not flags["quantized"]
               else f"q{flags['quant_group']}"
+                   + ("b4" if flags.get("weight_bits", 8) == 4 else "")
                    + ("o" if flags["quant_outliers"] else ""))
            + ("r" if flags["rotated"] else ""))
     return _SynthCache(os.path.join(args.cache, tag))
@@ -406,7 +416,8 @@ def report_train(args):
         bfr_path = os.path.join(args.out, f"train_bf16r{sfx}.npz")
         bfr = np.load(bfr_path) if os.path.exists(bfr_path) else None
         for ph in ("int8", "w8a8", "int8g", "w8a8g", "int8o", "w8a8o",
-                   "int8r", "w8a8r", "bf16r"):
+                   "int8r", "w8a8r", "bf16r", "int4", "w4a8",
+                   "int4r", "w4a8r"):
             path = os.path.join(args.out, f"train_{ph}{sfx}.npz")
             if not os.path.exists(path):
                 continue
@@ -549,7 +560,8 @@ def report(args):
         bfr = np.load(bfr_path) if os.path.exists(bfr_path) else None
         out_all[dist] = {}
         for phase in ("int8", "w8a8", "int8g", "w8a8g", "int8o", "w8a8o",
-                      "int8r", "w8a8r", "bf16r"):
+                      "int8r", "w8a8r", "bf16r", "int4", "w4a8",
+                      "int4r", "w4a8r"):
             path = os.path.join(args.out, f"scores_{phase}{sfx}.npz")
             if not os.path.exists(path):
                 continue
@@ -609,7 +621,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", required=True,
                     choices=["bf16", "int8", "w8a8", "int8g", "w8a8g",
-                             "int8o", "w8a8o", "int8r", "w8a8r", "bf16r", "report"])
+                             "int8o", "w8a8o", "int8r", "w8a8r", "bf16r",
+                             "int4", "w4a8", "int4r", "w4a8r", "report"])
     ap.add_argument("--out", default="/tmp/int8_study")
     ap.add_argument("--preset", default="7b", choices=["7b", "small", "tiny"])
     ap.add_argument("--batch", type=int, default=8)

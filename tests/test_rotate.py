@@ -184,7 +184,8 @@ def test_rotated_quantized_model_runs():
     frozen_q = quantize_frozen(frozen)                 # plain scales
     flags = quant_flags("w8a8r")
     assert flags == {"quantized": True, "act_quant": True, "quant_group": 0,
-                     "quant_outliers": False, "rotated": True}
+                     "quant_outliers": False, "rotated": True,
+                     "weight_bits": 8}
     qmodel = FlippedVQAModel(CFG, dtype=jnp.float32,
                              frozen_dtype=jnp.float32,
                              trainable_dtype=jnp.float32, **flags)
