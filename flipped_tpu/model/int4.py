@@ -114,10 +114,24 @@ int4_matmul.defvjp(_wo_fwd, _wo_bwd)
 
 def _w4a8_impl(x, kq4, scale_g):
     # Unpacked values live in [-8, 7]: valid int8 contents, so the grouped
-    # w8a8 machinery (XLA oracle + Pallas VMEM-reduction kernel, same
-    # per-(token, group) absmax activation scales) applies verbatim.
-    from .int8 import _grouped_dispatch
-    return _grouped_dispatch(x, unpack_int4(kq4), scale_g)
+    # w8a8 semantics (same per-(token, group) absmax activation scales)
+    # apply verbatim. On TPU a dedicated Pallas kernel reads the PACKED
+    # block and unpacks nibbles in VMEM — the XLA formulation would
+    # materialize an unpacked (K, N) int8 copy in HBM per matmul, giving
+    # back the bandwidth the packing bought.
+    from .pallas.quant_matmul import (int4_matmul_grouped_pallas,
+                                      int4_pallas_supported)
+
+    def _xla(x, kq4, scale_g):
+        from .int8 import _grouped_matmul_impl
+        return _grouped_matmul_impl(x, unpack_int4(kq4), scale_g)
+
+    if not int4_pallas_supported(x, kq4, scale_g):
+        return _xla(x, kq4, scale_g)
+    return jax.lax.platform_dependent(
+        x, kq4, scale_g,
+        tpu=int4_matmul_grouped_pallas,
+        default=_xla)
 
 
 @jax.custom_vjp

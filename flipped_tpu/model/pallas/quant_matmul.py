@@ -142,3 +142,130 @@ def grouped_matmul_pallas(x, kq, scale_g, interpret: bool | None = None):
         ),
     )(x2, kq, sgb)
     return out[:m].reshape(*lead, n)
+
+
+# ---------------------------------------------------------------------------
+# Packed int4 (w4a8) variant: the weight block arrives PACKED (two 4-bit
+# values per byte, split-half layout along N — model/int4.py) and is
+# unpacked on the VPU inside VMEM. Each program reads ONE packed (bk, bn)
+# block and produces TWO output tiles (columns [n0, n0+bn) and
+# [N/2+n0, N/2+n0+bn)), so weight HBM traffic is genuinely halved relative
+# to the int8 kernel — the XLA formulation (unpack_int4 + dot) would
+# materialize the unpacked (K, N) int8 copy in HBM per matmul instead.
+# Activation quantization is computed once per (row, group) and reused for
+# both halves.
+# ---------------------------------------------------------------------------
+
+def _int4_kernel(x_ref, kq4_ref, sg_lo_ref, sg_hi_ref, o_lo_ref, o_hi_ref,
+                 acc_lo, acc_hi, *, gpb: int, group: int, out_dtype):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_lo[:] = jnp.zeros_like(acc_lo[:])
+        acc_hi[:] = jnp.zeros_like(acc_hi[:])
+
+    # unpack once per program: int32 shifts sign-extend each nibble
+    p32 = kq4_ref[:].astype(jnp.int32)                   # (bk, bn) packed
+    w_lo = jnp.right_shift(jnp.left_shift(p32, 28), 28).astype(jnp.int8)
+    w_hi = jnp.right_shift(jnp.left_shift(p32, 24), 28).astype(jnp.int8)
+
+    x32 = x_ref[:].astype(jnp.float32)                   # (bm, bk)
+    a_lo, a_hi = acc_lo[:], acc_hi[:]
+    for g in range(gpb):                                 # static unroll
+        xg = x32[:, g * group:(g + 1) * group]
+        amax = jnp.max(jnp.abs(xg), axis=-1, keepdims=True)
+        xs = jnp.maximum(amax / 127.0, _EPS)             # (bm, 1)
+        xq = jnp.round(xg / xs).astype(jnp.int8)
+        dims = (((1,), (0,)), ((), ()))
+        d_lo = jax.lax.dot_general(
+            xq, w_lo[g * group:(g + 1) * group, :], dims,
+            preferred_element_type=jnp.int32)
+        d_hi = jax.lax.dot_general(
+            xq, w_hi[g * group:(g + 1) * group, :], dims,
+            preferred_element_type=jnp.int32)
+        a_lo = a_lo + d_lo.astype(jnp.float32) * xs * sg_lo_ref[0, g:g + 1, :]
+        a_hi = a_hi + d_hi.astype(jnp.float32) * xs * sg_hi_ref[0, g:g + 1, :]
+    acc_lo[:] = a_lo
+    acc_hi[:] = a_hi
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        o_lo_ref[:] = acc_lo[:].astype(out_dtype)
+        o_hi_ref[:] = acc_hi[:].astype(out_dtype)
+
+
+def int4_pallas_supported(x, kq4, scale_g) -> bool:
+    """Mosaic-alignment guard for the packed kernel (see pallas_supported)."""
+    if not _HAS_PALLAS:
+        return False
+    k_dim, n_half = kq4.shape
+    group = k_dim // scale_g.shape[0]
+    bk = _pick(_BK, k_dim)
+    return (n_half % 128 == 0 and group % 128 == 0 and bk % group == 0
+            and scale_g.shape[1] == 2 * n_half)
+
+
+def int4_matmul_grouped_pallas(x, kq4, scale_g, interpret: bool | None = None):
+    """x (…, K) float; kq4 (K, N/2) packed int8 (model/int4.py layout);
+    scale_g (G, N) f32 → (…, N) x.dtype.
+
+    Semantics identical to model/int8.py `_grouped_matmul_impl` applied to
+    the unpacked weights (asserted in tests/test_quant_matmul_pallas.py via
+    the interpreter)."""
+    interpret = INTERPRET if interpret is None else interpret
+    k_dim, n_half = kq4.shape
+    g_count = scale_g.shape[0]
+    group = k_dim // g_count
+    lead = x.shape[:-1]
+    m = int(np.prod(lead)) if lead else 1
+
+    bm = _pick(_BM, _round_up(max(m, 16), 16))
+    bn = _pick(_BN, n_half)
+    bk = _pick(_BK, k_dim)
+    if not int4_pallas_supported(x, kq4, scale_g):
+        from ..int4 import unpack_int4
+        from ..int8 import _grouped_matmul_impl
+        return _grouped_matmul_impl(x, unpack_int4(kq4), scale_g)
+    gpb = bk // group
+    nh_blocks = n_half // bn
+
+    m_pad = _round_up(max(m, 16), bm)
+    x2 = x.reshape(m, k_dim)
+    if m_pad != m:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+
+    # scales regrouped per k-block: (K/bk, gpb, N); the lo/hi halves are
+    # separate in_specs over the SAME array with shifted n index maps
+    sgb = scale_g.reshape(k_dim // bk, gpb, 2 * n_half)
+
+    kernel = functools.partial(_int4_kernel, gpb=gpb, group=group,
+                               out_dtype=x.dtype)
+    out_lo, out_hi = pl.pallas_call(
+        kernel,
+        grid=(m_pad // bm, nh_blocks, k_dim // bk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda mi, ni, ki: (mi, ki)),
+            pl.BlockSpec((bk, bn), lambda mi, ni, ki: (ki, ni)),
+            pl.BlockSpec((1, gpb, bn), lambda mi, ni, ki: (ki, 0, ni)),
+            pl.BlockSpec((1, gpb, bn),
+                         lambda mi, ni, ki: (ki, 0, ni + nh_blocks)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, bn), lambda mi, ni, ki: (mi, ni)),
+            pl.BlockSpec((bm, bn), lambda mi, ni, ki: (mi, ni)),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((m_pad, n_half), x.dtype),
+                   jax.ShapeDtypeStruct((m_pad, n_half), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32),
+                        pltpu.VMEM((bm, bn), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k_dim * 2 * n_half,
+            bytes_accessed=m * k_dim * 2 + k_dim * n_half + m * n_half * 4,
+            transcendentals=0,
+        ),
+    )(x2, kq4, sgb, sgb)
+    out = jnp.concatenate([out_lo[:m], out_hi[:m]], axis=-1)
+    return out.reshape(*lead, 2 * n_half)

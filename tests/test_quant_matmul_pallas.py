@@ -64,3 +64,43 @@ def test_zero_rows_safe():
     got = np.asarray(grouped_matmul_pallas(x, kq, sg, interpret=True))
     assert np.all(np.isfinite(got))
     assert np.allclose(got[5], 0.0)
+
+
+# --- packed int4 kernel (model/int4.py layout) -------------------------------
+
+def _case_int4(m, k, n, group=128, seed=0):
+    rs = np.random.RandomState(seed)
+    w = rs.randn(k, n).astype(np.float32) / np.sqrt(k)
+    w[min(3, k - 1), :] *= 25.0
+    q = quantize_kernel(w, group, bits=4)
+    x = jnp.array(rs.randn(m, k).astype(np.float32))
+    return x, jnp.array(q["kernel_q4"]), jnp.array(q["scale"])
+
+
+@pytest.mark.parametrize("m,k,n", [
+    (24, 256, 512),    # single n-half block per half
+    (40, 1024, 768),   # multi-block: 2 k-blocks, odd n-half split 384=3·128
+    (8, 256, 256),     # decode-sized m
+])
+def test_int4_pallas_matches_xla_on_unpacked(m, k, n):
+    from flipped_tpu.model.int4 import unpack_int4
+    from flipped_tpu.model.pallas.quant_matmul import (
+        int4_matmul_grouped_pallas, int4_pallas_supported)
+    x, kq4, sg = _case_int4(m, k, n)
+    assert int4_pallas_supported(x, kq4, sg)
+    ref = np.asarray(_grouped_matmul_impl(x, unpack_int4(kq4), sg))
+    got = np.asarray(int4_matmul_grouped_pallas(x, kq4, sg, interpret=True))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_int4_pallas_unaligned_falls_back():
+    from flipped_tpu.model.pallas.quant_matmul import (
+        int4_matmul_grouped_pallas, int4_pallas_supported)
+    # group 64 < 128 lanes → guard refuses, XLA path still correct
+    x, kq4, sg = _case_int4(16, 256, 256, group=64)
+    assert not int4_pallas_supported(x, kq4, sg)
+    from flipped_tpu.model.int4 import unpack_int4
+    ref = np.asarray(_grouped_matmul_impl(x, unpack_int4(kq4), sg))
+    got = np.asarray(int4_matmul_grouped_pallas(x, kq4, sg, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
