@@ -286,3 +286,48 @@ def test_builder_int4_rotated_checkpoint_build(tmp_path):
         model, {"params": merge_params(trainable, frozen)}, batch,
         vaq=True, qav=True)
     assert np.isfinite(float(losses.total))
+
+
+def test_int4_cuts_compiled_argument_bytes():
+    """The reason int4 exists: XLA's own memory analysis of the compiled
+    train step must show the frozen-argument footprint dropping by ~half
+    the int8 block-kernel bytes (the capacity margin that unlocks batch-16
+    no-remat and the 3-objective S=4096 stack, docs/PERF.md)."""
+    from flipped_tpu.core.config import TrainConfig
+    from flipped_tpu.data import (add_accum_axis, make_synthetic_items,
+                                  pack_train_batch)
+    from flipped_tpu.text import MockTokenizer
+    from flipped_tpu.train import make_optimizer, make_train_step
+
+    cfg = ModelConfig(dim=256, n_layers=2, n_heads=4, vocab_size=2048,
+                      multiple_of=32, max_seq_len=96, adapter_len=4,
+                      adapter_layer=2, max_feats=4, visual_dim=16)
+    tok = MockTokenizer(cfg.vocab_size)
+    items = make_synthetic_items(tok, 2, max_feats=cfg.max_feats,
+                                 max_seq_len=cfg.max_seq_len,
+                                 visual_dim=cfg.visual_dim, seed=0)
+    b = {k: jnp.array(v) for k, v in
+         add_accum_axis(pack_train_batch(items, cfg.max_feats), 1).items()}
+    tx = make_optimizer(TrainConfig(lr=1e-3), 10, 4)
+
+    def arg_bytes(mode):
+        model = FlippedVQAModel(cfg, **quant_flags(mode))
+        params = model.init(jax.random.PRNGKey(0), b["vqa_tokens"][0],
+                            b["video"][0], None, b["vqa_video_start"][0],
+                            b["vqa_splice"][0])["params"]
+        tr, fz = partition_params(params)
+        fz = randomize_quantized(fz, seed=0)
+        blocks = sum(
+            leaf.nbytes for path, leaf in
+            jax.tree_util.tree_leaves_with_path(fz)
+            if "kernel_q" in jax.tree_util.keystr(path))
+        step = make_train_step(model, tx, vaq=True, qav=True)
+        ma = step.lower(tr, tx.init(tr), fz, b).compile().memory_analysis()
+        return ma.argument_size_in_bytes, blocks
+
+    a8, blocks8 = arg_bytes("w8a8g")       # grouped int8: same scale shapes
+    a4, blocks4 = arg_bytes("w4a8")
+    # packed leaves are half the int8 bytes (head excluded — stays int8)
+    assert blocks4 < 0.75 * blocks8, (blocks4, blocks8)
+    # and the compiled argument footprint drops by at least 80% of that
+    assert a8 - a4 > 0.8 * (blocks8 - blocks4), (a8, a4, blocks8, blocks4)
