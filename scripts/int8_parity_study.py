@@ -642,6 +642,11 @@ def main():
                          "exit (no device needed)")
     args = ap.parse_args()
     if args.synth_only:
+        # Host-only work: pin the CPU platform BEFORE any jax use so leaf
+        # construction (jnp.asarray in quantize_kernel) never touches the
+        # TPU tunnel — synth must run while the TPU is busy or down.
+        import jax
+        jax.config.update("jax_platforms", "cpu")
         run_synth(args)
     elif args.phase == "report":
         report_train(args) if args.mode == "train" else report(args)
