@@ -197,7 +197,12 @@ def _int4_kernel(x_ref, kq4_ref, sg_lo_ref, sg_hi_ref, o_lo_ref, o_hi_ref,
 
 
 def int4_pallas_supported(x, kq4, scale_g) -> bool:
-    """Mosaic-alignment guard for the packed kernel (see pallas_supported)."""
+    """Mosaic-alignment guard for the packed kernel (see pallas_supported).
+    FLIPPED_INT4_PALLAS=0 forces the XLA unpack formulation (escape hatch —
+    numerics are identical, only weight HBM traffic differs)."""
+    import os
+    if os.environ.get("FLIPPED_INT4_PALLAS", "1") == "0":
+        return False
     if not _HAS_PALLAS:
         return False
     k_dim, n_half = kq4.shape
