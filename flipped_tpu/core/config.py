@@ -172,10 +172,15 @@ class MeshConfig:
 
     The reference is data-parallel only (SURVEY.md §2); tensor parallelism is
     exposed here as an optional `tp` axis whose shardings reuse the reference
-    checkpoint split-dim table (llama_vqa.py:42-58).
+    checkpoint split-dim table (llama_vqa.py:42-58). `sp` additionally shards
+    the SEQUENCE dim of the residual stream (GSPMD sequence/context
+    parallelism, core/mesh.py) — the long-context axis: activation residency
+    per chip scales 1/sp, which is what bounds S≥4096 training on 16 GB
+    chips (docs/PERF.md).
     """
 
     dp: int = -1  # -1: all remaining devices
+    sp: int = 1
     tp: int = 1
 
 
@@ -233,6 +238,10 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--audio_merge", type=str, default="none",
                    choices=["sum", "concat", "attention", "none"])
     p.add_argument("--dp", type=int, default=-1)
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel mesh axis: shards the residual "
+                        "stream's sequence dim (activation residency per "
+                        "chip scales 1/sp — the long-context axis)")
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--trace_dir", default="",
                    help="write a jax.profiler trace of early train steps")
@@ -330,7 +339,7 @@ def run_config_from_args(args: argparse.Namespace) -> RunConfig:
         remat_policy=args.remat_policy, quantize=args.quantize,
         lm_head_chunk=args.lm_head_chunk,
     )
-    mesh = MeshConfig(dp=args.dp, tp=args.tp)
+    mesh = MeshConfig(dp=args.dp, sp=args.sp, tp=args.tp)
     return RunConfig(model=model, data=data, train=train, mesh=mesh,
                      llama_model_path=args.llama_model_path,
                      tokenizer_path=args.tokenizer_path,

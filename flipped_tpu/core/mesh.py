@@ -9,6 +9,12 @@ devices and let GSPMD insert the gradient all-reduce over ICI/DCN from the
 Axes:
   dp — data parallel: the batch axis is sharded here (the reference's only
        parallelism, via DistributedSampler + DDP allreduce).
+  sp — sequence parallel: the residual stream's SEQUENCE dim is sharded here
+       via GSPMD sharding constraints (FlippedVQAModel(seq_shard=True) —
+       norms/MLP/projections run on S/sp tokens per chip; attention
+       all-gathers K/V over the axis). Activation residency per chip scales
+       1/sp — the long-context axis (S=4096 training is activation-bound on
+       16 GB chips, docs/PERF.md).
   tp — tensor parallel: optional Megatron-style sharding of attention heads
        and the SwiGLU hidden dim, reusing the reference checkpoint's
        column/row split-dim table (llama_vqa.py:42-58).
@@ -23,6 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .config import MeshConfig
 
 DP_AXIS = "dp"
+SP_AXIS = "sp"
 TP_AXIS = "tp"
 
 
@@ -31,12 +38,14 @@ def make_mesh(cfg: MeshConfig | None = None, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     tp = max(1, cfg.tp)
-    dp = cfg.dp if cfg.dp > 0 else n // tp
-    if dp * tp > n:
-        raise ValueError(f"mesh {dp}x{tp} > {n} devices")
-    # an explicit smaller mesh uses the first dp*tp devices
-    dev_array = np.asarray(devices[:dp * tp]).reshape(dp, tp)
-    return Mesh(dev_array, (DP_AXIS, TP_AXIS))
+    sp = max(1, cfg.sp)
+    dp = cfg.dp if cfg.dp > 0 else n // (tp * sp)
+    if dp * sp * tp > n:
+        raise ValueError(f"mesh {dp}x{sp}x{tp} > {n} devices")
+    # an explicit smaller mesh uses the first dp*sp*tp devices; tp innermost
+    # (its collectives are per-matmul — keep them on the fastest ICI links)
+    dev_array = np.asarray(devices[:dp * sp * tp]).reshape(dp, sp, tp)
+    return Mesh(dev_array, (DP_AXIS, SP_AXIS, TP_AXIS))
 
 
 def loader_shards(mesh: Mesh) -> tuple:
@@ -44,15 +53,15 @@ def loader_shards(mesh: Mesh) -> tuple:
 
     The loader shards the dataset along the mesh's dp axis, not the raw
     process index: with the process-major device order of `jax.devices()`
-    and the (dp, tp) row-major mesh reshape, `tp` columns that span process
-    boundaries (tp > local_device_count) put several processes inside ONE
-    dp row-group — those processes must feed IDENTICAL rows or the
-    assembled global batch is garbage. When tp fits inside a process
-    (the common case, tp over intra-host ICI), this degrades to the
+    and the (dp, sp, tp) row-major mesh reshape, `sp·tp` columns that span
+    process boundaries (sp·tp > local_device_count) put several processes
+    inside ONE dp row-group — those processes must feed IDENTICAL rows or
+    the assembled global batch is garbage. When sp·tp fits inside a process
+    (the common case, over intra-host ICI), this degrades to the
     DistributedSampler-style per-process slice (reference:
     dataloader/__init__.py:21)."""
     local = max(jax.local_device_count(), 1)
-    tp = mesh.shape.get(TP_AXIS, 1)
+    tp = mesh.shape.get(TP_AXIS, 1) * mesh.shape.get(SP_AXIS, 1)
     group = max(1, tp // local)  # processes sharing one dp row-group
     return (jax.process_index() // group,
             max(1, jax.process_count() // group))

@@ -427,6 +427,13 @@ class FlippedVQAModel(nn.Module):
     # logits feed the eval argmin (engine.py:87-93) directly, and it is
     # 0.13 GB at 7B.
     weight_bits: int = 8
+    # Sequence parallelism (--sp > 1, core/mesh.py): constrain the residual
+    # stream to (dp, sp, None) at every block boundary so GSPMD shards
+    # norms/MLP/projections over S/sp tokens per chip and inserts the K/V
+    # all-gather inside attention. Requires tracing inside a Mesh that has
+    # the 'sp' axis. Einsum attention path only (the Pallas kernel is a
+    # single-device program; sharding it needs shard_map — future work).
+    seq_shard: bool = False
     # Residual-stream rotation folded into the checkpoint
     # (ckpt/rotate.py, --quantize int8r|w8a8r): every weight transform is
     # offline; the ONE runtime difference is the QAV head, which consumes
@@ -571,9 +578,22 @@ class FlippedVQAModel(nn.Module):
             block_call = nn.remat(TransformerBlock.__call__)
         else:
             block_call = TransformerBlock.__call__
+        h = self._seq_wsc(h)
         for block, adapter in self._active_blocks():
             h = block_call(block, h, rope_cos, rope_sin, adapter, video_start)
+            h = self._seq_wsc(h)
         return self.norm(h)
+
+    def _seq_wsc(self, h):
+        """Residual-stream sharding constraint for sequence parallelism
+        (seq_shard=True): (batch → dp, sequence → sp, features replicated
+        within the sp group — tp sharding of projections is unaffected)."""
+        if not self.seq_shard:
+            return h
+        from jax.sharding import PartitionSpec as P
+
+        from ..core.mesh import DP_AXIS, SP_AXIS
+        return jax.lax.with_sharding_constraint(h, P(DP_AXIS, SP_AXIS, None))
 
     def lm_logits(self, h: jax.Array) -> jax.Array:
         return self.output(h)

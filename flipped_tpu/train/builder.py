@@ -49,18 +49,32 @@ def resolve_model_config(run_cfg: RunConfig) -> ModelConfig:
 def build_model(run_cfg: RunConfig, use_flash: bool | None = None,
                 remat: bool = True):
     cfg = resolve_model_config(run_cfg)
+    seq_shard = run_cfg.mesh.sp > 1
     if use_flash is None:
         use_flash = (run_cfg.train.flash_attention
                      and jax.default_backend() == "tpu")
+    if seq_shard and use_flash:
+        # the Pallas kernel is a single-device program; sharding its S axis
+        # needs shard_map (future work) — sp runs the einsum formulation,
+        # which GSPMD partitions directly
+        print("sequence parallelism (--sp > 1): using the einsum attention "
+              "path (Pallas flash kernel is not GSPMD-partitionable)")
+        use_flash = False
     from ..core.config import quant_flags
     model = FlippedVQAModel(cfg, use_flash=use_flash,
                             remat=remat and run_cfg.train.remat,
                             remat_policy=run_cfg.train.remat_policy,
+                            seq_shard=seq_shard,
                             **quant_flags(run_cfg.train.quantize))
     return model, cfg
 
 
 def init_params(model, cfg: ModelConfig, seed: int = 0):
+    if getattr(model, "seq_shard", False):
+        # init runs before the trainer enters its mesh; the sequence-parallel
+        # sharding constraints need one. They don't affect param shapes —
+        # init through an unconstrained clone.
+        model = model.clone(seq_shard=False)
     tokens = jnp.zeros((1, min(cfg.max_seq_len, 16)), jnp.int32)
     merge = cfg.audio_merge
     video = (None if merge == "audio_only"

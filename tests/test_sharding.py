@@ -45,12 +45,14 @@ def test_param_pspec_rules():
 def test_mesh_shapes():
     devs = cpu8()
     m = make_mesh(MeshConfig(dp=4, tp=2), devices=devs)
-    assert m.shape == {"dp": 4, "tp": 2}
+    assert m.shape == {"dp": 4, "sp": 1, "tp": 2}
     m = make_mesh(MeshConfig(dp=-1, tp=2), devices=devs)
-    assert m.shape == {"dp": 4, "tp": 2}
-    # explicit smaller mesh → first dp*tp devices
+    assert m.shape == {"dp": 4, "sp": 1, "tp": 2}
+    m = make_mesh(MeshConfig(dp=-1, sp=2, tp=2), devices=devs)
+    assert m.shape == {"dp": 2, "sp": 2, "tp": 2}
+    # explicit smaller mesh → first dp*sp*tp devices
     m = make_mesh(MeshConfig(dp=3, tp=2), devices=devs)
-    assert m.shape == {"dp": 3, "tp": 2}
+    assert m.shape == {"dp": 3, "sp": 1, "tp": 2}
     with pytest.raises(ValueError):
         make_mesh(MeshConfig(dp=5, tp=2), devices=devs)
 
@@ -244,3 +246,109 @@ def test_loader_shards_mapping(monkeypatch):
     # tp=4 across 4 procs × 2 devices: groups of 2 procs per dp row
     fake(2, 3, 4)
     assert loader_shards(_FakeMesh(4)) == (1, 2)
+
+
+# --- sequence parallelism (sp axis, core/mesh.py) -----------------------------
+
+def test_sp_sharded_train_step_matches_single_device():
+    """Identical losses on a dp2×sp2×tp2 mesh (all three axes live) vs one
+    device — the sequence-parallel sharding constraints must not change the
+    math, only the layout."""
+    from jax.sharding import NamedSharding
+    devs = cpu8()
+    cfg = ModelConfig(dim=32, n_layers=2, n_heads=4, vocab_size=128,
+                      multiple_of=16, max_seq_len=64, adapter_len=4,
+                      adapter_layer=2, max_feats=4, visual_dim=16)
+    tok = MockTokenizer(cfg.vocab_size)
+    plain = FlippedVQAModel(cfg, dtype=jnp.float32, frozen_dtype=jnp.float32)
+    spmod = FlippedVQAModel(cfg, dtype=jnp.float32, frozen_dtype=jnp.float32,
+                            seq_shard=True)
+    items = make_synthetic_items(tok, 4, max_feats=4, max_seq_len=64,
+                                 visual_dim=16, seed=0)
+    batch = pack_train_batch(items, 4)
+    params = plain.init(jax.random.PRNGKey(0),
+                        jnp.array(batch["vqa_tokens"][:1]),
+                        jnp.array(batch["video"][:1]), None,
+                        jnp.array(batch["vqa_video_start"][:1]),
+                        jnp.array(batch["vqa_splice"][:1]))["params"]
+    trainable, frozen = partition_params(params)
+    tcfg = TrainConfig(lr=1e-2, vaq=True, qav=True)
+    tx = make_optimizer(tcfg, steps_per_epoch=4, world_batch=4)
+    opt_state = tx.init(trainable)
+    b = {k: jnp.array(v) for k, v in add_accum_axis(batch, 2).items()}
+
+    cpu0 = devs[0]
+    with jax.default_device(cpu0):
+        step1 = make_train_step(plain, tx, vaq=True, qav=True)
+        t1, o1, m1 = jax.jit(step1)(
+            jax.device_put(trainable, cpu0), jax.device_put(opt_state, cpu0),
+            jax.device_put(frozen, cpu0),
+            {k: jax.device_put(v, cpu0) for k, v in b.items()})
+        loss_1dev = float(m1.loss)
+
+    mesh = make_mesh(MeshConfig(dp=2, sp=2, tp=2), devices=devs)
+    assert mesh.shape == {"dp": 2, "sp": 2, "tp": 2}
+    step = make_train_step(spmod, tx, vaq=True, qav=True)
+    with mesh:
+        t_sh = jax.device_put(trainable, param_shardings(mesh, trainable))
+        f_sh = jax.device_put(frozen, param_shardings(mesh, frozen))
+        o_sh = jax.device_put(opt_state, NamedSharding(mesh, P()))
+        b_sh = {k: jax.device_put(v, NamedSharding(mesh, P(None, DP_AXIS)))
+                for k, v in b.items()}
+        t2, o2, m2 = step(t_sh, o_sh, f_sh, b_sh)
+        loss_mesh = float(m2.loss)
+
+    np.testing.assert_allclose(loss_mesh, loss_1dev, rtol=2e-5, atol=2e-5)
+    jax.tree_util.tree_map(
+        lambda a, b_: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=5e-5, atol=5e-5), t1, t2)
+
+
+def test_sp_cuts_per_device_activation_memory():
+    """The reason sp exists: on the SAME mesh, turning the residual-stream
+    constraints on must cut XLA's per-device temp footprint (activations
+    shard S/sp ways; attention still all-gathers its own K/V)."""
+    from jax.sharding import NamedSharding
+    devs = cpu8()
+    cfg = ModelConfig(dim=128, n_layers=2, n_heads=4, vocab_size=256,
+                      multiple_of=64, max_seq_len=512, adapter_len=4,
+                      adapter_layer=2, max_feats=4, visual_dim=16)
+    tok = MockTokenizer(cfg.vocab_size)
+    items = make_synthetic_items(tok, 2, max_feats=4, max_seq_len=512,
+                                 visual_dim=16, seed=0)
+    batch = pack_train_batch(items, 4)
+    mesh = make_mesh(MeshConfig(dp=1, sp=4, tp=1), devices=devs[:4])
+    tcfg = TrainConfig(lr=1e-2, vaq=True, qav=True)
+    tx = make_optimizer(tcfg, steps_per_epoch=4, world_batch=2)
+    b = {k: jnp.array(v) for k, v in add_accum_axis(batch, 1).items()}
+
+    # init once with the plain model (params are structurally identical;
+    # the sp model cannot init outside a mesh — its constraints need one)
+    plain = FlippedVQAModel(cfg, dtype=jnp.float32, frozen_dtype=jnp.float32,
+                            remat=False)
+    params = plain.init(jax.random.PRNGKey(0),
+                        jnp.array(batch["vqa_tokens"][:1]),
+                        jnp.array(batch["video"][:1]), None,
+                        jnp.array(batch["vqa_video_start"][:1]),
+                        jnp.array(batch["vqa_splice"][:1]))["params"]
+
+    def temp_bytes(seq_shard):
+        model = FlippedVQAModel(cfg, dtype=jnp.float32,
+                                frozen_dtype=jnp.float32, remat=False,
+                                seq_shard=seq_shard)
+        trainable, frozen = partition_params(params)
+        opt_state = tx.init(trainable)
+        step = make_train_step(model, tx, vaq=True, qav=True)
+        with jax.set_mesh(mesh):
+            t_sh = jax.device_put(trainable, param_shardings(mesh, trainable))
+            f_sh = jax.device_put(frozen, param_shardings(mesh, frozen))
+            o_sh = jax.device_put(opt_state, NamedSharding(mesh, P()))
+            b_sh = {k: jax.device_put(v,
+                                      NamedSharding(mesh, P(None, DP_AXIS)))
+                    for k, v in b.items()}
+            lowered = jax.jit(step).lower(t_sh, o_sh, f_sh, b_sh)
+            ma = lowered.compile().memory_analysis()
+        return ma.temp_size_in_bytes
+
+    replicated_t, sharded_t = temp_bytes(False), temp_bytes(True)
+    assert sharded_t < 0.7 * replicated_t, (replicated_t, sharded_t)
