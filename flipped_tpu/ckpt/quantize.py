@@ -56,9 +56,12 @@ def quantize_kernel(kernel, group: int = 0, outliers: int = 0,
         if outliers:
             raise ValueError("int4 + outlier passthrough is unsupported — "
                              "use --quantize int4r|w4a8r instead")
+        group = group or 128  # grouped scales are mandatory at 4 bits —
+        # mirror Linear's default so quantize_kernel(bits=4) with the
+        # group-0 default can never produce a whole-K absmax window at 7B
         k = np.asarray(kernel, np.float32)
         k_dim, n = k.shape
-        g = group if group and k_dim % group == 0 else k_dim
+        g = group if k_dim % group == 0 else k_dim
         kg = k.reshape(k_dim // g, g, n)
         scale = np.maximum(np.abs(kg).max(axis=1) / 7.0, 1e-8)  # (G, out)
         q = np.clip(np.round(kg / scale[:, None, :]), -7,
@@ -125,7 +128,11 @@ def quantize_frozen(frozen: dict, group: int = 0,
         if name in _QUANT_MODULES and "kernel" in node and node["kernel"] is not None:
             n_out = outlier_count(np.shape(node["kernel"])[0]) if outlier_rows else 0
             leaf_bits = 8 if name == "output" else bits
-            return quantize_kernel(node["kernel"], group, n_out, leaf_bits)
+            # bits=4 forces grouped scales everywhere (incl. the int8 head,
+            # matching the model's quant_group=128 under int4 modes)
+            leaf_group = (group or 128) if bits == 4 else group
+            return quantize_kernel(node["kernel"], leaf_group, n_out,
+                                   leaf_bits)
         return {k: walk(v, k) for k, v in node.items()}
 
     return walk(frozen)

@@ -61,8 +61,10 @@ def loader_shards(mesh: Mesh) -> tuple:
     DistributedSampler-style per-process slice (reference:
     dataloader/__init__.py:21)."""
     local = max(jax.local_device_count(), 1)
-    tp = mesh.shape.get(TP_AXIS, 1) * mesh.shape.get(SP_AXIS, 1)
-    group = max(1, tp // local)  # processes sharing one dp row-group
+    # devices per dp row = the model axes (sp·tp) — every device in a row
+    # consumes the same batch rows
+    model_cols = mesh.shape.get(SP_AXIS, 1) * mesh.shape.get(TP_AXIS, 1)
+    group = max(1, model_cols // local)  # processes sharing one dp row-group
     return (jax.process_index() // group,
             max(1, jax.process_count() // group))
 

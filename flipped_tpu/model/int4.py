@@ -83,34 +83,46 @@ def _zero_tangents(kq4, scale_g):
     return np.broadcast_to(zero, kq4.shape), jnp.zeros_like(scale_g)
 
 
-# --- weight-only int4: dequantize into a bf16 matmul -------------------------
-
-def _wo_impl(x, kq4, scale_g):
-    return (x @ _dequant_bf16(kq4, scale_g).astype(x.dtype)).astype(x.dtype)
-
-
-@jax.custom_vjp
-def int4_matmul(x, kq4, scale_g):
-    """x (…, K) float; kq4 (K, N/2) packed int8; scale_g (G, N) f32 →
-    (…, N) x.dtype. Weight-only: the matmul runs in x.dtype."""
-    return _wo_impl(x, kq4, scale_g)
-
-
-def _wo_fwd(x, kq4, scale_g):
-    return _wo_impl(x, kq4, scale_g), (kq4, scale_g)
-
-
-def _wo_bwd(res, g):
+def _int4_bwd(res, g):
+    """Shared backward for every int4 matmul variant: dx = g @ dequant(W)ᵀ
+    in bf16, residuals are the PACKED weights only."""
     kq4, scale_g = res
     w = _dequant_bf16(kq4, scale_g)
     dx = (g.astype(jnp.bfloat16) @ w.T).astype(g.dtype)
     return (dx, *_zero_tangents(kq4, scale_g))
 
 
-int4_matmul.defvjp(_wo_fwd, _wo_bwd)
+def _make_int4_matmul(impl, doc):
+    @jax.custom_vjp
+    def f(x, kq4, scale_g):
+        return impl(x, kq4, scale_g)
+
+    def fwd(x, kq4, scale_g):
+        return impl(x, kq4, scale_g), (kq4, scale_g)
+
+    f.defvjp(fwd, _int4_bwd)
+    f.__doc__ = doc
+    return f
+
+
+# --- weight-only int4: dequantize into a bf16 matmul -------------------------
+
+def _wo_impl(x, kq4, scale_g):
+    return (x @ _dequant_bf16(kq4, scale_g).astype(x.dtype)).astype(x.dtype)
+
+
+int4_matmul = _make_int4_matmul(
+    _wo_impl,
+    "x (…, K) float; kq4 (K, N/2) packed int8; scale_g (G, N) f32 → "
+    "(…, N) x.dtype. Weight-only: the matmul runs in x.dtype.")
 
 
 # --- w4a8: int8 activations × unpacked int4 weights on the MXU ---------------
+
+def _w4a8_xla_impl(x, kq4, scale_g):
+    from .int8 import _grouped_matmul_impl
+    return _grouped_matmul_impl(x, unpack_int4(kq4), scale_g)
+
 
 def _w4a8_impl(x, kq4, scale_g):
     # Unpacked values live in [-8, 7]: valid int8 contents, so the grouped
@@ -122,34 +134,20 @@ def _w4a8_impl(x, kq4, scale_g):
     from .pallas.quant_matmul import (int4_matmul_grouped_pallas,
                                       int4_pallas_supported)
 
-    def _xla(x, kq4, scale_g):
-        from .int8 import _grouped_matmul_impl
-        return _grouped_matmul_impl(x, unpack_int4(kq4), scale_g)
-
     if not int4_pallas_supported(x, kq4, scale_g):
-        return _xla(x, kq4, scale_g)
+        return _w4a8_xla_impl(x, kq4, scale_g)
     return jax.lax.platform_dependent(
         x, kq4, scale_g,
         tpu=int4_matmul_grouped_pallas,
-        default=_xla)
+        default=_w4a8_xla_impl)
 
 
-@jax.custom_vjp
-def int4_matmul_grouped(x, kq4, scale_g):
-    """x (…, K) float; kq4 (K, N/2) packed int8; scale_g (G, N) f32 →
-    (…, N) x.dtype, activations quantized per (token, 128-wide group)."""
-    return _w4a8_impl(x, kq4, scale_g)
-
-
-def _g_fwd(x, kq4, scale_g):
-    return _w4a8_impl(x, kq4, scale_g), (kq4, scale_g)
-
-
-def _g_bwd(res, g):
-    kq4, scale_g = res
-    w = _dequant_bf16(kq4, scale_g)
-    dx = (g.astype(jnp.bfloat16) @ w.T).astype(g.dtype)
-    return (dx, *_zero_tangents(kq4, scale_g))
-
-
-int4_matmul_grouped.defvjp(_g_fwd, _g_bwd)
+int4_matmul_grouped = _make_int4_matmul(
+    _w4a8_impl,
+    "x (…, K) float; kq4 (K, N/2) packed int8; scale_g (G, N) f32 → "
+    "(…, N) x.dtype, activations quantized per (token, 128-wide group).")
+# XLA-only variant for GSPMD-partitioned jits (sequence parallelism) — a
+# pallas_call is a single-device program and would force gathers around
+# every matmul. Numerics identical.
+int4_matmul_grouped_xla = _make_int4_matmul(
+    _w4a8_xla_impl, int4_matmul_grouped.__doc__ + " XLA formulation only.")

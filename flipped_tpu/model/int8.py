@@ -120,15 +120,6 @@ def _grouped_dispatch(x, kq, scale_g):
         default=_grouped_matmul_impl)
 
 
-@jax.custom_vjp
-def int8_matmul_grouped(x, kq, scale_g):
-    return _grouped_dispatch(x, kq, scale_g)
-
-
-def _g_fwd(x, kq, scale_g):
-    return _grouped_dispatch(x, kq, scale_g), (kq, scale_g)
-
-
 def _g_bwd(res, g):
     kq, scale_g = res
     k_dim, n = kq.shape
@@ -140,4 +131,25 @@ def _g_bwd(res, g):
     return (dx, np.broadcast_to(zero, kq.shape), jnp.zeros_like(scale_g))
 
 
-int8_matmul_grouped.defvjp(_g_fwd, _g_bwd)
+def _make_grouped_matmul(impl):
+    """custom-VJP wrapper around a grouped-matmul primal: the backward
+    (dx = g @ dequant(W)ᵀ in bf16, packed/int residuals only) is shared —
+    only the primal implementation differs between variants."""
+
+    @jax.custom_vjp
+    def f(x, kq, scale_g):
+        return impl(x, kq, scale_g)
+
+    def fwd(x, kq, scale_g):
+        return impl(x, kq, scale_g), (kq, scale_g)
+
+    f.defvjp(fwd, _g_bwd)
+    return f
+
+
+int8_matmul_grouped = _make_grouped_matmul(_grouped_dispatch)
+# XLA-only variant: under sequence parallelism (GSPMD-partitioned jit) a
+# pallas_call is a single-device program — its operands would be gathered
+# to full shape around every matmul, negating the sp sharding. The XLA
+# batched-dot formulation partitions natively. Numerics identical.
+int8_matmul_grouped_xla = _make_grouped_matmul(_grouped_matmul_impl)

@@ -84,6 +84,10 @@ class Linear(nn.Module):
     quant_group: int = 0
     quant_outliers: bool = False
     weight_bits: int = 8
+    # False → XLA-only quantized matmuls (no pallas_call): required under
+    # GSPMD-partitioned jits (sequence parallelism), where a Pallas kernel
+    # is a single-device program and would force gathers around every matmul
+    quant_pallas: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -91,7 +95,8 @@ class Linear(nn.Module):
             if self.quant_outliers:
                 raise ValueError("int4 + outlier passthrough is unsupported "
                                  "(use --quantize int4r|w4a8r)")
-            from .int4 import int4_matmul, int4_matmul_grouped
+            from .int4 import (int4_matmul, int4_matmul_grouped,
+                               int4_matmul_grouped_xla)
             k_dim = x.shape[-1]
             group = self.quant_group or 128
             g_count = k_dim // group if k_dim % group == 0 else 1
@@ -100,7 +105,9 @@ class Linear(nn.Module):
             scale = self.param("scale", nn.initializers.ones,
                                (g_count, self.features), jnp.float32)
             if self.act_quant:
-                return int4_matmul_grouped(x, kq4, scale)
+                mm = (int4_matmul_grouped if self.quant_pallas
+                      else int4_matmul_grouped_xla)
+                return mm(x, kq4, scale)
             return int4_matmul(x, kq4, scale)
         if self.quantized:
             k_dim = x.shape[-1]
@@ -124,12 +131,14 @@ class Linear(nn.Module):
                     # (the matching kernel_q rows are zero)
                     x = x * jnp.ones((k_dim,), x.dtype).at[oi].set(0)
             if self.quant_group > 0 and k_dim % self.quant_group == 0:
-                from .int8 import int8_matmul_grouped
+                from .int8 import int8_matmul_grouped, int8_matmul_grouped_xla
                 g_count = k_dim // self.quant_group
                 scale = self.param("scale", nn.initializers.ones,
                                    (g_count, self.features), jnp.float32)
                 if self.act_quant:
-                    return int8_matmul_grouped(x, kq, scale) + passthrough
+                    mm = (int8_matmul_grouped if self.quant_pallas
+                          else int8_matmul_grouped_xla)
+                    return mm(x, kq, scale) + passthrough
                 kernel = (kq.reshape(g_count, self.quant_group,
                                      self.features).astype(self.dtype)
                           * scale[:, None, :].astype(self.dtype)
@@ -171,6 +180,7 @@ class Attention(nn.Module):
     quant_group: int = 0
     quant_outliers: bool = False
     weight_bits: int = 8
+    quant_pallas: bool = True
 
     def setup(self):
         cfg = self.cfg
@@ -180,7 +190,8 @@ class Attention(nn.Module):
                                 act_quant=self.act_quant,
                                 quant_group=self.quant_group,
                                 quant_outliers=self.quant_outliers,
-                                weight_bits=self.weight_bits)
+                                weight_bits=self.weight_bits,
+                                quant_pallas=self.quant_pallas)
         self.wq, self.wk, self.wv, self.wo = (lin(name=n) for n in
                                               ("wq", "wk", "wv", "wo"))
         # Zero-init tanh gate on the adapter segment; -bias init on the
@@ -299,6 +310,7 @@ class FeedForward(nn.Module):
     quant_group: int = 0
     quant_outliers: bool = False
     weight_bits: int = 8
+    quant_pallas: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -309,7 +321,8 @@ class FeedForward(nn.Module):
                                 act_quant=self.act_quant,
                                 quant_group=self.quant_group,
                                 quant_outliers=self.quant_outliers,
-                                weight_bits=self.weight_bits)
+                                weight_bits=self.weight_bits,
+                                quant_pallas=self.quant_pallas)
         w1 = lin(hidden, name="w1")
         w2 = lin(self.cfg.dim, name="w2")
         w3 = lin(hidden, name="w3")
@@ -329,18 +342,19 @@ class TransformerBlock(nn.Module):
     quant_group: int = 0
     quant_outliers: bool = False
     weight_bits: int = 8
+    quant_pallas: bool = True
 
     def setup(self):
         self.attention = Attention(self.cfg, self.dtype, self.frozen_dtype,
                                    self.trainable_dtype, self.use_flash,
                                    self.quantized, self.act_quant,
                                    self.quant_group, self.quant_outliers,
-                                   self.weight_bits)
+                                   self.weight_bits, self.quant_pallas)
         self.feed_forward = FeedForward(self.cfg, self.dtype,
                                         self.frozen_dtype, self.quantized,
                                         self.act_quant, self.quant_group,
                                         self.quant_outliers,
-                                        self.weight_bits)
+                                        self.weight_bits, self.quant_pallas)
         self.attention_norm = RMSNorm(self.cfg.dim, self.cfg.norm_eps,
                                       self.frozen_dtype)
         self.ffn_norm = RMSNorm(self.cfg.dim, self.cfg.norm_eps,
@@ -452,7 +466,8 @@ class FlippedVQAModel(nn.Module):
                              self.trainable_dtype, self.use_flash,
                              self.quantized, self.act_quant,
                              self.quant_group, self.quant_outliers,
-                             self.weight_bits, name=f"layers_{i}")
+                             self.weight_bits, not self.seq_shard,
+                             name=f"layers_{i}")
             for i in range(cfg.n_layers)
         ]
         self.norm = RMSNorm(cfg.dim, cfg.norm_eps, self.frozen_dtype,

@@ -331,3 +331,45 @@ def test_int4_cuts_compiled_argument_bytes():
     assert blocks4 < 0.75 * blocks8, (blocks4, blocks8)
     # and the compiled argument footprint drops by at least 80% of that
     assert a8 - a4 > 0.8 * (blocks8 - blocks4), (a8, a4, blocks8, blocks4)
+
+
+def test_bits4_defaults_to_group_128():
+    """quantize_kernel(bits=4) without an explicit group must use the same
+    128-wide default as Linear — never a whole-K absmax window (review
+    finding: the two defaulted differently)."""
+    k = np.random.RandomState(7).randn(256, 64).astype(np.float32)
+    node = quantize_kernel(k, bits=4)
+    assert node["scale"].shape == (2, 64)
+    frozen = {"layers_0": {"attention": {"wq": {"kernel": k}}},
+              "output": {"kernel": k}}
+    q = quantize_frozen(frozen, bits=4)
+    assert q["layers_0"]["attention"]["wq"]["scale"].shape == (2, 64)
+    # head stays int8 but picks up the same grouped scales the model expects
+    assert q["output"]["kernel_q"].dtype == jnp.int8
+    assert q["output"]["scale"].shape == (2, 64)
+
+
+def test_xla_only_variants_match_pallas_dispatch():
+    """int{8,4}_matmul_grouped_xla (used under sequence parallelism, where
+    a pallas_call would force gathers) are numerically identical to the
+    dispatching variants on CPU."""
+    from flipped_tpu.model.int4 import int4_matmul_grouped_xla
+    from flipped_tpu.model.int8 import (int8_matmul_grouped,
+                                        int8_matmul_grouped_xla)
+    rs = np.random.RandomState(8)
+    k = rs.randn(256, 64).astype(np.float32) * 0.05
+    x = jnp.asarray(rs.randn(4, 256).astype(np.float32))
+    n4 = quantize_kernel(k, group=128, bits=4)
+    np.testing.assert_array_equal(
+        np.asarray(int4_matmul_grouped_xla(x, n4["kernel_q4"], n4["scale"])),
+        np.asarray(int4_matmul_grouped(x, n4["kernel_q4"], n4["scale"])))
+    n8 = quantize_kernel(k, group=128)
+    np.testing.assert_array_equal(
+        np.asarray(int8_matmul_grouped_xla(x, n8["kernel_q"], n8["scale"])),
+        np.asarray(int8_matmul_grouped(x, n8["kernel_q"], n8["scale"])))
+    # gradients flow through the XLA-only variants identically
+    g4 = jax.grad(lambda xx: int4_matmul_grouped_xla(
+        xx, n4["kernel_q4"], n4["scale"]).sum())(x)
+    g4p = jax.grad(lambda xx: int4_matmul_grouped(
+        xx, n4["kernel_q4"], n4["scale"]).sum())(x)
+    np.testing.assert_array_equal(np.asarray(g4), np.asarray(g4p))
