@@ -172,9 +172,9 @@ def rotate_params(params: dict, n_layers: int, adapter_layer: int = 0,
 
     def _no_quantized(node):
         if isinstance(node, dict):
-            if "kernel_q" in node:
+            if "kernel_q" in node or "kernel_q4" in node:
                 raise ValueError(
-                    "rotate_params got an int8-QUANTIZED tree (kernel_q "
+                    "rotate_params got a QUANTIZED tree (kernel_q/kernel_q4 "
                     "leaf found) — the rotation must fold into the bf16/f32 "
                     "kernels BEFORE quantization (ckpt/quantize.py runs "
                     "after)")
