@@ -352,3 +352,11 @@ def test_sp_cuts_per_device_activation_memory():
 
     replicated_t, sharded_t = temp_bytes(False), temp_bytes(True)
     assert sharded_t < 0.7 * replicated_t, (replicated_t, sharded_t)
+
+
+def test_cli_sp_flag_reaches_mesh_config():
+    from flipped_tpu.core.config import get_args_parser, run_config_from_args
+    args = get_args_parser().parse_args(
+        ["--dp", "2", "--sp", "2", "--tp", "2"])
+    run_cfg = run_config_from_args(args)
+    assert (run_cfg.mesh.dp, run_cfg.mesh.sp, run_cfg.mesh.tp) == (2, 2, 2)
