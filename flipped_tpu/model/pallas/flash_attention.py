@@ -308,14 +308,18 @@ def flash_text_attention_bwd(q, k, v, gate2, video_start, max_feats, g,
 # (k entirely above the diagonal) skip their compute via pl.when.
 # ---------------------------------------------------------------------------
 
-def _stream_fwd_kernel(vs_ref, g2_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                       m_scr, l_scr, acc_scr, *, bq: int, bk: int,
+def _stream_fwd_kernel(vs_ref, g2_ref, q0_ref, q_ref, k_ref, v_ref, o_ref,
+                       lse_ref, m_scr, l_scr, acc_scr, *, bq: int, bk: int,
                        s_actual: int, max_feats: int, scale: float):
     b = pl.program_id(0)
     h = pl.program_id(1)
     qi = pl.program_id(2)
     ki = pl.program_id(3)
     nk = pl.num_programs(3)
+    # global position of this kernel's first q row: nonzero when q is a
+    # SEQUENCE SHARD of the global sequence (sequence parallelism — K/V are
+    # all-gathered to full length, q stays local)
+    q0 = q0_ref[0]
 
     @pl.when(ki == 0)
     def _init():
@@ -324,7 +328,7 @@ def _stream_fwd_kernel(vs_ref, g2_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         acc_scr[:] = jnp.zeros_like(acc_scr[:])
 
     # causal skip: this k-block is entirely above the q-block's diagonal
-    @pl.when(ki * bk <= qi * bq + bq - 1)
+    @pl.when(ki * bk <= q0 + qi * bq + bq - 1)
     def _compute():
         q = q_ref[:].astype(jnp.bfloat16)
         k = k_ref[:].astype(jnp.bfloat16)
@@ -332,7 +336,7 @@ def _stream_fwd_kernel(vs_ref, g2_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale        # (BQ, BK)
 
-        row = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + qi * bq
+        row = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + q0 + qi * bq
         col = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ki * bk
         vs = vs_ref[b]
         gate2 = g2_ref[h]
@@ -372,29 +376,38 @@ def _stream_fwd_kernel(vs_ref, g2_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
 def flash_streaming_fwd(q, k, v, gate2, video_start, max_feats,
                         block: int = BLOCK_STREAM,
-                        interpret: bool | None = None):
+                        interpret: bool | None = None, q_offset=None):
     """Streaming causal attention + gate2 video-block bias. No bound on S.
 
     q, k, v: (B, S, H, Dh). Returns (out (B,S,H,Dh) in q.dtype,
     lse (B,H,S_pad,8) f32 — 8 broadcast lanes, padded S; consumed by the
-    backward kernels)."""
-    interpret = INTERPRET if interpret is None else interpret
-    b, s, h, dh = q.shape
-    scale = 1.0 / float(np.sqrt(dh))
-    bq = bk = min(block, _round_up(s, 128))
-    s_pad = _round_up(s, bq)
-    dh_pad = _round_up(dh, 128)
+    backward kernels).
 
-    def prep(x):
+    q_offset (traced int scalar, optional): global position of q's first
+    row. Sequence parallelism passes a LOCAL q shard with full-length K/V
+    and q_offset = shard_index · S_local; masks and the causal skip then
+    use global row positions. K/V may be longer than q in that case."""
+    interpret = INTERPRET if interpret is None else interpret
+    b, s_q, h, dh = q.shape
+    s_k = k.shape[1]
+    scale = 1.0 / float(np.sqrt(dh))
+    bq = min(block, _round_up(s_q, 128))
+    bk = min(block, _round_up(s_k, 128))
+    sq_pad = _round_up(s_q, bq)
+    sk_pad = _round_up(s_k, bk)
+    dh_pad = _round_up(dh, 128)
+    q0 = jnp.full((1,), 0 if q_offset is None else q_offset, jnp.int32)
+
+    def prep(x, s_pad):
         return _pad_to(_pad_to(x.transpose(0, 2, 1, 3), s_pad, 2), dh_pad, 3)
 
-    qt, kt, vt = prep(q), prep(k), prep(v)
-    grid = (b, h, s_pad // bq, s_pad // bk)
-    kernel = functools.partial(_stream_fwd_kernel, bq=bq, bk=bk, s_actual=s,
-                               max_feats=max_feats, scale=scale)
+    qt, kt, vt = prep(q, sq_pad), prep(k, sk_pad), prep(v, sk_pad)
+    grid = (b, h, sq_pad // bq, sk_pad // bk)
+    kernel = functools.partial(_stream_fwd_kernel, bq=bq, bk=bk,
+                               s_actual=s_k, max_feats=max_feats, scale=scale)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, bq, dh_pad),
@@ -417,37 +430,41 @@ def flash_streaming_fwd(q, k, v, gate2, video_start, max_feats,
         ],
     )
 
-    def kernel_4d(vs_ref, g2_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                  m_scr, l_scr, acc_scr):
-        kernel(vs_ref, g2_ref, q_ref.at[0, 0], k_ref.at[0, 0],
+    def kernel_4d(vs_ref, g2_ref, q0_ref, q_ref, k_ref, v_ref, o_ref,
+                  lse_ref, m_scr, l_scr, acc_scr):
+        kernel(vs_ref, g2_ref, q0_ref, q_ref.at[0, 0], k_ref.at[0, 0],
                v_ref.at[0, 0], o_ref.at[0, 0], lse_ref, m_scr, l_scr, acc_scr)
 
     out, lse = pl.pallas_call(
         kernel_4d,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, s_pad, dh_pad), q.dtype),
+            jax.ShapeDtypeStruct((b, h, sq_pad, dh_pad), q.dtype),
             # (B, H, S_pad, 8): 8 broadcast lanes, see _finalize above
-            jax.ShapeDtypeStruct((b, h, s_pad, 8), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, sq_pad, 8), jnp.float32),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * h * s * s * dh + b * h * s * s * dh,
-            bytes_accessed=3 * b * h * s * dh * 2 + b * h * s * dh * 2,
-            transcendentals=b * h * s * s,
+            flops=2 * b * h * s_q * s_k * dh + b * h * s_q * s_k * dh,
+            bytes_accessed=(b * h * s_q * dh * 2 + 2 * b * h * s_k * dh * 2
+                            + b * h * s_q * dh * 2),
+            transcendentals=b * h * s_q * s_k,
         ),
-    )(video_start.astype(jnp.int32), gate2.astype(jnp.float32), qt, kt, vt)
+    )(video_start.astype(jnp.int32), gate2.astype(jnp.float32), q0,
+      qt, kt, vt)
 
-    return out[:, :, :s, :dh].transpose(0, 2, 1, 3), lse
+    return out[:, :, :s_q, :dh].transpose(0, 2, 1, 3), lse
 
 
-def _stream_scores(vs, gate2, q, k, row0, col0, bq, bk, s_actual,
+def _stream_scores(vs, gate2, q, k, row0, col0, bq, bk, col_hi, row_hi,
                    max_feats, scale):
     """Shared score/mask construction for the streaming backward kernels.
     `vs`/`gate2` are VALUES read from the scalar-prefetch refs at kernel top
     level (pl.program_id must not be called inside pl.when closures — the
-    interpreter cannot lower it there). Returns (scores f32 with bias
-    applied, valid mask, gate2-block mask)."""
+    interpreter cannot lower it there). row0/row_hi are GLOBAL row
+    positions (row0 includes the sequence-parallel q_offset; row_hi is
+    q_offset + the local q length, bounding padded q rows out of dk/dv).
+    Returns (scores f32 with bias applied, valid mask, gate2-block mask)."""
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
@@ -456,13 +473,13 @@ def _stream_scores(vs, gate2, q, k, row0, col0, bq, bk, s_actual,
     block = ((row >= vs + max_feats) & (col >= vs)
              & (col < vs + max_feats) & (vs >= 0))
     s = s + jnp.where(block, gate2, 0.0)
-    valid = (col <= row) & (col < s_actual) & (row < s_actual)
+    valid = (col <= row) & (col < col_hi) & (row < row_hi)
     return s, valid, block
 
 
-def _stream_dq_kernel(vs_ref, g2_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                      dd_ref, dq_ref, dg2_ref, dq_scr, dg2_scr, *,
-                      bq: int, bk: int, s_actual: int, max_feats: int,
+def _stream_dq_kernel(vs_ref, g2_ref, q0_ref, q_ref, k_ref, v_ref, do_ref,
+                      lse_ref, dd_ref, dq_ref, dg2_ref, dq_scr, dg2_scr, *,
+                      bq: int, bk: int, s_k: int, s_q: int, max_feats: int,
                       scale: float):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -472,6 +489,7 @@ def _stream_dq_kernel(vs_ref, g2_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     nk = pl.num_programs(3)
     vs = vs_ref[b]
     gate2 = g2_ref[h]
+    q0 = q0_ref[0]
 
     @pl.when((qi == 0) & (ki == 0))
     def _init_g2():
@@ -481,14 +499,14 @@ def _stream_dq_kernel(vs_ref, g2_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     def _init():
         dq_scr[:] = jnp.zeros_like(dq_scr[:])
 
-    @pl.when(ki * bk <= qi * bq + bq - 1)
+    @pl.when(ki * bk <= q0 + qi * bq + bq - 1)
     def _compute():
         q = q_ref[:].astype(jnp.bfloat16)
         k = k_ref[:].astype(jnp.bfloat16)
         v = v_ref[:].astype(jnp.bfloat16)
         do = do_ref[:].astype(jnp.bfloat16)
-        s, valid, block = _stream_scores(vs, gate2, q, k, qi * bq,
-                                         ki * bk, bq, bk, s_actual,
+        s, valid, block = _stream_scores(vs, gate2, q, k, q0 + qi * bq,
+                                         ki * bk, bq, bk, s_k, q0 + s_q,
                                          max_feats, scale)
         lse = lse_ref[0, 0][:, :1]                            # (BQ, 1)
         p = jnp.where(valid, jnp.exp(s - lse), 0.0)           # (BQ, BK) f32
@@ -510,9 +528,9 @@ def _stream_dq_kernel(vs_ref, g2_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         dg2_ref[b, h] = dg2_scr[0]
 
 
-def _stream_dkv_kernel(vs_ref, g2_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                       dd_ref, dk_ref, dv_ref, dk_scr, dv_scr, *,
-                       bq: int, bk: int, s_actual: int, max_feats: int,
+def _stream_dkv_kernel(vs_ref, g2_ref, q0_ref, q_ref, k_ref, v_ref, do_ref,
+                       lse_ref, dd_ref, dk_ref, dv_ref, dk_scr, dv_scr, *,
+                       bq: int, bk: int, s_k: int, s_q: int, max_feats: int,
                        scale: float):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -521,20 +539,21 @@ def _stream_dkv_kernel(vs_ref, g2_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     nq = pl.num_programs(3)
     vs = vs_ref[b]
     gate2 = g2_ref[h]
+    q0 = q0_ref[0]
 
     @pl.when(qi == 0)
     def _init():
         dk_scr[:] = jnp.zeros_like(dk_scr[:])
         dv_scr[:] = jnp.zeros_like(dv_scr[:])
 
-    @pl.when(qi * bq + bq - 1 >= ki * bk)
+    @pl.when(q0 + qi * bq + bq - 1 >= ki * bk)
     def _compute():
         q = q_ref[:].astype(jnp.bfloat16)
         k = k_ref[:].astype(jnp.bfloat16)
         v = v_ref[:].astype(jnp.bfloat16)
         do = do_ref[:].astype(jnp.bfloat16)
-        s, valid, _ = _stream_scores(vs, gate2, q, k, qi * bq, ki * bk,
-                                     bq, bk, s_actual, max_feats, scale)
+        s, valid, _ = _stream_scores(vs, gate2, q, k, q0 + qi * bq, ki * bk,
+                                     bq, bk, s_k, q0 + s_q, max_feats, scale)
         lse = lse_ref[0, 0][:, :1]
         p = jnp.where(valid, jnp.exp(s - lse), 0.0)
         dv_scr[:] += jax.lax.dot_general(
@@ -556,42 +575,55 @@ def _stream_dkv_kernel(vs_ref, g2_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
 def flash_streaming_bwd(q, k, v, gate2, video_start, max_feats, g,
                         o_text=None, lse=None, block: int = BLOCK_STREAM,
-                        interpret: bool | None = None):
+                        interpret: bool | None = None, q_offset=None):
     """Streaming backward: two K/Q-blocked passes (dq+dgate2, then dk/dv),
     each holding only block-sized tiles in VMEM. No bound on S.
 
     o_text/lse: the text-segment forward output and its row log-sum-exps
-    (saved by the custom VJP's forward); recomputed here when absent."""
+    (saved by the custom VJP's forward); recomputed here when absent.
+
+    q_offset (traced int scalar, optional): sequence parallelism — q/g are
+    a LOCAL shard of the global rows starting at q_offset, K/V are full
+    length. dq comes back local; dk/dv come back FULL-length PARTIAL sums
+    (this shard's q rows only) and dgate2 partial — the caller must psum
+    them over the sequence axis."""
     interpret = INTERPRET if interpret is None else interpret
-    b, s, h, dh = q.shape
+    b, s_q, h, dh = q.shape
+    s_k = k.shape[1]
     scale = 1.0 / float(np.sqrt(dh))
-    bq = bk = min(block, _round_up(s, 128))
-    s_pad = _round_up(s, bq)
+    bq = min(block, _round_up(s_q, 128))
+    bk = min(block, _round_up(s_k, 128))
+    sq_pad = _round_up(s_q, bq)
+    sk_pad = _round_up(s_k, bk)
     dh_pad = _round_up(dh, 128)
+    q0 = jnp.full((1,), 0 if q_offset is None else q_offset, jnp.int32)
 
     if lse is None or o_text is None:
         o_text, lse = flash_streaming_fwd(q, k, v, gate2, video_start,
                                           max_feats, block=block,
-                                          interpret=interpret)
+                                          interpret=interpret,
+                                          q_offset=q_offset)
     # per-row D = Σ_dh dO ∘ O_text (text segment only — the adapter segment
     # has its own independent softmax and VJP). Carried like lse: padded S,
     # 8 broadcast lanes (Mosaic block-tiling rule, see _stream_fwd_kernel).
     dd = jnp.sum(g.astype(jnp.float32) * o_text.astype(jnp.float32),
-                 axis=-1).transpose(0, 2, 1)                   # (B, H, S)
-    dd = jnp.broadcast_to(_pad_to(dd, s_pad, 2)[..., None],
-                          (b, h, s_pad, 8))
-    lse = _pad_to(lse, s_pad, 2)[:, :, :s_pad]
+                 axis=-1).transpose(0, 2, 1)                   # (B, H, Sq)
+    dd = jnp.broadcast_to(_pad_to(dd, sq_pad, 2)[..., None],
+                          (b, h, sq_pad, 8))
+    lse = _pad_to(lse, sq_pad, 2)[:, :, :sq_pad]
 
-    def prep(x):
+    def prep(x, s_pad):
         return _pad_to(_pad_to(x.transpose(0, 2, 1, 3), s_pad, 2), dh_pad, 3)
 
-    qt, kt, vt, gt = prep(q), prep(k), prep(v), prep(g)
-    nq, nk = s_pad // bq, s_pad // bk
-    common = dict(bq=bq, bk=bk, s_actual=s, max_feats=max_feats, scale=scale)
+    qt, kt = prep(q, sq_pad), prep(k, sk_pad)
+    vt, gt = prep(v, sk_pad), prep(g, sq_pad)
+    nq, nk = sq_pad // bq, sk_pad // bk
+    common = dict(bq=bq, bk=bk, s_k=s_k, s_q=s_q, max_feats=max_feats,
+                  scale=scale)
 
     # pass 1: dq + dgate2, k innermost
     dq_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(b, h, nq, nk),
         in_specs=[
             pl.BlockSpec((1, 1, bq, dh_pad),
@@ -619,32 +651,32 @@ def flash_streaming_bwd(q, k, v, gate2, video_start, max_feats, g,
         ],
     )
 
-    def dq_kernel_4d(vs_ref, g2_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                     dd_ref, dq_ref, dg2_ref, dq_scr, dg2_scr):
+    def dq_kernel_4d(vs_ref, g2_ref, q0_ref, q_ref, k_ref, v_ref, do_ref,
+                     lse_ref, dd_ref, dq_ref, dg2_ref, dq_scr, dg2_scr):
         functools.partial(_stream_dq_kernel, **common)(
-            vs_ref, g2_ref, q_ref.at[0, 0], k_ref.at[0, 0], v_ref.at[0, 0],
-            do_ref.at[0, 0], lse_ref, dd_ref, dq_ref.at[0, 0], dg2_ref,
-            dq_scr, dg2_scr)
+            vs_ref, g2_ref, q0_ref, q_ref.at[0, 0], k_ref.at[0, 0],
+            v_ref.at[0, 0], do_ref.at[0, 0], lse_ref, dd_ref,
+            dq_ref.at[0, 0], dg2_ref, dq_scr, dg2_scr)
 
     dq, dg2 = pl.pallas_call(
         dq_kernel_4d,
         grid_spec=dq_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, s_pad, dh_pad), q.dtype),
+            jax.ShapeDtypeStruct((b, h, sq_pad, dh_pad), q.dtype),
             jax.ShapeDtypeStruct((b, h), jnp.float32),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=5 * b * h * s * s * dh,
-            bytes_accessed=5 * b * h * s * dh * 2,
-            transcendentals=b * h * s * s,
+            flops=5 * b * h * s_q * s_k * dh,
+            bytes_accessed=5 * b * h * s_k * dh * 2,
+            transcendentals=b * h * s_q * s_k,
         ),
-    )(video_start.astype(jnp.int32), gate2.astype(jnp.float32),
+    )(video_start.astype(jnp.int32), gate2.astype(jnp.float32), q0,
       qt, kt, vt, gt, lse, dd)
 
     # pass 2: dk + dv, q innermost
     dkv_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(b, h, nk, nq),
         in_specs=[
             pl.BlockSpec((1, 1, bq, dh_pad),
@@ -672,31 +704,32 @@ def flash_streaming_bwd(q, k, v, gate2, video_start, max_feats, g,
         ],
     )
 
-    def dkv_kernel_4d(vs_ref, g2_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                      dd_ref, dk_ref, dv_ref, dk_scr, dv_scr):
+    def dkv_kernel_4d(vs_ref, g2_ref, q0_ref, q_ref, k_ref, v_ref, do_ref,
+                      lse_ref, dd_ref, dk_ref, dv_ref, dk_scr, dv_scr):
         functools.partial(_stream_dkv_kernel, **common)(
-            vs_ref, g2_ref, q_ref.at[0, 0], k_ref.at[0, 0], v_ref.at[0, 0],
-            do_ref.at[0, 0], lse_ref, dd_ref, dk_ref.at[0, 0],
-            dv_ref.at[0, 0], dk_scr, dv_scr)
+            vs_ref, g2_ref, q0_ref, q_ref.at[0, 0], k_ref.at[0, 0],
+            v_ref.at[0, 0], do_ref.at[0, 0], lse_ref, dd_ref,
+            dk_ref.at[0, 0], dv_ref.at[0, 0], dk_scr, dv_scr)
 
     dk, dv = pl.pallas_call(
         dkv_kernel_4d,
         grid_spec=dkv_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, s_pad, dh_pad), q.dtype),
-            jax.ShapeDtypeStruct((b, h, s_pad, dh_pad), q.dtype),
+            jax.ShapeDtypeStruct((b, h, sk_pad, dh_pad), q.dtype),
+            jax.ShapeDtypeStruct((b, h, sk_pad, dh_pad), q.dtype),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=5 * b * h * s * s * dh,
-            bytes_accessed=5 * b * h * s * dh * 2,
-            transcendentals=b * h * s * s,
+            flops=5 * b * h * s_q * s_k * dh,
+            bytes_accessed=5 * b * h * s_k * dh * 2,
+            transcendentals=b * h * s_q * s_k,
         ),
-    )(video_start.astype(jnp.int32), gate2.astype(jnp.float32),
+    )(video_start.astype(jnp.int32), gate2.astype(jnp.float32), q0,
       qt, kt, vt, gt, lse, dd)
 
-    unprep = lambda x: x[:, :, :s, :dh].transpose(0, 2, 1, 3)
-    return unprep(dq), unprep(dk), unprep(dv), dg2.sum(axis=0)
+    unprep_q = lambda x: x[:, :, :s_q, :dh].transpose(0, 2, 1, 3)
+    unprep_k = lambda x: x[:, :, :s_k, :dh].transpose(0, 2, 1, 3)
+    return unprep_q(dq), unprep_k(dk), unprep_k(dv), dg2.sum(axis=0)
 
 
 def _adapter_segment(q, adapter_k, adapter_v, gate1):

@@ -284,3 +284,68 @@ def test_wrappers_dispatch_beyond_bounds(monkeypatch):
         c["q"], c["k"], c["v"], c["g2"], vs, 10, g, interpret=True)
     assert np.isfinite(np.asarray(dq)).all()
     assert dg2.shape == (2,)
+
+
+# --- q_offset (sequence-parallel) variants of the streaming kernels ---------
+
+def _sp_case(b=2, s=256, h=4, dh=64, seed=0):
+    rs = np.random.RandomState(seed)
+    mk = lambda: jnp.asarray(rs.randn(b, s, h, dh).astype(np.float32) * 0.3)
+    q, k, v = mk(), mk(), mk()
+    gate2 = jnp.asarray(rs.randn(h).astype(np.float32))
+    vs = jnp.asarray([3, -1][:b] * (b // 2) or [3], jnp.int32)
+    vs = jnp.asarray(([3, -1] * b)[:b], jnp.int32)
+    return q, k, v, gate2, vs
+
+
+def test_streaming_fwd_q_offset_matches_full():
+    """flash_streaming_fwd on a q SHARD with q_offset ≡ the matching slice
+    of the full-q run — the sequence-parallel contract."""
+    from flipped_tpu.model.pallas.flash_attention import flash_streaming_fwd
+    q, k, v, gate2, vs = _sp_case(s=256)
+    full, _ = flash_streaming_fwd(q, k, v, gate2, vs, 10, block=128,
+                                  interpret=True)
+    for shard, n_shards in ((0, 2), (1, 2)):
+        s_loc = q.shape[1] // n_shards
+        q_loc = q[:, shard * s_loc:(shard + 1) * s_loc]
+        got, _ = flash_streaming_fwd(q_loc, k, v, gate2, vs, 10, block=128,
+                                     interpret=True,
+                                     q_offset=jnp.int32(shard * s_loc))
+        np.testing.assert_allclose(
+            np.asarray(got),
+            np.asarray(full[:, shard * s_loc:(shard + 1) * s_loc]),
+            rtol=2e-5, atol=2e-5)
+
+
+def test_streaming_bwd_q_offset_shards_sum_to_full():
+    """Sequence-parallel backward contract: per-shard dq slices concatenate
+    to the full dq; per-shard PARTIAL dk/dv (full length) and dgate2 SUM to
+    the full-run values."""
+    from flipped_tpu.model.pallas.flash_attention import flash_streaming_bwd
+    q, k, v, gate2, vs = _sp_case(s=256, seed=3)
+    rs = np.random.RandomState(9)
+    g = jnp.asarray(rs.randn(*q.shape).astype(np.float32) * 0.2)
+
+    dq_f, dk_f, dv_f, dg2_f = flash_streaming_bwd(
+        q, k, v, gate2, vs, 10, g, block=128, interpret=True)
+
+    n_shards, s_loc = 2, q.shape[1] // 2
+    dq_parts, dk_sum, dv_sum, dg2_sum = [], 0, 0, 0
+    for i in range(n_shards):
+        sl = slice(i * s_loc, (i + 1) * s_loc)
+        dq_i, dk_i, dv_i, dg2_i = flash_streaming_bwd(
+            q[:, sl], k, v, gate2, vs, 10, g[:, sl], block=128,
+            interpret=True, q_offset=jnp.int32(i * s_loc))
+        assert dq_i.shape == q[:, sl].shape
+        assert dk_i.shape == k.shape            # full-length partial
+        dq_parts.append(dq_i)
+        dk_sum, dv_sum, dg2_sum = dk_sum + dk_i, dv_sum + dv_i, dg2_sum + dg2_i
+
+    np.testing.assert_allclose(np.asarray(jnp.concatenate(dq_parts, axis=1)),
+                               np.asarray(dq_f), rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dk_sum), np.asarray(dk_f),
+                               rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dv_sum), np.asarray(dv_f),
+                               rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dg2_sum), np.asarray(dg2_f),
+                               rtol=2e-2, atol=2e-3)
