@@ -35,7 +35,9 @@ def main(args):
     mesh = make_mesh(run_cfg.mesh)
 
     model, cfg, tokenizer, trainable, frozen = build_train_state(run_cfg)
-    with mesh:
+    # jax.set_mesh (not the legacy `with mesh:`): the sequence-parallel
+    # attention path resolves shard_map's mesh from this context
+    with jax.set_mesh(mesh):
         # same sharding policy as cli/train.py: TP rules on the frozen
         # backbone, replication everywhere else
         trainable = jax.device_put(trainable, param_shardings(mesh, trainable))

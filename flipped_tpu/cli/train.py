@@ -231,7 +231,9 @@ def main(args):
     np.random.seed(run_cfg.train.seed + jax.process_index())
 
     model, cfg, tokenizer, trainable, frozen = build_train_state(run_cfg)
-    with mesh:
+    # jax.set_mesh (not the legacy `with mesh:`): the sequence-parallel
+    # attention path resolves shard_map's mesh from this context
+    with jax.set_mesh(mesh):
         # TP-ruled shardings: the frozen backbone follows the reference
         # checkpoint's column/row split-dim table over the tp axis
         # (mesh.py:_TP_RULES); trainables (adapter/gates/projections) all

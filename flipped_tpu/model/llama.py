@@ -38,6 +38,7 @@ from .attention import (adapter_gated_attention, chunk_extend_attention,
 from .int8 import int8_matmul
 from .layers import apply_rope, apply_rope_at, precompute_rope, rms_norm
 from .pallas import flash_adapter_attention
+from .pallas.flash_attention import sp_flash_or_einsum
 
 
 def _torch_linear_init():
@@ -181,6 +182,10 @@ class Attention(nn.Module):
     quant_outliers: bool = False
     weight_bits: int = 8
     quant_pallas: bool = True
+    # sequence parallelism: dispatch to the shard_map'd streaming kernels
+    # (sp_flash_or_einsum) — the single-device Pallas wrappers cannot be
+    # GSPMD-partitioned
+    seq_shard: bool = False
 
     def setup(self):
         cfg = self.cfg
@@ -236,8 +241,11 @@ class Attention(nn.Module):
     def __call__(self, x, rope_cos, rope_sin, adapter, video_start):
         q, k, v = self._qkv(x, rope_cos, rope_sin)
         ak, av, g1 = self._adapter_kv(adapter)
-        attend = (flash_adapter_attention if self.use_flash
-                  else adapter_gated_attention)
+        if self.seq_shard and self.use_flash:
+            attend = sp_flash_or_einsum
+        else:
+            attend = (flash_adapter_attention if self.use_flash
+                      else adapter_gated_attention)
         out = attend(q, k, v, ak, av, g1, self.gate2, video_start,
                      self.cfg.max_feats)
         out = checkpoint_name(out, "attn_out")
@@ -343,13 +351,15 @@ class TransformerBlock(nn.Module):
     quant_outliers: bool = False
     weight_bits: int = 8
     quant_pallas: bool = True
+    seq_shard: bool = False
 
     def setup(self):
         self.attention = Attention(self.cfg, self.dtype, self.frozen_dtype,
                                    self.trainable_dtype, self.use_flash,
                                    self.quantized, self.act_quant,
                                    self.quant_group, self.quant_outliers,
-                                   self.weight_bits, self.quant_pallas)
+                                   self.weight_bits, self.quant_pallas,
+                                   self.seq_shard)
         self.feed_forward = FeedForward(self.cfg, self.dtype,
                                         self.frozen_dtype, self.quantized,
                                         self.act_quant, self.quant_group,
@@ -467,7 +477,7 @@ class FlippedVQAModel(nn.Module):
                              self.quantized, self.act_quant,
                              self.quant_group, self.quant_outliers,
                              self.weight_bits, not self.seq_shard,
-                             name=f"layers_{i}")
+                             self.seq_shard, name=f"layers_{i}")
             for i in range(cfg.n_layers)
         ]
         self.norm = RMSNorm(cfg.dim, cfg.norm_eps, self.frozen_dtype,

@@ -800,3 +800,143 @@ def flash_adapter_attention(q, k, v, adapter_k, adapter_v, gate1, gate2,
                                        gate2, video_start, max_feats)
     return _flash_adapter_attention(q, k, v, adapter_k, adapter_v, gate1,
                                     gate2, video_start, max_feats)
+
+
+# ---------------------------------------------------------------------------
+# Sequence-parallel flash attention (shard_map over the 'sp' mesh axis).
+#
+# Under sequence parallelism the residual stream (hence q/k/v) is sharded on
+# S. The einsum fallback works under GSPMD but still materializes a
+# (B, H, S/sp, S) score block per device; this wrapper instead runs the
+# STREAMING kernels per shard — local q rows against all-gathered K/V, with
+# q_offset giving the kernels global row coordinates — so nothing O(S²)
+# ever exists. Collectives: one all-gather of K/V over 'sp' in forward
+# (and again in backward), one psum_scatter of the partial dk/dv, one psum
+# of the partial dgate2. dq stays local. The adapter-prefix segment and the
+# output recombination happen OUTSIDE shard_map as plain GSPMD code (they
+# are row-local).
+#
+# Requires a jax.set_mesh(mesh) context whose mesh has the 'sp' axis
+# (core/mesh.py); 'dp'/'tp' are included in the specs when present.
+# ---------------------------------------------------------------------------
+
+def _sp_specs(h_dim: int, b_dim: int):
+    """(q/k/v spec, gate2 spec, video_start spec, lse spec) for the ambient
+    mesh — dims whose mesh axis is absent or indivisible stay replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    from ...core.mesh import DP_AXIS, SP_AXIS, TP_AXIS
+    mesh = jax.sharding.get_abstract_mesh()
+    names = mesh.axis_names
+    if SP_AXIS not in names:
+        raise ValueError("sp_flash_adapter_attention needs a mesh with an "
+                         f"'{SP_AXIS}' axis in context (jax.set_mesh)")
+    dp = DP_AXIS if (DP_AXIS in names
+                     and b_dim % mesh.shape[DP_AXIS] == 0) else None
+    tp = (TP_AXIS if (TP_AXIS in names
+                      and h_dim % mesh.shape[TP_AXIS] == 0) else None)
+    return (P(dp, SP_AXIS, tp, None), P(tp), P(dp),
+            P(dp, tp, SP_AXIS, None))
+
+
+def _sp_text_fwd(q, k, v, gate2, video_start, max_feats):
+    """shard_map'd streaming forward → (text (B,S,H,Dh), lse sharded)."""
+    from ...core.mesh import SP_AXIS
+
+    qkv_spec, g2_spec, vs_spec, lse_spec = _sp_specs(q.shape[2], q.shape[0])
+
+    def f(q_loc, k_loc, v_loc, g2, vs):
+        q0 = jax.lax.axis_index(SP_AXIS) * q_loc.shape[1]
+        kf = jax.lax.all_gather(k_loc, SP_AXIS, axis=1, tiled=True)
+        vf = jax.lax.all_gather(v_loc, SP_AXIS, axis=1, tiled=True)
+        return flash_streaming_fwd(q_loc, kf, vf, g2, vs, max_feats,
+                                   q_offset=q0)
+
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # info, so shard_map's replication checker cannot see through them
+    return jax.shard_map(
+        f,
+        in_specs=(qkv_spec, qkv_spec, qkv_spec, g2_spec, vs_spec),
+        out_specs=(qkv_spec, lse_spec), check_vma=False,
+    )(q, k, v, gate2, video_start)
+
+
+def _sp_text_bwd(q, k, v, gate2, video_start, max_feats, g, text, lse):
+    """shard_map'd streaming backward → (dq local, dk/dv scattered back to
+    their shards via psum_scatter, dgate2 psummed over dp×sp)."""
+    from ...core.mesh import DP_AXIS, SP_AXIS
+
+    qkv_spec, g2_spec, vs_spec, lse_spec = _sp_specs(q.shape[2], q.shape[0])
+    mesh = jax.sharding.get_abstract_mesh()
+    dg2_axes = ((SP_AXIS, DP_AXIS) if qkv_spec[0] is not None
+                else (SP_AXIS,))
+
+    def f(q_loc, k_loc, v_loc, g2, vs, g_loc, text_loc, lse_loc):
+        q0 = jax.lax.axis_index(SP_AXIS) * q_loc.shape[1]
+        kf = jax.lax.all_gather(k_loc, SP_AXIS, axis=1, tiled=True)
+        vf = jax.lax.all_gather(v_loc, SP_AXIS, axis=1, tiled=True)
+        dq, dk_full, dv_full, dg2 = flash_streaming_bwd(
+            q_loc, kf, vf, g2, vs, max_feats, g_loc,
+            o_text=text_loc, lse=lse_loc, q_offset=q0)
+        dk = jax.lax.psum_scatter(dk_full, SP_AXIS, scatter_dimension=1,
+                                  tiled=True)
+        dv = jax.lax.psum_scatter(dv_full, SP_AXIS, scatter_dimension=1,
+                                  tiled=True)
+        return dq, dk, dv, jax.lax.psum(dg2, dg2_axes)
+
+    return jax.shard_map(
+        f,
+        in_specs=(qkv_spec, qkv_spec, qkv_spec, g2_spec, vs_spec,
+                  qkv_spec, qkv_spec, lse_spec),
+        out_specs=(qkv_spec, qkv_spec, qkv_spec, g2_spec), check_vma=False,
+    )(q, k, v, gate2, video_start, g, text, lse)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def sp_flash_adapter_attention(q, k, v, adapter_k, adapter_v, gate1, gate2,
+                               video_start, max_feats):
+    """Sequence-parallel drop-in for adapter_gated_attention: streaming
+    Pallas kernels per S-shard (q_offset-aware), K/V all-gathered over the
+    'sp' mesh axis — no O(S²) buffer on any device. Needs jax.set_mesh."""
+    b, s, h, dh = q.shape
+    text, _ = _sp_text_fwd(q, k, v, gate2, video_start, max_feats)
+    out = text + _adapter_segment(q, adapter_k, adapter_v, gate1)
+    return out.reshape(b, s, h * dh)
+
+
+def _sp_fwd(q, k, v, adapter_k, adapter_v, gate1, gate2, video_start,
+            max_feats):
+    b, s, h, dh = q.shape
+    text, lse = _sp_text_fwd(q, k, v, gate2, video_start, max_feats)
+    out = (text + _adapter_segment(q, adapter_k, adapter_v, gate1)
+           ).reshape(b, s, h * dh)
+    return out, (q, k, v, adapter_k, adapter_v, gate1, gate2, video_start,
+                 text, lse)
+
+
+def _sp_bwd(max_feats, res, g):
+    q, k, v, adapter_k, adapter_v, gate1, gate2, video_start, text, lse = res
+    b, s, h, dh = q.shape
+    g4 = g.reshape(b, s, h, dh)
+    dq_t, dk, dv, dg2 = _sp_text_bwd(q, k, v, gate2, video_start, max_feats,
+                                     g4, text, lse)
+    _, avjp = jax.vjp(_adapter_segment, q, adapter_k, adapter_v, gate1)
+    dq_a, dak, dav, dg1 = avjp(g4.astype(q.dtype))
+    vs_zero = np.zeros(video_start.shape, dtype=jax.dtypes.float0)
+    return (dq_t + dq_a, dk, dv, dak, dav, dg1,
+            dg2.astype(gate2.dtype), vs_zero)
+
+
+sp_flash_adapter_attention.defvjp(_sp_fwd, _sp_bwd)
+
+
+def sp_flash_or_einsum(q, k, v, adapter_k, adapter_v, gate1, gate2,
+                       video_start, max_feats):
+    """Sequence-parallel dispatch: the shard_map'd streaming kernels on TPU
+    (or under the interpreter in tests), the exact einsum formulation — which
+    GSPMD partitions directly — everywhere else."""
+    if not _HAS_PALLAS or (jax.default_backend() != "tpu" and not INTERPRET):
+        return adapter_gated_attention(q, k, v, adapter_k, adapter_v, gate1,
+                                       gate2, video_start, max_feats)
+    return sp_flash_adapter_attention(q, k, v, adapter_k, adapter_v, gate1,
+                                      gate2, video_start, max_feats)

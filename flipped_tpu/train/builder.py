@@ -54,12 +54,12 @@ def build_model(run_cfg: RunConfig, use_flash: bool | None = None,
         use_flash = (run_cfg.train.flash_attention
                      and jax.default_backend() == "tpu")
     if seq_shard and use_flash:
-        # the Pallas kernel is a single-device program; sharding its S axis
-        # needs shard_map (future work) — sp runs the einsum formulation,
-        # which GSPMD partitions directly
-        print("sequence parallelism (--sp > 1): using the einsum attention "
-              "path (Pallas flash kernel is not GSPMD-partitionable)")
-        use_flash = False
+        # under sp the model dispatches attention to the shard_map'd
+        # streaming kernels (sp_flash_or_einsum): local q rows against
+        # all-gathered K/V with global q_offset — no O(S²) buffer on any
+        # device. Requires the trainer's jax.set_mesh context (cli/train.py).
+        print("sequence parallelism (--sp > 1): attention runs the "
+              "shard_map'd streaming flash kernels")
     from ..core.config import quant_flags
     model = FlippedVQAModel(cfg, use_flash=use_flash,
                             remat=remat and run_cfg.train.remat,

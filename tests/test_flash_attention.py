@@ -349,3 +349,69 @@ def test_streaming_bwd_q_offset_shards_sum_to_full():
                                rtol=2e-2, atol=2e-3)
     np.testing.assert_allclose(np.asarray(dg2_sum), np.asarray(dg2_f),
                                rtol=2e-2, atol=2e-3)
+
+
+def test_sp_flash_adapter_attention_matches_einsum_oracle():
+    """sp_flash_adapter_attention on a dp2×sp2×tp2 virtual mesh ≡ the exact
+    einsum path on one device — outputs AND all gradients (q/k/v, adapter
+    k/v, gate1, gate2). Kernels run through the Pallas interpreter."""
+    import flipped_tpu.model.pallas.flash_attention as fa
+    from flipped_tpu.core.config import MeshConfig
+    from flipped_tpu.core.mesh import make_mesh
+    from flipped_tpu.model.attention import adapter_gated_attention
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    mesh = make_mesh(MeshConfig(dp=2, sp=2, tp=2), devices=devs[:8])
+
+    rs = np.random.RandomState(11)
+    b, s, h, dh, al = 2, 256, 4, 64, 10
+    mk = lambda *shape: jnp.asarray(rs.randn(*shape).astype(np.float32) * 0.3)
+    q, k, v = mk(b, s, h, dh), mk(b, s, h, dh), mk(b, s, h, dh)
+    ak, av = mk(al, h, dh), mk(al, h, dh)   # shared across batch
+    g1, g2 = mk(h), mk(h)
+    vs = jnp.asarray([3, -1], jnp.int32)
+
+    args = (q, k, v, ak, av, g1, g2)
+
+    def oracle(*a):
+        return adapter_gated_attention(*a, vs, 10).astype(jnp.float32).sum()
+
+    want = jax.grad(oracle, argnums=tuple(range(7)))(*args)
+    want_out = adapter_gated_attention(*args, vs, 10)
+
+    old = fa.INTERPRET
+    fa.INTERPRET = True
+    try:
+        with jax.set_mesh(mesh):
+            sh = lambda spec, x: jax.device_put(x, NamedSharding(mesh, spec))
+            qs = sh(P("dp", "sp", "tp", None), q)
+            ks = sh(P("dp", "sp", "tp", None), k)
+            vss = sh(P("dp", "sp", "tp", None), v)
+            aks = sh(P(None, "tp", None), ak)
+            avs = sh(P(None, "tp", None), av)
+            g1s, g2s = sh(P("tp"), g1), sh(P("tp"), g2)
+            vstart = sh(P("dp"), vs)
+
+            got_out = fa.sp_flash_adapter_attention(
+                qs, ks, vss, aks, avs, g1s, g2s, vstart, 10)
+
+            def f(*a):
+                return fa.sp_flash_adapter_attention(
+                    *a, vstart, 10).astype(jnp.float32).sum()
+
+            got = jax.jit(jax.grad(f, argnums=tuple(range(7)))
+                          )(qs, ks, vss, aks, avs, g1s, g2s)
+            got = jax.tree_util.tree_map(np.asarray, got)
+            got_out = np.asarray(got_out)
+    finally:
+        fa.INTERPRET = old
+
+    np.testing.assert_allclose(got_out, np.asarray(want_out),
+                               rtol=2e-2, atol=2e-3)
+    names = ("dq", "dk", "dv", "dak", "dav", "dg1", "dg2")
+    for n, a, w in zip(names, got, want):
+        np.testing.assert_allclose(a, np.asarray(w), rtol=2e-2, atol=3e-3,
+                                   err_msg=n)
