@@ -293,7 +293,6 @@ def _sp_case(b=2, s=256, h=4, dh=64, seed=0):
     mk = lambda: jnp.asarray(rs.randn(b, s, h, dh).astype(np.float32) * 0.3)
     q, k, v = mk(), mk(), mk()
     gate2 = jnp.asarray(rs.randn(h).astype(np.float32))
-    vs = jnp.asarray([3, -1][:b] * (b // 2) or [3], jnp.int32)
     vs = jnp.asarray(([3, -1] * b)[:b], jnp.int32)
     return q, k, v, gate2, vs
 
