@@ -374,11 +374,14 @@ def test_sp_flash_train_step_matches_einsum_path():
                       multiple_of=16, max_seq_len=64, adapter_len=4,
                       adapter_layer=2, max_feats=4, visual_dim=16)
     tok = MockTokenizer(cfg.vocab_size)
+    # remat=True matches the trainer default — the shard_map'd kernels must
+    # survive jax.checkpoint replaying their forward inside the backward
     einsum_m = FlippedVQAModel(cfg, dtype=jnp.float32,
-                               frozen_dtype=jnp.float32, seq_shard=True)
+                               frozen_dtype=jnp.float32, seq_shard=True,
+                               remat=True)
     flash_m = FlippedVQAModel(cfg, dtype=jnp.float32,
                               frozen_dtype=jnp.float32, seq_shard=True,
-                              use_flash=True)
+                              use_flash=True, remat=True)
     items = make_synthetic_items(tok, 4, max_feats=4, max_seq_len=64,
                                  visual_dim=16, seed=0)
     batch = pack_train_batch(items, 4)
