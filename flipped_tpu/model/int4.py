@@ -34,6 +34,8 @@ capacity win under no-remat.
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -107,14 +109,32 @@ def _make_int4_matmul(impl, doc):
 
 # --- weight-only int4: dequantize into a bf16 matmul -------------------------
 
-def _wo_impl(x, kq4, scale_g):
+def _wo_xla_impl(x, kq4, scale_g):
     return (x @ _dequant_bf16(kq4, scale_g).astype(x.dtype)).astype(x.dtype)
+
+
+def _wo_impl(x, kq4, scale_g):
+    # TPU: the packed kernel runs bf16 dots on the raw 4-bit values and
+    # scales the per-group partial products — no (K, N) bf16 dequant buffer
+    # (2 bytes/elt, 4× the packed bytes) ever exists in HBM.
+    from .pallas.quant_matmul import (int4_matmul_grouped_pallas,
+                                      int4_pallas_supported)
+
+    if not int4_pallas_supported(x, kq4, scale_g):
+        return _wo_xla_impl(x, kq4, scale_g)
+    return jax.lax.platform_dependent(
+        x, kq4, scale_g,
+        tpu=functools.partial(int4_matmul_grouped_pallas, act_quant=False),
+        default=_wo_xla_impl)
 
 
 int4_matmul = _make_int4_matmul(
     _wo_impl,
     "x (…, K) float; kq4 (K, N/2) packed int8; scale_g (G, N) f32 → "
     "(…, N) x.dtype. Weight-only: the matmul runs in x.dtype.")
+# XLA-only variant for GSPMD-partitioned jits (sequence parallelism)
+int4_matmul_xla = _make_int4_matmul(
+    _wo_xla_impl, int4_matmul.__doc__ + " XLA formulation only.")
 
 
 # --- w4a8: int8 activations × unpacked int4 weights on the MXU ---------------

@@ -97,7 +97,7 @@ class Linear(nn.Module):
                 raise ValueError("int4 + outlier passthrough is unsupported "
                                  "(use --quantize int4r|w4a8r)")
             from .int4 import (int4_matmul, int4_matmul_grouped,
-                               int4_matmul_grouped_xla)
+                               int4_matmul_grouped_xla, int4_matmul_xla)
             k_dim = x.shape[-1]
             group = self.quant_group or 128
             g_count = k_dim // group if k_dim % group == 0 else 1
@@ -109,7 +109,8 @@ class Linear(nn.Module):
                 mm = (int4_matmul_grouped if self.quant_pallas
                       else int4_matmul_grouped_xla)
                 return mm(x, kq4, scale)
-            return int4_matmul(x, kq4, scale)
+            return (int4_matmul if self.quant_pallas
+                    else int4_matmul_xla)(x, kq4, scale)
         if self.quantized:
             k_dim = x.shape[-1]
             kq = self.param("kernel_q", nn.initializers.zeros,

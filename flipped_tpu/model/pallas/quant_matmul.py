@@ -157,7 +157,8 @@ def grouped_matmul_pallas(x, kq, scale_g, interpret: bool | None = None):
 # ---------------------------------------------------------------------------
 
 def _int4_kernel(x_ref, kq4_ref, sg_lo_ref, sg_hi_ref, o_lo_ref, o_hi_ref,
-                 acc_lo, acc_hi, *, gpb: int, group: int, out_dtype):
+                 acc_lo, acc_hi, *, gpb: int, group: int, out_dtype,
+                 act_quant: bool):
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -171,22 +172,41 @@ def _int4_kernel(x_ref, kq4_ref, sg_lo_ref, sg_hi_ref, o_lo_ref, o_hi_ref,
     w_lo = jnp.right_shift(jnp.left_shift(p32, 28), 28).astype(jnp.int8)
     w_hi = jnp.right_shift(jnp.left_shift(p32, 24), 28).astype(jnp.int8)
 
-    x32 = x_ref[:].astype(jnp.float32)                   # (bm, bk)
     a_lo, a_hi = acc_lo[:], acc_hi[:]
-    for g in range(gpb):                                 # static unroll
-        xg = x32[:, g * group:(g + 1) * group]
-        amax = jnp.max(jnp.abs(xg), axis=-1, keepdims=True)
-        xs = jnp.maximum(amax / 127.0, _EPS)             # (bm, 1)
-        xq = jnp.round(xg / xs).astype(jnp.int8)
-        dims = (((1,), (0,)), ((), ()))
-        d_lo = jax.lax.dot_general(
-            xq, w_lo[g * group:(g + 1) * group, :], dims,
-            preferred_element_type=jnp.int32)
-        d_hi = jax.lax.dot_general(
-            xq, w_hi[g * group:(g + 1) * group, :], dims,
-            preferred_element_type=jnp.int32)
-        a_lo = a_lo + d_lo.astype(jnp.float32) * xs * sg_lo_ref[0, g:g + 1, :]
-        a_hi = a_hi + d_hi.astype(jnp.float32) * xs * sg_hi_ref[0, g:g + 1, :]
+    if act_quant:
+        x32 = x_ref[:].astype(jnp.float32)               # (bm, bk)
+        for g in range(gpb):                             # static unroll
+            xg = x32[:, g * group:(g + 1) * group]
+            amax = jnp.max(jnp.abs(xg), axis=-1, keepdims=True)
+            xs = jnp.maximum(amax / 127.0, _EPS)         # (bm, 1)
+            xq = jnp.round(xg / xs).astype(jnp.int8)
+            dims = (((1,), (0,)), ((), ()))
+            d_lo = jax.lax.dot_general(
+                xq, w_lo[g * group:(g + 1) * group, :], dims,
+                preferred_element_type=jnp.int32)
+            d_hi = jax.lax.dot_general(
+                xq, w_hi[g * group:(g + 1) * group, :], dims,
+                preferred_element_type=jnp.int32)
+            a_lo = (a_lo + d_lo.astype(jnp.float32) * xs
+                    * sg_lo_ref[0, g:g + 1, :])
+            a_hi = (a_hi + d_hi.astype(jnp.float32) * xs
+                    * sg_hi_ref[0, g:g + 1, :])
+    else:
+        # weight-only: bf16 MXU dots on the RAW int values; the per-group
+        # scale factors out of the dot — x_g @ (w_g·s_g) == (x_g @ w_g)·s_g
+        # per output column — so no per-element dequant buffer ever exists
+        xb = x_ref[:].astype(jnp.bfloat16)
+        for g in range(gpb):                             # static unroll
+            xg = xb[:, g * group:(g + 1) * group]
+            dims = (((1,), (0,)), ((), ()))
+            d_lo = jax.lax.dot_general(
+                xg, w_lo[g * group:(g + 1) * group, :].astype(jnp.bfloat16),
+                dims, preferred_element_type=jnp.float32)
+            d_hi = jax.lax.dot_general(
+                xg, w_hi[g * group:(g + 1) * group, :].astype(jnp.bfloat16),
+                dims, preferred_element_type=jnp.float32)
+            a_lo = a_lo + d_lo * sg_lo_ref[0, g:g + 1, :]
+            a_hi = a_hi + d_hi * sg_hi_ref[0, g:g + 1, :]
     acc_lo[:] = a_lo
     acc_hi[:] = a_hi
 
@@ -212,13 +232,17 @@ def int4_pallas_supported(x, kq4, scale_g) -> bool:
             and scale_g.shape[1] == 2 * n_half)
 
 
-def int4_matmul_grouped_pallas(x, kq4, scale_g, interpret: bool | None = None):
+def int4_matmul_grouped_pallas(x, kq4, scale_g, interpret: bool | None = None,
+                               act_quant: bool = True):
     """x (…, K) float; kq4 (K, N/2) packed int8 (model/int4.py layout);
     scale_g (G, N) f32 → (…, N) x.dtype.
 
-    Semantics identical to model/int8.py `_grouped_matmul_impl` applied to
-    the unpacked weights (asserted in tests/test_quant_matmul_pallas.py via
-    the interpreter)."""
+    act_quant=True: semantics identical to model/int8.py
+    `_grouped_matmul_impl` applied to the unpacked weights (asserted in
+    tests/test_quant_matmul_pallas.py via the interpreter).
+    act_quant=False: weight-only — bf16 MXU dots on the raw 4-bit values
+    with per-group scales applied to the partial products (within bf16
+    accumulation-order noise of x @ dequant(W))."""
     interpret = INTERPRET if interpret is None else interpret
     k_dim, n_half = kq4.shape
     g_count = scale_g.shape[0]
@@ -246,7 +270,7 @@ def int4_matmul_grouped_pallas(x, kq4, scale_g, interpret: bool | None = None):
     sgb = scale_g.reshape(k_dim // bk, gpb, 2 * n_half)
 
     kernel = functools.partial(_int4_kernel, gpb=gpb, group=group,
-                               out_dtype=x.dtype)
+                               out_dtype=x.dtype, act_quant=act_quant)
     out_lo, out_hi = pl.pallas_call(
         kernel,
         grid=(m_pad // bm, nh_blocks, k_dim // bk),

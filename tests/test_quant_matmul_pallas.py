@@ -104,3 +104,17 @@ def test_int4_pallas_unaligned_falls_back():
     ref = np.asarray(_grouped_matmul_impl(x, unpack_int4(kq4), sg))
     got = np.asarray(int4_matmul_grouped_pallas(x, kq4, sg, interpret=True))
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_int4_pallas_weight_only_close_to_dequant():
+    """act_quant=False kernel: bf16 dots on raw 4-bit values with per-group
+    scales on the partial products ≈ x @ dequant(W) (bf16 accumulation-order
+    differences only)."""
+    from flipped_tpu.ckpt.quantize import dequantize_kernel
+    from flipped_tpu.model.pallas.quant_matmul import int4_matmul_grouped_pallas
+    x, kq4, sg = _case_int4(24, 256, 512)
+    node = {"kernel_q4": kq4, "scale": sg}
+    want = np.asarray(x) @ dequantize_kernel(node).astype(np.float32)
+    got = np.asarray(int4_matmul_grouped_pallas(x, kq4, sg, interpret=True,
+                                                act_quant=False))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
