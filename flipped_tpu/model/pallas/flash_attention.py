@@ -934,8 +934,22 @@ def sp_flash_or_einsum(q, k, v, adapter_k, adapter_v, gate1, gate2,
                        video_start, max_feats):
     """Sequence-parallel dispatch: the shard_map'd streaming kernels on TPU
     (or under the interpreter in tests), the exact einsum formulation — which
-    GSPMD partitions directly — everywhere else."""
-    if not _HAS_PALLAS or (jax.default_backend() != "tpu" and not INTERPRET):
+    GSPMD partitions directly — everywhere else, and whenever shard_map's
+    even-division requirements (S % sp, B % dp) don't hold."""
+    from ...core.mesh import DP_AXIS, SP_AXIS
+
+    def _divisible():
+        mesh = jax.sharding.get_abstract_mesh()
+        names = mesh.axis_names
+        if SP_AXIS not in names:
+            return False
+        if q.shape[1] % mesh.shape[SP_AXIS]:
+            return False
+        return not (DP_AXIS in names and q.shape[0] % mesh.shape[DP_AXIS])
+
+    if (not _HAS_PALLAS
+            or (jax.default_backend() != "tpu" and not INTERPRET)
+            or not _divisible()):
         return adapter_gated_attention(q, k, v, adapter_k, adapter_v, gate1,
                                        gate2, video_start, max_feats)
     return sp_flash_adapter_attention(q, k, v, adapter_k, adapter_v, gate1,

@@ -414,3 +414,33 @@ def test_sp_flash_adapter_attention_matches_einsum_oracle():
     for n, a, w in zip(names, got, want):
         np.testing.assert_allclose(a, np.asarray(w), rtol=2e-2, atol=3e-3,
                                    err_msg=n)
+
+
+def test_sp_dispatch_falls_back_on_indivisible_seq():
+    """S % sp != 0 can't shard_map — sp_flash_or_einsum must fall back to
+    the exact einsum path instead of crashing."""
+    import flipped_tpu.model.pallas.flash_attention as fa
+    from flipped_tpu.core.config import MeshConfig
+    from flipped_tpu.core.mesh import make_mesh
+    from flipped_tpu.model.attention import adapter_gated_attention
+
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    mesh = make_mesh(MeshConfig(dp=2, sp=2, tp=2), devices=devs[:8])
+    rs = np.random.RandomState(13)
+    b, s, h, dh, al = 2, 65, 4, 8, 4          # 65 % 2 != 0
+    mk = lambda *shape: jnp.asarray(rs.randn(*shape).astype(np.float32))
+    q, k, v = mk(b, s, h, dh), mk(b, s, h, dh), mk(b, s, h, dh)
+    ak, av, g1, g2 = mk(al, h, dh), mk(al, h, dh), mk(h), mk(h)
+    vs = jnp.asarray([3, -1], jnp.int32)
+
+    old = fa.INTERPRET
+    fa.INTERPRET = True
+    try:
+        with jax.set_mesh(mesh):
+            got = fa.sp_flash_or_einsum(q, k, v, ak, av, g1, g2, vs, 4)
+    finally:
+        fa.INTERPRET = old
+    want = adapter_gated_attention(q, k, v, ak, av, g1, g2, vs, 4)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
