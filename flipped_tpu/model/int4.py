@@ -166,8 +166,14 @@ int4_matmul_grouped = _make_int4_matmul(
     _w4a8_impl,
     "x (…, K) float; kq4 (K, N/2) packed int8; scale_g (G, N) f32 → "
     "(…, N) x.dtype, activations quantized per (token, 128-wide group).")
+def _w4a8_scan_impl(x, kq4, scale_g):
+    from .int8 import _grouped_matmul_scan
+    return _grouped_matmul_scan(x, unpack_int4(kq4), scale_g)
+
+
 # XLA-only variant for GSPMD-partitioned jits (sequence parallelism) — a
 # pallas_call is a single-device program and would force gathers around
-# every matmul. Numerics identical.
+# every matmul; the scan formulation also avoids the batched dot's
+# (G, M, N) intermediate. Numerics identical up to f32 sum order.
 int4_matmul_grouped_xla = _make_int4_matmul(
-    _w4a8_xla_impl, int4_matmul_grouped.__doc__ + " XLA formulation only.")
+    _w4a8_scan_impl, int4_matmul_grouped.__doc__ + " XLA scan formulation.")

@@ -131,6 +131,39 @@ def _g_bwd(res, g):
     return (dx, np.broadcast_to(zero, kq.shape), jnp.zeros_like(scale_g))
 
 
+def _grouped_matmul_scan(x, kq, scale_g):
+    """Same semantics as _grouped_matmul_impl (exact int32 group dots,
+    per-(token, group) absmax activation scales) but as a lax.scan over
+    groups: only ONE (M, N) f32 accumulator is ever live, instead of the
+    batched-dot's (G, M, N) intermediate — the memory-safe formulation for
+    GSPMD-partitioned jits (sequence parallelism), where the Pallas kernel
+    is unavailable and the batched dot would cost multi-GB per matmul at
+    7B long-context shapes."""
+    k_dim, n = kq.shape
+    g_count = scale_g.shape[0]
+    g = k_dim // g_count
+    lead = x.shape[:-1]
+    m = int(np.prod(lead)) if lead else 1
+
+    x32 = x.reshape(m, g_count, g).astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    xs = jnp.maximum(amax / 127.0, _EPS)
+    xq = jnp.transpose(jnp.round(x32 / xs).astype(jnp.int8),
+                       (1, 0, 2))                           # (G, M, g)
+    kg = kq.reshape(g_count, g, n)                          # (G, g, N)
+    xs_t = jnp.transpose(xs, (1, 0, 2))                     # (G, M, 1)
+
+    def step(acc, operands):
+        xq_g, kg_g, xs_g, sg_g = operands
+        d = jax.lax.dot_general(xq_g, kg_g, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        return acc + d.astype(jnp.float32) * xs_g * sg_g[None, :], None
+
+    out, _ = jax.lax.scan(step, jnp.zeros((m, n), jnp.float32),
+                          (xq, kg, xs_t, scale_g))
+    return out.reshape(*lead, n).astype(x.dtype)
+
+
 def _make_grouped_matmul(impl):
     """custom-VJP wrapper around a grouped-matmul primal: the backward
     (dx = g @ dequant(W)ᵀ in bf16, packed/int residuals only) is shared —
@@ -150,6 +183,7 @@ def _make_grouped_matmul(impl):
 int8_matmul_grouped = _make_grouped_matmul(_grouped_dispatch)
 # XLA-only variant: under sequence parallelism (GSPMD-partitioned jit) a
 # pallas_call is a single-device program — its operands would be gathered
-# to full shape around every matmul, negating the sp sharding. The XLA
-# batched-dot formulation partitions natively. Numerics identical.
-int8_matmul_grouped_xla = _make_grouped_matmul(_grouped_matmul_impl)
+# to full shape around every matmul, negating the sp sharding. The scan
+# formulation partitions natively AND never materializes the batched
+# dot's (G, M, N) intermediate. Numerics identical up to f32 sum order.
+int8_matmul_grouped_xla = _make_grouped_matmul(_grouped_matmul_scan)

@@ -351,8 +351,10 @@ def test_bits4_defaults_to_group_128():
 
 def test_xla_only_variants_match_pallas_dispatch():
     """int{8,4}_matmul_grouped_xla (used under sequence parallelism, where
-    a pallas_call would force gathers) are numerically identical to the
-    dispatching variants on CPU."""
+    a pallas_call would force gathers) run a lax.scan over groups — only
+    one (M, N) accumulator live instead of the batched dot's (G, M, N)
+    intermediate — and agree with the dispatching variants to f32
+    sum-order precision; gradients are bit-identical (shared backward)."""
     from flipped_tpu.model.int4 import int4_matmul_grouped_xla
     from flipped_tpu.model.int8 import (int8_matmul_grouped,
                                         int8_matmul_grouped_xla)
@@ -360,16 +362,39 @@ def test_xla_only_variants_match_pallas_dispatch():
     k = rs.randn(256, 64).astype(np.float32) * 0.05
     x = jnp.asarray(rs.randn(4, 256).astype(np.float32))
     n4 = quantize_kernel(k, group=128, bits=4)
-    np.testing.assert_array_equal(
+    np.testing.assert_allclose(
         np.asarray(int4_matmul_grouped_xla(x, n4["kernel_q4"], n4["scale"])),
-        np.asarray(int4_matmul_grouped(x, n4["kernel_q4"], n4["scale"])))
+        np.asarray(int4_matmul_grouped(x, n4["kernel_q4"], n4["scale"])),
+        rtol=1e-6, atol=1e-6)
     n8 = quantize_kernel(k, group=128)
-    np.testing.assert_array_equal(
+    np.testing.assert_allclose(
         np.asarray(int8_matmul_grouped_xla(x, n8["kernel_q"], n8["scale"])),
-        np.asarray(int8_matmul_grouped(x, n8["kernel_q"], n8["scale"])))
+        np.asarray(int8_matmul_grouped(x, n8["kernel_q"], n8["scale"])),
+        rtol=1e-6, atol=1e-6)
     # gradients flow through the XLA-only variants identically
     g4 = jax.grad(lambda xx: int4_matmul_grouped_xla(
         xx, n4["kernel_q4"], n4["scale"]).sum())(x)
     g4p = jax.grad(lambda xx: int4_matmul_grouped(
         xx, n4["kernel_q4"], n4["scale"]).sum())(x)
     np.testing.assert_array_equal(np.asarray(g4), np.asarray(g4p))
+
+
+def test_scan_formulation_avoids_batched_intermediate():
+    """The sequence-parallel XLA variants exist to kill the (G, M, N) f32
+    intermediate: XLA's own memory analysis must show a much smaller temp
+    footprint for the scan formulation."""
+    from flipped_tpu.model.int8 import (_grouped_matmul_impl,
+                                        _grouped_matmul_scan)
+    rs = np.random.RandomState(9)
+    k_dim, n, m, group = 1024, 1024, 2048, 128
+    kq = jnp.asarray(rs.randint(-127, 128, (k_dim, n)).astype(np.int8))
+    sg = jnp.asarray(rs.rand(k_dim // group, n).astype(np.float32))
+    x = jax.ShapeDtypeStruct((m, k_dim), jnp.float32)
+
+    def temps(fn):
+        return jax.jit(fn).lower(x, kq, sg).compile(
+            ).memory_analysis().temp_size_in_bytes
+
+    batched, scan = temps(_grouped_matmul_impl), temps(_grouped_matmul_scan)
+    # batched materializes (G, M, N) f32 = 64 MB here; scan keeps one (M, N)
+    assert scan < 0.5 * batched, (batched, scan)
