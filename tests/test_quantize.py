@@ -289,8 +289,10 @@ def test_model_runs_grouped_quantized():
     from flipped_tpu.text import MockTokenizer
     from flipped_tpu.train import compute_objective_losses
 
+    # S=96, not 64: shorter synthetic prompts overflow and mask out every
+    # label, making "finite loss" trivially true at 0.0
     cfg = ModelConfig(dim=128, n_layers=2, n_heads=4, vocab_size=512,
-                      multiple_of=32, max_seq_len=64, adapter_len=4,
+                      multiple_of=32, max_seq_len=96, adapter_len=4,
                       adapter_layer=2, max_feats=4, visual_dim=16)
     tok = MockTokenizer(cfg.vocab_size)
     items = make_synthetic_items(tok, 2, max_feats=cfg.max_feats,
@@ -314,7 +316,8 @@ def test_model_runs_grouped_quantized():
         losses = compute_objective_losses(
             model, {"params": merge_params(trainable, frozen)}, jb,
             vaq=True, qav=True)
-        assert np.isfinite(float(losses.total)), act
+        total = float(losses.total)
+        assert np.isfinite(total) and total > 1.0, (act, total)
 
 
 # --- outlier passthrough (--quantize int8o|w8a8o) --------------------------
@@ -430,8 +433,10 @@ def test_model_runs_outlier_quantized():
     from flipped_tpu.text import MockTokenizer
     from flipped_tpu.train import compute_objective_losses
 
+    # S=96, not 64: shorter synthetic prompts overflow and mask out every
+    # label, making "finite loss" trivially true at 0.0
     cfg = ModelConfig(dim=128, n_layers=2, n_heads=4, vocab_size=512,
-                      multiple_of=32, max_seq_len=64, adapter_len=4,
+                      multiple_of=32, max_seq_len=96, adapter_len=4,
                       adapter_layer=2, max_feats=4, visual_dim=16)
     tok = MockTokenizer(cfg.vocab_size)
     items = make_synthetic_items(tok, 2, max_feats=cfg.max_feats,
@@ -461,4 +466,5 @@ def test_model_runs_outlier_quantized():
         losses = compute_objective_losses(
             model, {"params": merge_params(trainable, frozen)}, jb,
             vaq=True, qav=True)
-        assert np.isfinite(float(losses.total)), act
+        total = float(losses.total)
+        assert np.isfinite(total) and total > 1.0, (act, total)
