@@ -64,6 +64,21 @@ def loader_shards(mesh: Mesh) -> tuple:
     # devices per dp row = the model axes (sp·tp) — every device in a row
     # consumes the same batch rows
     model_cols = mesh.shape.get(SP_AXIS, 1) * mesh.shape.get(TP_AXIS, 1)
+    if model_cols > local:
+        # dp row-groups span processes: the grouping arithmetic below is
+        # only correct when whole processes tile each row evenly. An
+        # irregular topology would SILENTLY feed different rows to
+        # processes that share a row-group — refuse instead.
+        if model_cols % local:
+            raise ValueError(
+                f"sp*tp={model_cols} does not divide evenly into processes "
+                f"of {local} local devices; choose sp/tp so each dp "
+                f"row-group is a whole number of processes")
+    elif model_cols > 1 and local % model_cols:
+        raise ValueError(
+            f"local_device_count={local} is not a multiple of "
+            f"sp*tp={model_cols}; dp rows would straddle process "
+            f"boundaries unevenly — choose sp/tp dividing {local}")
     group = max(1, model_cols // local)  # processes sharing one dp row-group
     return (jax.process_index() // group,
             max(1, jax.process_count() // group))

@@ -24,6 +24,7 @@ backward of rematerialized blocks).
 from __future__ import annotations
 
 import functools
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -158,6 +159,7 @@ def flash_text_attention(q, k, v, gate2, video_start, max_feats,
         kernel_4d,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, s_pad, dh_pad), q.dtype),
+        name="flash_fwd",
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * s * s * dh,
@@ -284,6 +286,7 @@ def flash_text_attention_bwd(q, k, v, gate2, video_start, max_feats, g,
             jax.ShapeDtypeStruct((b, h, s_pad, dh_pad), q.dtype),
             jax.ShapeDtypeStruct((b, h), jnp.float32),
         ],
+        name="flash_bwd",
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=10 * b * h * s * s * dh,
@@ -443,6 +446,7 @@ def flash_streaming_fwd(q, k, v, gate2, video_start, max_feats,
             # (B, H, S_pad, 8): 8 broadcast lanes, see _finalize above
             jax.ShapeDtypeStruct((b, h, sq_pad, 8), jnp.float32),
         ],
+        name="flash_stream_fwd",
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * s_q * s_k * dh + b * h * s_q * s_k * dh,
@@ -665,6 +669,7 @@ def flash_streaming_bwd(q, k, v, gate2, video_start, max_feats, g,
             jax.ShapeDtypeStruct((b, h, sq_pad, dh_pad), q.dtype),
             jax.ShapeDtypeStruct((b, h), jnp.float32),
         ],
+        name="flash_stream_dq",
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=5 * b * h * s_q * s_k * dh,
@@ -718,6 +723,7 @@ def flash_streaming_bwd(q, k, v, gate2, video_start, max_feats, g,
             jax.ShapeDtypeStruct((b, h, sk_pad, dh_pad), q.dtype),
             jax.ShapeDtypeStruct((b, h, sk_pad, dh_pad), q.dtype),
         ],
+        name="flash_stream_dkv",
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=5 * b * h * s_q * s_k * dh,
@@ -938,18 +944,30 @@ def sp_flash_or_einsum(q, k, v, adapter_k, adapter_v, gate1, gate2,
     even-division requirements (S % sp, B % dp) don't hold."""
     from ...core.mesh import DP_AXIS, SP_AXIS
 
-    def _divisible():
+    def _indivisible_reason():
         mesh = jax.sharding.get_abstract_mesh()
         names = mesh.axis_names
         if SP_AXIS not in names:
-            return False
+            return f"no '{SP_AXIS}' axis in mesh {names}"
         if q.shape[1] % mesh.shape[SP_AXIS]:
-            return False
-        return not (DP_AXIS in names and q.shape[0] % mesh.shape[DP_AXIS])
+            return f"S={q.shape[1]} %% sp={mesh.shape[SP_AXIS]} != 0"
+        if DP_AXIS in names and q.shape[0] % mesh.shape[DP_AXIS]:
+            return f"B={q.shape[0]} %% dp={mesh.shape[DP_AXIS]} != 0"
+        return None
 
-    if (not _HAS_PALLAS
-            or (jax.default_backend() != "tpu" and not INTERPRET)
-            or not _divisible()):
+    if not _HAS_PALLAS or (jax.default_backend() != "tpu" and not INTERPRET):
+        return adapter_gated_attention(q, k, v, adapter_k, adapter_v, gate1,
+                                       gate2, video_start, max_feats)
+    reason = _indivisible_reason()
+    if reason is not None:
+        # Loud, not silent: the einsum path materializes a (B,H,S/sp,S)
+        # score block per device — at the long contexts sp exists for,
+        # falling back here silently would just OOM later with no clue.
+        warnings.warn(
+            "sequence-parallel flash kernels skipped (" + reason + "); "
+            "using the einsum attention path, which materializes O(S^2/sp) "
+            "scores per device. Pick sp/dp that divide S and B evenly.",
+            stacklevel=2)
         return adapter_gated_attention(q, k, v, adapter_k, adapter_v, gate1,
                                        gate2, video_start, max_feats)
     return sp_flash_adapter_attention(q, k, v, adapter_k, adapter_v, gate1,

@@ -134,6 +134,7 @@ def grouped_matmul_pallas(x, kq, scale_g, interpret: bool | None = None):
         out_specs=pl.BlockSpec((bm, bn), lambda mi, ni, ki: (mi, ni)),
         out_shape=jax.ShapeDtypeStruct((m_pad, n), x.dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        name="quant_matmul_grouped",
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * m * k_dim * n,
@@ -289,6 +290,7 @@ def int4_matmul_grouped_pallas(x, kq4, scale_g, interpret: bool | None = None,
                    jax.ShapeDtypeStruct((m_pad, n_half), x.dtype)],
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32),
                         pltpu.VMEM((bm, bn), jnp.float32)],
+        name="int4_matmul",
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * m * k_dim * 2 * n_half,

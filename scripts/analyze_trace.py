@@ -26,7 +26,13 @@ import re
 import sys
 
 CATEGORIES = (
-    ("attention_kernel", re.compile(r"flash|_stream_|pallas|custom-call|attention", re.I)),
+    # Pallas kernels are named explicitly at their pallas_call sites
+    # (model/pallas/*.py `name=`): quant matmuls must match BEFORE the
+    # attention bucket, and a bare custom-call with neither name goes to
+    # its own bucket instead of being misattributed to attention.
+    ("quant_matmul_kernel", re.compile(r"quant_matmul|int4_matmul", re.I)),
+    ("attention_kernel", re.compile(r"flash|_stream_|attention", re.I)),
+    ("custom_call_other", re.compile(r"pallas|custom-call|tpu_custom_call", re.I)),
     # quant_convert BEFORE matmul: 'convert.N' must not substring-match a
     # matmul pattern ('conv'), and this workload has no convolutions
     ("quant_convert", re.compile(r"convert|reduce-precision|round|clamp|quant", re.I)),

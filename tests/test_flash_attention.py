@@ -439,7 +439,8 @@ def test_sp_dispatch_falls_back_on_indivisible_seq():
     fa.INTERPRET = True
     try:
         with jax.set_mesh(mesh):
-            got = fa.sp_flash_or_einsum(q, k, v, ak, av, g1, g2, vs, 4)
+            with pytest.warns(UserWarning, match="einsum attention path"):
+                got = fa.sp_flash_or_einsum(q, k, v, ak, av, g1, g2, vs, 4)
     finally:
         fa.INTERPRET = old
     want = adapter_gated_attention(q, k, v, ak, av, g1, g2, vs, 4)
