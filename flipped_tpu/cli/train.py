@@ -266,8 +266,13 @@ def main(args):
         steps_per_epoch = max(len(loader_train) * run_cfg.train.accum_iter, 1)
         lr_fn = lr_schedule(run_cfg.train, steps_per_epoch, world_batch)
         tx = make_optimizer(run_cfg.train, steps_per_epoch, world_batch)
-        opt_state = tx.init(trainable)
-        opt_state = jax.device_put(opt_state, replicated(mesh))
+        if run_cfg.mesh.pp > 1:
+            # stacked per-layer trainables (gates) are sharded over 'pp' —
+            # init under jit so the AdamW moments inherit those shardings
+            opt_state = jax.jit(tx.init)(trainable)
+        else:
+            opt_state = tx.init(trainable)
+            opt_state = jax.device_put(opt_state, replicated(mesh))
 
         train_step = make_train_step(model, tx, vaq=run_cfg.train.vaq,
                                      qav=run_cfg.train.qav, lr_fn=lr_fn,
@@ -282,7 +287,10 @@ def main(args):
                                         run_cfg.data.max_seq_len)
             if span_pin is not None:
                 print(f"eval span pinned: {span_pin}")
-        eval_step = make_eval_step(model, span_len=span_pin)
+        # --pp: the cached scorer's prefill/extend are KV-cache (pp=1) paths
+        # — score options with the dense per-option forward instead
+        eval_step = make_eval_step(model, cached=run_cfg.mesh.pp <= 1,
+                                   span_len=span_pin)
         gen_step = (make_generation_step(model, tokenizer.eos_id)
                     if run_cfg.train.is_generation_task else None)
 

@@ -176,12 +176,21 @@ class MeshConfig:
     the SEQUENCE dim of the residual stream (GSPMD sequence/context
     parallelism, core/mesh.py) — the long-context axis: activation residency
     per chip scales 1/sp, which is what bounds S≥4096 training on 16 GB
-    chips (docs/PERF.md).
+    chips (docs/PERF.md). `pp` partitions the LAYER stack into pipeline
+    stages (model/pipeline.py): block params are stored stacked
+    (n_layers, ...) and sharded over 'pp'; a shard_map'd GPipe schedule
+    rotates microbatch activations through the stages via ppermute — the
+    capacity axis for models whose weights exceed one chip (33B/65B).
+    pp composes with dp; sp/tp within a pp run are v1-unsupported.
     """
 
     dp: int = -1  # -1: all remaining devices
+    pp: int = 1
     sp: int = 1
     tp: int = 1
+    # microbatches per pipeline round-trip (0 → pp): the bubble fraction is
+    # (pp-1)/(microbatches+pp-1), so more microbatches amortize it
+    pp_microbatches: int = 0
 
 
 @dataclass
@@ -238,6 +247,15 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--audio_merge", type=str, default="none",
                    choices=["sum", "concat", "attention", "none"])
     p.add_argument("--dp", type=int, default=-1)
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline-parallel mesh axis: splits the layer stack "
+                        "into pp stages (stacked per-stage weights, "
+                        "shard_map'd GPipe microbatch schedule) — the "
+                        "capacity axis when the frozen backbone exceeds one "
+                        "chip. Composes with dp; sp/tp must stay 1")
+    p.add_argument("--pp_microbatches", type=int, default=0,
+                   help="microbatches per pipeline round-trip (0 → pp); "
+                        "bubble fraction is (pp-1)/(M+pp-1)")
     p.add_argument("--sp", type=int, default=1,
                    help="sequence-parallel mesh axis: shards the residual "
                         "stream's sequence dim (activation residency per "
@@ -339,7 +357,9 @@ def run_config_from_args(args: argparse.Namespace) -> RunConfig:
         remat_policy=args.remat_policy, quantize=args.quantize,
         lm_head_chunk=args.lm_head_chunk,
     )
-    mesh = MeshConfig(dp=args.dp, sp=args.sp, tp=args.tp)
+    mesh = MeshConfig(dp=args.dp, pp=getattr(args, "pp", 1), sp=args.sp,
+                      tp=args.tp,
+                      pp_microbatches=getattr(args, "pp_microbatches", 0))
     return RunConfig(model=model, data=data, train=train, mesh=mesh,
                      llama_model_path=args.llama_model_path,
                      tokenizer_path=args.tokenizer_path,

@@ -29,6 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .config import MeshConfig
 
 DP_AXIS = "dp"
+PP_AXIS = "pp"
 SP_AXIS = "sp"
 TP_AXIS = "tp"
 
@@ -39,13 +40,16 @@ def make_mesh(cfg: MeshConfig | None = None, devices=None) -> Mesh:
     n = len(devices)
     tp = max(1, cfg.tp)
     sp = max(1, cfg.sp)
-    dp = cfg.dp if cfg.dp > 0 else n // (tp * sp)
-    if dp * sp * tp > n:
-        raise ValueError(f"mesh {dp}x{sp}x{tp} > {n} devices")
-    # an explicit smaller mesh uses the first dp*sp*tp devices; tp innermost
-    # (its collectives are per-matmul — keep them on the fastest ICI links)
-    dev_array = np.asarray(devices[:dp * sp * tp]).reshape(dp, sp, tp)
-    return Mesh(dev_array, (DP_AXIS, SP_AXIS, TP_AXIS))
+    pp = max(1, cfg.pp)
+    dp = cfg.dp if cfg.dp > 0 else n // (pp * tp * sp)
+    if dp * pp * sp * tp > n:
+        raise ValueError(f"mesh {dp}x{pp}x{sp}x{tp} > {n} devices")
+    # an explicit smaller mesh uses the first dp*pp*sp*tp devices; tp
+    # innermost (its collectives are per-matmul — keep them on the fastest
+    # ICI links); pp outermost of the model axes (one activation ppermute
+    # per stage boundary — the lowest-bandwidth collective here)
+    dev_array = np.asarray(devices[:dp * pp * sp * tp]).reshape(dp, pp, sp, tp)
+    return Mesh(dev_array, (DP_AXIS, PP_AXIS, SP_AXIS, TP_AXIS))
 
 
 def loader_shards(mesh: Mesh) -> tuple:
@@ -61,9 +65,10 @@ def loader_shards(mesh: Mesh) -> tuple:
     DistributedSampler-style per-process slice (reference:
     dataloader/__init__.py:21)."""
     local = max(jax.local_device_count(), 1)
-    # devices per dp row = the model axes (sp·tp) — every device in a row
+    # devices per dp row = the model axes (pp·sp·tp) — every device in a row
     # consumes the same batch rows
-    model_cols = mesh.shape.get(SP_AXIS, 1) * mesh.shape.get(TP_AXIS, 1)
+    model_cols = (mesh.shape.get(PP_AXIS, 1) * mesh.shape.get(SP_AXIS, 1)
+                  * mesh.shape.get(TP_AXIS, 1))
     if model_cols > local:
         # dp row-groups span processes: the grouping arithmetic below is
         # only correct when whole processes tile each row evenly. An
@@ -71,14 +76,14 @@ def loader_shards(mesh: Mesh) -> tuple:
         # processes that share a row-group — refuse instead.
         if model_cols % local:
             raise ValueError(
-                f"sp*tp={model_cols} does not divide evenly into processes "
-                f"of {local} local devices; choose sp/tp so each dp "
-                f"row-group is a whole number of processes")
+                f"pp*sp*tp={model_cols} does not divide evenly into "
+                f"processes of {local} local devices; choose pp/sp/tp so "
+                f"each dp row-group is a whole number of processes")
     elif model_cols > 1 and local % model_cols:
         raise ValueError(
             f"local_device_count={local} is not a multiple of "
-            f"sp*tp={model_cols}; dp rows would straddle process "
-            f"boundaries unevenly — choose sp/tp dividing {local}")
+            f"pp*sp*tp={model_cols}; dp rows would straddle process "
+            f"boundaries unevenly — choose pp/sp/tp dividing {local}")
     group = max(1, model_cols // local)  # processes sharing one dp row-group
     return (jax.process_index() // group,
             max(1, jax.process_count() // group))
@@ -117,6 +122,12 @@ _TP_RULES = (
 
 
 def param_pspec(path: str) -> P:
+    # stacked layer stack (model/pipeline.py): leading (n_layers,) axis over
+    # the pp stages. Checked BEFORE the tp suffix rules — those target the
+    # per-layer (in, out) layout, which sits one axis deeper here (pp
+    # requires tp == 1, so the tp rules are inert anyway).
+    if "layers_stacked" in path:
+        return P(PP_AXIS)
     for suffix, spec in _TP_RULES:
         if path.endswith(suffix):
             return spec

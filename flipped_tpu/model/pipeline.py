@@ -1,0 +1,290 @@
+"""Pipeline parallelism: the layer stack split into stages over a 'pp' mesh
+axis, with a shard_map'd GPipe microbatch schedule.
+
+The reference cannot run models whose weights exceed one accelerator — its
+only parallelism is DDP (reference: util/misc.py:220-250, train.py:116),
+which replicates the full backbone per device. This module adds the capacity
+axis TPU-natively: block parameters are *stored stacked* — one
+``layers_stacked`` subtree with a leading ``(n_layers, ...)`` axis, sharded
+over the mesh's ``pp`` axis (core/mesh.py:param_pspec) — so each stage holds
+only ``n_layers/pp`` layers' weights. The block sweep inside ``encode`` is
+replaced by a classic GPipe schedule expressed as a ``lax.scan`` over
+pipeline ticks inside ``jax.shard_map``:
+
+  * the local batch is split into M microbatches;
+  * at tick t, stage s runs its layers on microbatch ``t - s`` (stage 0
+    feeds microbatch t; later stages consume the activation ppermuted from
+    their predecessor at the previous tick);
+  * after ``M + pp - 1`` ticks every microbatch has crossed all stages; the
+    last stage's per-tick outputs are the encoded activations, broadcast
+    back with one masked ``psum`` over 'pp'.
+
+Ticks that fall in the pipeline bubble compute on clamped (stale) inputs and
+their outputs are discarded — the standard GPipe bubble, a
+``(pp-1)/(M+pp-1)`` fraction of the schedule. Backward is plain autodiff:
+the transpose of ``ppermute`` is the reverse ``ppermute``, so gradients flow
+stage-to-stage as a reverse pipeline; per-stage trainables (gates) and the
+per-layer adapter slices come back sharded over 'pp', and replicated inputs
+(the spliced embeddings, rope tables) are psum-reduced by shard_map's
+transpose automatically.
+
+Scope (v1): the training/eval *encode* path. The KV-cache paths (cached
+option scorer, generation decode) require pp=1 — under --pp the eval engine
+falls back to the dense scorer (reference semantics,
+model_my_original_mod.py:249-377). pp composes with dp; sp/tp inside a pp
+run are rejected at validation.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from ..core.mesh import DP_AXIS, PP_AXIS
+from .layers import precompute_rope
+from .llama import TransformerBlock
+
+
+# --- stacked parameter layout ------------------------------------------------
+
+def stack_layer_params(params: dict, n_layers: int) -> dict:
+    """Per-layer ``layers_i`` subtrees → one ``layers_stacked`` subtree whose
+    leaves carry a leading ``(n_layers,)`` axis (sharded over 'pp' by
+    core/mesh.py:param_pspec). Works on partitioned trees too: ``None``
+    placeholders are empty subtrees to JAX and pass through untouched.
+    Host-side, once at build time — never inside a jit (restacking per step
+    would copy the whole frozen backbone)."""
+    layers = [params[f"layers_{i}"] for i in range(n_layers)]
+    out = {k: v for k, v in params.items()
+           if not (k.startswith("layers_") and k != "layers_stacked")}
+    out["layers_stacked"] = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    return out
+
+
+def unstack_layer_params(params: dict, n_layers: int) -> dict:
+    """Inverse of :func:`stack_layer_params` — for checkpoint interop with
+    pp=1 runs and the reference-layout exporter."""
+    st = params["layers_stacked"]
+    out = {k: v for k, v in params.items() if k != "layers_stacked"}
+    for i in range(n_layers):
+        out[f"layers_{i}"] = jax.tree.map(lambda x, i=i: x[i], st)
+    return out
+
+
+def validate_pp(mesh_cfg, cfg, is_generation_task: bool = False) -> None:
+    """Reject configurations the v1 pipeline cannot run, loudly and early."""
+    pp = max(1, mesh_cfg.pp)
+    if pp <= 1:
+        return
+    if mesh_cfg.sp > 1 or mesh_cfg.tp > 1:
+        raise ValueError(
+            f"--pp {pp} composes with dp only (got sp={mesh_cfg.sp}, "
+            f"tp={mesh_cfg.tp}); sp/tp inside a pipeline stage is not "
+            f"supported")
+    if cfg.n_layers % pp:
+        raise ValueError(
+            f"--pp {pp} must divide n_layers={cfg.n_layers} evenly "
+            f"(stages would be ragged)")
+    if cfg.adapter_layer != cfg.n_layers:
+        raise ValueError(
+            f"--pp requires adapter_layer == n_layers "
+            f"(got {cfg.adapter_layer} != {cfg.n_layers}): the reference's "
+            f"layer-window SKIPS early blocks entirely (model.py:338), which "
+            f"would leave pipeline stages empty")
+    if is_generation_task:
+        raise ValueError(
+            "--pp does not support generation tasks (KV-cache decode is a "
+            "pp=1 path); drop --is_generation_task or --pp")
+
+
+# --- the pipelined encode ------------------------------------------------------
+
+def _block_module(model) -> TransformerBlock:
+    """A standalone TransformerBlock matching the model's block flags —
+    exactly how FlippedVQAModel.setup constructs its layers_i submodules, so
+    ``block.apply({'params': one_layer_tree}, ...)`` is the same function."""
+    return TransformerBlock(model.cfg, model.dtype, model.frozen_dtype,
+                            model.trainable_dtype, model.use_flash,
+                            model.quantized, model.act_quant,
+                            model.quant_group, model.quant_outliers,
+                            model.weight_bits, not model.seq_shard,
+                            model.seq_shard)
+
+
+def _block_apply_fn(model):
+    block = _block_module(model)
+
+    def apply_block(p_layer, h, cos, sin, adapter, video_start):
+        return block.apply({"params": p_layer}, h, cos, sin, adapter,
+                           video_start)
+
+    if model.remat and model.remat_policy == "qkv":
+        policy = jax.checkpoint_policies.save_only_these_names(
+            "attn_q", "attn_k", "attn_v", "attn_out")
+        return jax.checkpoint(apply_block, policy=policy)
+    if model.remat:
+        return jax.checkpoint(apply_block)
+    return apply_block
+
+
+def _pick_microbatches(requested: int, pp: int, b_local: int) -> int:
+    """Largest M ≤ requested (default pp) that divides the local batch —
+    shrinking instead of erroring keeps odd eval tails runnable (M=1 is a
+    degenerate but correct pipeline)."""
+    m = max(1, requested or pp)
+    while b_local % m:
+        m -= 1
+    return m
+
+
+def pipeline_encode(model, variables, tokens, video_feature, video_start,
+                    splice_index, microbatches: int = 0):
+    """Drop-in for ``FlippedVQAModel.encode`` on stacked parameters.
+
+    Embed+splice and the final norm run as plain GSPMD code outside the
+    pipeline (they are cheap and their params are replicated); the block
+    sweep runs the shard_map'd GPipe schedule over the ambient mesh's 'pp'
+    axis. With no 'pp' axis in context (or pp=1) the sweep degrades to a
+    single ``lax.scan`` over the stacked layers — the MaxText-style scanned
+    formulation, same math, one compiled block body.
+    """
+    cfg = model.cfg
+    params = variables["params"] if "params" in variables else variables
+    stacked = params["layers_stacked"]
+    rest = {k: v for k, v in params.items() if k != "layers_stacked"}
+
+    h = model.apply({"params": rest}, tokens, video_feature, splice_index,
+                    method="_embed_and_splice")
+    rope_cos, rope_sin = precompute_rope(cfg.head_dim, tokens.shape[1],
+                                         cfg.rope_theta)
+    # validate_pp pinned adapter_layer == n_layers: every block is active
+    # and owns one adapter slice (reference: model.py:338-345)
+    adapters = rest["adapter_query"].reshape(cfg.n_layers, cfg.adapter_len,
+                                             cfg.dim)
+    apply_block = _block_apply_fn(model)
+
+    mesh = jax.sharding.get_abstract_mesh()
+    pp = mesh.shape.get(PP_AXIS, 1) if PP_AXIS in mesh.axis_names else 1
+    if pp <= 1:
+        def body(carry, xs):
+            p_layer, adapter = xs
+            return apply_block(p_layer, carry, rope_cos, rope_sin, adapter,
+                               video_start), None
+        h, _ = lax.scan(body, h, (stacked, adapters))
+        return model.apply({"params": rest}, h, method=lambda m, x: m.norm(x))
+
+    dp = mesh.shape.get(DP_AXIS, 1) if DP_AXIS in mesh.axis_names else 1
+    b_enc = tokens.shape[0]
+    if b_enc % dp:
+        raise ValueError(
+            f"pipeline parallelism needs the encoded batch ({b_enc} rows "
+            f"here) divisible by dp={dp}")
+    m_count = _pick_microbatches(microbatches, pp, b_enc // dp)
+    lps = cfg.n_layers // pp
+
+    def local_fn(p_stage, a_stage, h_loc, vs_loc, cos, sin):
+        # p_stage: this stage's (lps, ...) layer slice; h_loc/vs_loc: this
+        # dp shard's rows (replicated over pp — stage 0 reads them, the
+        # rest arrive via ppermute)
+        stage = lax.axis_index(PP_AXIS)
+        bl = h_loc.shape[0]
+        mb = bl // m_count
+        h_mub = h_loc.reshape((m_count, mb) + h_loc.shape[1:])
+        vs_mub = vs_loc.reshape(m_count, mb)
+        n_ticks = m_count + pp - 1
+
+        def stage_fn(h_in, vstart):
+            def body(carry, xs):
+                p_layer, adapter = xs
+                return apply_block(p_layer, carry, cos, sin, adapter,
+                                   vstart), None
+            out, _ = lax.scan(body, h_in, (p_stage, a_stage))
+            return out
+
+        def tick(recv, t):
+            feed = lax.dynamic_index_in_dim(
+                h_mub, jnp.clip(t, 0, m_count - 1), 0, keepdims=False)
+            inp = jnp.where(stage == 0, feed, recv)
+            # this stage's microbatch at tick t is (t - stage); bubble
+            # ticks clamp to a stale index and their outputs are discarded
+            vstart = lax.dynamic_index_in_dim(
+                vs_mub, jnp.clip(t - stage, 0, m_count - 1), 0,
+                keepdims=False)
+            out = stage_fn(inp, vstart)
+            nxt = lax.ppermute(out, PP_AXIS,
+                               [(i, (i + 1) % pp) for i in range(pp)])
+            return nxt, out
+
+        recv0 = jnp.zeros((mb,) + h_loc.shape[1:], h_loc.dtype)
+        _, ys = lax.scan(tick, recv0, jnp.arange(n_ticks))
+        # the last stage emitted microbatch m at tick m + pp - 1; broadcast
+        # its slice to all stages (masked psum — zeros elsewhere)
+        outs = jnp.where(stage == pp - 1, ys[pp - 1:],
+                         jnp.zeros_like(ys[pp - 1:]))
+        outs = lax.psum(outs, PP_AXIS)
+        return outs.reshape(h_loc.shape)
+
+    stacked_specs = jax.tree.map(lambda _: P(PP_AXIS), stacked)
+    h = jax.shard_map(
+        local_fn,
+        in_specs=(stacked_specs, P(PP_AXIS), P(DP_AXIS), P(DP_AXIS), P(),
+                  P()),
+        out_specs=P(DP_AXIS),
+        # pallas_call out_shapes carry no varying-mesh-axes info (same
+        # reason as the sp flash wrappers); replication over 'pp' is
+        # established by the final masked psum
+        check_vma=False,
+    )(stacked, adapters, h, video_start, rope_cos, rope_sin)
+    return model.apply({"params": rest}, h, method=lambda m, x: m.norm(x))
+
+
+# --- the model wrapper ---------------------------------------------------------
+
+class PipelinedModel:
+    """Duck-types the ``model.apply(variables, ..., method=...)`` surface the
+    training/eval engines use (train/objectives.py, train/step.py), routing
+    ``encode`` through :func:`pipeline_encode` and everything else to the
+    wrapped model with the stacked subtree stripped. Built by
+    train/builder.py when --pp > 1."""
+
+    def __init__(self, model, microbatches: int = 0):
+        self._model = model
+        self._microbatches = microbatches
+
+    @property
+    def inner(self):
+        return self._model
+
+    def apply(self, variables, *args, method=None, **kwargs):
+        if method == "encode":
+            return pipeline_encode(self._model, variables, *args,
+                                   microbatches=self._microbatches, **kwargs)
+        if method in ("prefill", "extend_logits", "decode_step"):
+            raise NotImplementedError(
+                f"method {method!r} (a KV-cache path) is not supported under "
+                f"pipeline parallelism — the eval engine uses the dense "
+                f"scorer and generation requires pp=1")
+        if method is None:
+            # __call__ convenience (fuse → encode → heads), pipelined
+            tokens, video, audio, video_start, splice_index = args
+            vf = self.apply(variables, video, audio, method="fuse")
+            h = self.apply(variables, tokens, vf, video_start, splice_index,
+                           method="encode")
+            return (self.apply(variables, h, method="lm_logits"),
+                    self.apply(variables, h, vf, method="qav_logits"))
+        return self._model.apply(self._strip(variables), *args,
+                                 method=method, **kwargs)
+
+    @staticmethod
+    def _strip(variables):
+        p = variables["params"] if "params" in variables else variables
+        return {"params": {k: v for k, v in p.items()
+                           if k != "layers_stacked"}}
+
+    def clone(self, **kwargs):
+        return PipelinedModel(self._model.clone(**kwargs),
+                              self._microbatches)
+
+    def __getattr__(self, name):
+        return getattr(self._model, name)

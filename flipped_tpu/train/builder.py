@@ -61,6 +61,11 @@ def build_model(run_cfg: RunConfig, use_flash: bool | None = None,
         print("sequence parallelism (--sp > 1): attention runs the "
               "shard_map'd streaming flash kernels")
     from ..core.config import quant_flags
+    if run_cfg.mesh.pp > 1:
+        from ..model.pipeline import validate_pp
+        validate_pp(run_cfg.mesh, cfg, run_cfg.train.is_generation_task)
+        print(f"pipeline parallelism (--pp {run_cfg.mesh.pp}): layer stack "
+              f"stored stacked, GPipe microbatch schedule over the pp axis")
     model = FlippedVQAModel(cfg, use_flash=use_flash,
                             remat=remat and run_cfg.train.remat,
                             remat_policy=run_cfg.train.remat_policy,
@@ -185,4 +190,15 @@ def build_train_state(run_cfg: RunConfig, seed: int = 0,
             from ..ckpt.quantize import randomize_quantized
             frozen = randomize_quantized(frozen, seed)
     trainable, frozen = cast_partitions(trainable, frozen)
+    if run_cfg.mesh.pp > 1:
+        # Pipeline parallelism: restack the per-layer subtrees ONCE here
+        # (host-side) into `layers_stacked` with a leading (n_layers,) axis
+        # — sharded over the 'pp' mesh axis by core/mesh.py:param_pspec —
+        # and wrap the model so `encode` runs the GPipe schedule
+        # (model/pipeline.py). Checkpoints written under --pp carry the
+        # stacked trainables; unstack_layer_params converts for pp=1 interop.
+        from ..model.pipeline import PipelinedModel, stack_layer_params
+        trainable = stack_layer_params(trainable, cfg.n_layers)
+        frozen = stack_layer_params(frozen, cfg.n_layers)
+        model = PipelinedModel(model, run_cfg.mesh.pp_microbatches)
     return model, cfg, tokenizer, trainable, frozen

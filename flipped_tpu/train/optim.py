@@ -118,14 +118,24 @@ def lr_schedule(cfg: TrainConfig, steps_per_epoch: int, world_batch: int):
     return schedule
 
 
+def wd_mask(params):
+    # timm param_groups_weight_decay: no decay on 1-D params/biases
+    # (None placeholders are empty subtrees in JAX and skip tree_map).
+    # Leaves under a stacked layer tree (pipeline parallelism,
+    # model/pipeline.py) carry a leading (n_layers,) axis — the per-layer
+    # gates are (L, H) there but must keep the 1-D no-decay treatment.
+    def decay(key_path, p):
+        stacked = any(
+            str(getattr(k, "key", "")) == "layers_stacked"
+            for k in key_path)
+        return p.ndim > (2 if stacked else 1)
+
+    return jax.tree_util.tree_map_with_path(decay, params)
+
+
 def make_optimizer(cfg: TrainConfig, steps_per_epoch: int, world_batch: int,
                    ) -> optax.GradientTransformation:
     schedule = lr_schedule(cfg, steps_per_epoch, world_batch)
-
-    def wd_mask(params):
-        # timm param_groups_weight_decay: no decay on 1-D params/biases
-        # (None placeholders are empty subtrees in JAX and skip tree_map)
-        return jax.tree_util.tree_map(lambda p: p.ndim > 1, params)
 
     chain = [optax.clip_by_global_norm(cfg.clip_grad)] if cfg.clip_grad else []
     chain.append(optax.adamw(learning_rate=schedule, b1=0.9, b2=0.95,

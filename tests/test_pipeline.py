@@ -1,0 +1,361 @@
+"""Pipeline parallelism (model/pipeline.py) on the 8-virtual-CPU-device mesh.
+
+The contract under test: storing block params stacked and running the
+shard_map'd GPipe schedule over the 'pp' axis changes the LAYOUT only — the
+losses, gradients, optimizer updates, and eval scores must equal the plain
+per-layer single-device model (reference math: llama/model.py:338-361,
+engine.py:87-93)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from flipped_tpu.core.config import MeshConfig, ModelConfig, TrainConfig
+from flipped_tpu.core.mesh import (DP_AXIS, PP_AXIS, make_mesh, param_pspec,
+                                   param_shardings)
+from flipped_tpu.data import (add_accum_axis, make_synthetic_items,
+                              pack_eval_batch, pack_train_batch)
+from flipped_tpu.model import FlippedVQAModel
+from flipped_tpu.model.pipeline import (PipelinedModel, stack_layer_params,
+                                        unstack_layer_params, validate_pp)
+from flipped_tpu.text import MockTokenizer
+from flipped_tpu.train import (make_optimizer, make_train_step,
+                               partition_params)
+from flipped_tpu.train.objectives import option_scores
+from flipped_tpu.train.step import make_eval_step
+
+
+def cpu8():
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    return devs[:8]
+
+
+CFG = ModelConfig(dim=32, n_layers=4, n_heads=4, vocab_size=128,
+                  multiple_of=16, max_seq_len=96, adapter_len=4,
+                  adapter_layer=4, max_feats=4, visual_dim=16)
+
+
+def _setup(n_items=4, seed=0):
+    tok = MockTokenizer(CFG.vocab_size)
+    model = FlippedVQAModel(CFG, dtype=jnp.float32, frozen_dtype=jnp.float32)
+    items = make_synthetic_items(tok, n_items, max_feats=4, max_seq_len=96,
+                                 visual_dim=16, seed=seed)
+    batch = pack_train_batch(items, 4)
+    params = model.init(jax.random.PRNGKey(seed),
+                        jnp.array(batch["vqa_tokens"][:1]),
+                        jnp.array(batch["video"][:1]), None,
+                        jnp.array(batch["vqa_video_start"][:1]),
+                        jnp.array(batch["vqa_splice"][:1]))["params"]
+    return model, params, items, batch, tok
+
+
+# --- layout ---------------------------------------------------------------------
+
+def test_stack_unstack_roundtrip():
+    model, params, *_ = _setup()
+    stacked = stack_layer_params(params, CFG.n_layers)
+    assert "layers_stacked" in stacked and "layers_0" not in stacked
+    kern = stacked["layers_stacked"]["attention"]["wq"]["kernel"]
+    assert kern.shape == (CFG.n_layers, CFG.dim, CFG.dim)
+    back = unstack_layer_params(stacked, CFG.n_layers)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        params, back)
+
+
+def test_stack_preserves_partition_placeholders():
+    """Partitioned trees (None placeholders) stack without disturbing the
+    trainable/frozen split — the gates stay trainable, kernels frozen."""
+    _, params, *_ = _setup()
+    trainable, frozen = partition_params(params)
+    t_st = stack_layer_params(trainable, CFG.n_layers)
+    f_st = stack_layer_params(frozen, CFG.n_layers)
+    assert t_st["layers_stacked"]["attention"]["gate1"].shape == (
+        CFG.n_layers, CFG.n_heads)
+    assert t_st["layers_stacked"]["attention"]["wq"]["kernel"] is None
+    assert f_st["layers_stacked"]["attention"]["gate1"] is None
+    assert f_st["layers_stacked"]["attention"]["wq"]["kernel"].shape == (
+        CFG.n_layers, CFG.dim, CFG.dim)
+
+
+def test_param_pspec_stacked_rule():
+    assert param_pspec("layers_stacked/attention/wq/kernel") == P(PP_AXIS)
+    assert param_pspec("layers_stacked/attention/gate1") == P(PP_AXIS)
+    assert param_pspec("layers_0/attention/wq/kernel") == P(None, "tp")
+
+
+def test_validate_pp_errors():
+    mesh_ok = MeshConfig(dp=2, pp=2)
+    validate_pp(mesh_ok, CFG)  # fine
+    with pytest.raises(ValueError, match="composes with dp only"):
+        validate_pp(MeshConfig(dp=1, pp=2, tp=2), CFG)
+    with pytest.raises(ValueError, match="divide n_layers"):
+        validate_pp(MeshConfig(dp=1, pp=3), CFG)
+    import dataclasses
+    small_window = dataclasses.replace(CFG, adapter_layer=2)
+    with pytest.raises(ValueError, match="adapter_layer == n_layers"):
+        validate_pp(MeshConfig(dp=1, pp=2), small_window)
+    with pytest.raises(ValueError, match="generation"):
+        validate_pp(mesh_ok, CFG, is_generation_task=True)
+
+
+def test_cli_pp_flag_reaches_mesh_config():
+    from flipped_tpu.core.config import get_args_parser, run_config_from_args
+    args = get_args_parser().parse_args(
+        ["--dp", "2", "--pp", "4", "--pp_microbatches", "8"])
+    run_cfg = run_config_from_args(args)
+    assert (run_cfg.mesh.dp, run_cfg.mesh.pp) == (2, 4)
+    assert run_cfg.mesh.pp_microbatches == 8
+
+
+# --- numerics -------------------------------------------------------------------
+
+def _run_pp_step(model, params, batch, mesh, microbatches=0, accum=2,
+                 remat=False):
+    """One full train step of the PipelinedModel on `mesh`; returns
+    (loss, unstacked trainable tree)."""
+    pmodel = PipelinedModel(
+        model.clone(remat=remat) if remat != model.remat else model,
+        microbatches)
+    # the step donates its inputs; fresh copies keep `params` reusable
+    params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
+    trainable, frozen = partition_params(params)
+    trainable = stack_layer_params(trainable, CFG.n_layers)
+    frozen = stack_layer_params(frozen, CFG.n_layers)
+    tcfg = TrainConfig(lr=1e-2, vaq=True, qav=True)
+    tx = make_optimizer(tcfg, steps_per_epoch=4, world_batch=4)
+    step = make_train_step(pmodel, tx, vaq=True, qav=True)
+    b = {k: jnp.array(v) for k, v in add_accum_axis(batch, accum).items()}
+    with jax.set_mesh(mesh):
+        t_sh = jax.device_put(trainable, param_shardings(mesh, trainable))
+        f_sh = jax.device_put(frozen, param_shardings(mesh, frozen))
+        opt_state = jax.jit(tx.init)(t_sh)
+        b_sh = {k: jax.device_put(v, NamedSharding(mesh, P(None, DP_AXIS)))
+                for k, v in b.items()}
+        # the stacked frozen kernels really are sharded over pp
+        spec = f_sh["layers_stacked"]["attention"]["wq"]["kernel"].sharding.spec
+        assert spec == P(PP_AXIS), spec
+        t2, _, m = step(t_sh, opt_state, f_sh, b_sh)
+        loss = float(m.loss)
+        t2 = jax.tree_util.tree_map(np.asarray, t2)
+    return loss, unstack_layer_params(t2, CFG.n_layers)
+
+
+def _run_plain_step(model, params, batch, device, accum=2):
+    trainable, frozen = partition_params(params)
+    tcfg = TrainConfig(lr=1e-2, vaq=True, qav=True)
+    tx = make_optimizer(tcfg, steps_per_epoch=4, world_batch=4)
+    step = make_train_step(model, tx, vaq=True, qav=True)
+    b = {k: jnp.array(v) for k, v in add_accum_axis(batch, accum).items()}
+    with jax.default_device(device):
+        opt_state = tx.init(trainable)
+        t1, _, m1 = jax.jit(step)(
+            jax.device_put(trainable, device),
+            jax.device_put(opt_state, device),
+            jax.device_put(frozen, device),
+            {k: jax.device_put(v, device) for k, v in b.items()})
+        loss = float(m1.loss)
+        t1 = jax.tree_util.tree_map(np.asarray, t1)
+    return loss, t1
+
+
+def test_pp_train_step_matches_single_device():
+    """Losses AND one-step AdamW updates on a dp2×pp2 mesh equal the plain
+    per-layer single-device model — the pipeline is a layout change only."""
+    devs = cpu8()
+    model, params, _, batch, _ = _setup()
+    loss_1dev, t1 = _run_plain_step(model, params, batch, devs[0])
+    # at S<~90 synthetic prompts overflow → all labels masked → vacuous 0.0
+    assert loss_1dev > 1.0, loss_1dev
+
+    mesh = make_mesh(MeshConfig(dp=2, pp=2), devices=devs[:4])
+    loss_pp, t2 = _run_pp_step(model, params, batch, mesh)
+    np.testing.assert_allclose(loss_pp, loss_1dev, rtol=2e-5, atol=2e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=5e-5, atol=5e-5),
+        t1, t2)
+
+
+def test_pp_microbatch_count_invariance():
+    """M=1 (degenerate), M=2, and M=4 schedules produce the same loss — the
+    bubble ticks' discarded garbage never leaks into real microbatches."""
+    devs = cpu8()
+    model, params, _, batch, _ = _setup(n_items=4)
+    mesh = make_mesh(MeshConfig(dp=1, pp=4), devices=devs[:4])
+    losses = [
+        _run_pp_step(model, params, batch, mesh, microbatches=m, accum=1)[0]
+        for m in (1, 2, 4)]
+    assert losses[0] > 1.0, losses
+    np.testing.assert_allclose(losses, losses[0], rtol=1e-5)
+
+
+def test_pp_remat_matches():
+    """Remat inside the pipeline stages (the trainer default) must not
+    change the numbers."""
+    devs = cpu8()
+    model, params, _, batch, _ = _setup()
+    mesh = make_mesh(MeshConfig(dp=2, pp=2), devices=devs[:4])
+    loss_plain, t_plain = _run_pp_step(model, params, batch, mesh)
+    loss_remat, t_remat = _run_pp_step(model, params, batch, mesh, remat=True)
+    np.testing.assert_allclose(loss_remat, loss_plain, rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=5e-5, atol=5e-5),
+        t_plain, t_remat)
+
+
+def test_pp_scan_fallback_matches_encode():
+    """Without a pp axis in context, PipelinedModel.encode runs the scanned
+    stacked-layer sweep — same activations as the per-layer model."""
+    model, params, _, batch, _ = _setup()
+    stacked = {"params": stack_layer_params(params, CFG.n_layers)}
+    pmodel = PipelinedModel(model)
+    tokens = jnp.array(batch["vqa_tokens"])
+    video = jnp.array(batch["video"])
+    vs = jnp.array(batch["vqa_video_start"])
+    splice = jnp.array(batch["vqa_splice"])
+    vf = model.apply({"params": params}, video, None, method="fuse")
+    want = model.apply({"params": params}, tokens, vf, vs, splice,
+                       method="encode")
+    got = pmodel.apply(stacked, tokens, vf, vs, splice, method="encode")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pp_dense_eval_scores_match():
+    """Classification eval under pp (dense scorer through the pipelined
+    encode) reproduces the plain model's option scores and predictions
+    (the argmin of engine.py:87-93)."""
+    devs = cpu8()
+    model, params, _, _, tok = _setup()
+    items = make_synthetic_items(tok, 4, max_feats=4, max_seq_len=96,
+                                 visual_dim=16, seed=3, split="val")
+    ebatch = pack_eval_batch(items, 4)
+    ebatch = {k: jnp.array(v) for k, v in ebatch.items()
+              if isinstance(v, np.ndarray) and np.ndim(v) > 0}
+
+    want = np.asarray(option_scores(model, {"params": params}, ebatch))
+
+    trainable, frozen = partition_params(params)
+    t_st = stack_layer_params(trainable, CFG.n_layers)
+    f_st = stack_layer_params(frozen, CFG.n_layers)
+    pmodel = PipelinedModel(model)
+    eval_step = make_eval_step(pmodel, cached=False)
+    mesh = make_mesh(MeshConfig(dp=2, pp=2), devices=devs[:4])
+    with jax.set_mesh(mesh):
+        t_sh = jax.device_put(t_st, param_shardings(mesh, t_st))
+        f_sh = jax.device_put(f_st, param_shardings(mesh, f_st))
+        b_sh = {k: jax.device_put(v, NamedSharding(mesh, P(DP_AXIS)))
+                for k, v in ebatch.items()}
+        out = eval_step(t_sh, f_sh, b_sh)
+        got = np.asarray(out["scores"])
+        pred = np.asarray(out["prediction"])
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(pred, np.argmin(want, axis=-1))
+
+
+def test_pp_kv_cache_paths_refuse():
+    model, params, *_ = _setup()
+    pmodel = PipelinedModel(model)
+    with pytest.raises(NotImplementedError, match="KV-cache"):
+        pmodel.apply({"params": {}}, None, method="prefill")
+
+
+def test_pp_quantized_w8a8_runs():
+    """Capacity composition: w8a8-quantized stacked backbone trains under
+    the pipeline schedule with a finite, real loss."""
+    from flipped_tpu.ckpt.quantize import randomize_quantized
+    from flipped_tpu.core.config import quant_flags
+    devs = cpu8()
+    tok = MockTokenizer(CFG.vocab_size)
+    model = FlippedVQAModel(CFG, dtype=jnp.float32, frozen_dtype=jnp.float32,
+                            **quant_flags("w8a8"))
+    items = make_synthetic_items(tok, 4, max_feats=4, max_seq_len=96,
+                                 visual_dim=16, seed=0)
+    batch = pack_train_batch(items, 4)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.array(batch["vqa_tokens"][:1]),
+                        jnp.array(batch["video"][:1]), None,
+                        jnp.array(batch["vqa_video_start"][:1]),
+                        jnp.array(batch["vqa_splice"][:1]))["params"]
+    trainable, frozen = partition_params(params)
+    frozen = randomize_quantized(frozen, seed=1)
+    trainable = stack_layer_params(trainable, CFG.n_layers)
+    frozen = stack_layer_params(frozen, CFG.n_layers)
+    pmodel = PipelinedModel(model)
+    tcfg = TrainConfig(lr=1e-2, vaq=True, qav=True)
+    tx = make_optimizer(tcfg, steps_per_epoch=4, world_batch=4)
+    step = make_train_step(pmodel, tx, vaq=True, qav=True)
+    b = {k: jnp.array(v) for k, v in add_accum_axis(batch, 1).items()}
+    mesh = make_mesh(MeshConfig(dp=2, pp=2), devices=devs[:4])
+    with jax.set_mesh(mesh):
+        t_sh = jax.device_put(trainable, param_shardings(mesh, trainable))
+        f_sh = jax.device_put(frozen, param_shardings(mesh, frozen))
+        opt_state = jax.jit(tx.init)(t_sh)
+        b_sh = {k: jax.device_put(v, NamedSharding(mesh, P(None, DP_AXIS)))
+                for k, v in b.items()}
+        _, _, m = step(t_sh, opt_state, f_sh, b_sh)
+        loss, gnorm = float(m.loss), float(m.grad_norm)
+    assert np.isfinite(loss) and loss > 1.0, loss
+    assert np.isfinite(gnorm) and gnorm > 0, gnorm
+
+
+def test_pp_cuts_per_device_weight_footprint():
+    """The reason pp exists: on the same 2 devices, sharding the stacked
+    layer stack over pp=2 must cut the compiled per-device ARGUMENT
+    footprint by ~half the block weights vs dp=2 replication (XLA memory
+    analysis — the capacity axis for 33B/65B backbones, no 33B needed)."""
+    devs = cpu8()[:2]
+    model, params, _, batch, _ = _setup()
+    tcfg = TrainConfig(lr=1e-2, vaq=True, qav=True)
+    tx = make_optimizer(tcfg, steps_per_epoch=4, world_batch=4)
+    b = {k: jnp.array(v) for k, v in add_accum_axis(batch, 1).items()}
+
+    def arg_bytes(mesh_cfg, stacked):
+        mesh = make_mesh(mesh_cfg, devices=devs)
+        trainable, frozen = partition_params(params)
+        m = model
+        if stacked:
+            trainable = stack_layer_params(trainable, CFG.n_layers)
+            frozen = stack_layer_params(frozen, CFG.n_layers)
+            m = PipelinedModel(model)
+        step = make_train_step(m, tx, vaq=True, qav=True)
+        with jax.set_mesh(mesh):
+            t_sh = jax.device_put(trainable, param_shardings(mesh, trainable))
+            f_sh = jax.device_put(frozen, param_shardings(mesh, frozen))
+            o_sh = jax.jit(tx.init)(t_sh)
+            b_sh = {k: jax.device_put(v,
+                                      NamedSharding(mesh, P(None, DP_AXIS)))
+                    for k, v in b.items()}
+            ma = step.lower(t_sh, o_sh, f_sh, b_sh).compile(
+                ).memory_analysis()
+        return ma.argument_size_in_bytes
+
+    block_bytes = sum(
+        leaf.size * leaf.dtype.itemsize
+        for i in range(CFG.n_layers)
+        for leaf in jax.tree_util.tree_leaves(params[f"layers_{i}"]))
+    a_dp = arg_bytes(MeshConfig(dp=2), stacked=False)
+    a_pp = arg_bytes(MeshConfig(dp=1, pp=2), stacked=True)
+    # each stage holds half the block weights (plus replicated embeddings/
+    # head/trainables, identical in both configs)
+    assert a_dp - a_pp > 0.4 * block_bytes, (a_dp, a_pp, block_bytes)
+
+
+def test_pp_wd_mask_keeps_stacked_gates_undecayed():
+    """Stacked per-layer gates are (L, H) but must keep the reference's
+    1-D no-weight-decay treatment (timm grouping, train.py:119-121)."""
+    from flipped_tpu.train.optim import wd_mask
+    _, params, *_ = _setup()
+    trainable, _ = partition_params(params)
+    mask = wd_mask(trainable)
+    assert mask["layers_0"]["attention"]["gate2"] is False
+    assert mask["visual_proj"]["kernel"] is True
+    stacked_mask = wd_mask(stack_layer_params(trainable, CFG.n_layers))
+    # the stacked gate is 2-D but must stay undecayed, like its per-layer form
+    assert stacked_mask["layers_stacked"]["attention"]["gate2"] is False
+    assert stacked_mask["visual_proj"]["kernel"] is True

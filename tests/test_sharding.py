@@ -45,14 +45,16 @@ def test_param_pspec_rules():
 def test_mesh_shapes():
     devs = cpu8()
     m = make_mesh(MeshConfig(dp=4, tp=2), devices=devs)
-    assert m.shape == {"dp": 4, "sp": 1, "tp": 2}
+    assert m.shape == {"dp": 4, "pp": 1, "sp": 1, "tp": 2}
     m = make_mesh(MeshConfig(dp=-1, tp=2), devices=devs)
-    assert m.shape == {"dp": 4, "sp": 1, "tp": 2}
+    assert m.shape == {"dp": 4, "pp": 1, "sp": 1, "tp": 2}
     m = make_mesh(MeshConfig(dp=-1, sp=2, tp=2), devices=devs)
-    assert m.shape == {"dp": 2, "sp": 2, "tp": 2}
-    # explicit smaller mesh → first dp*sp*tp devices
+    assert m.shape == {"dp": 2, "pp": 1, "sp": 2, "tp": 2}
+    m = make_mesh(MeshConfig(dp=-1, pp=2, tp=2), devices=devs)
+    assert m.shape == {"dp": 2, "pp": 2, "sp": 1, "tp": 2}
+    # explicit smaller mesh → first dp*pp*sp*tp devices
     m = make_mesh(MeshConfig(dp=3, tp=2), devices=devs)
-    assert m.shape == {"dp": 3, "sp": 1, "tp": 2}
+    assert m.shape == {"dp": 3, "pp": 1, "sp": 1, "tp": 2}
     with pytest.raises(ValueError):
         make_mesh(MeshConfig(dp=5, tp=2), devices=devs)
 
@@ -291,7 +293,7 @@ def test_sp_sharded_train_step_matches_single_device():
     assert loss_1dev > 1.0, loss_1dev   # see overflow note above
 
     mesh = make_mesh(MeshConfig(dp=2, sp=2, tp=2), devices=devs)
-    assert mesh.shape == {"dp": 2, "sp": 2, "tp": 2}
+    assert mesh.shape == {"dp": 2, "pp": 1, "sp": 2, "tp": 2}
     step = make_train_step(spmod, tx, vaq=True, qav=True)
     with mesh:
         t_sh = jax.device_put(trainable, param_shardings(mesh, trainable))
