@@ -129,6 +129,28 @@ def test_grain_loader_cli(synth_root, tmp_path):
     assert os.path.exists(os.path.join(out, "log.txt"))
 
 
+def test_pipeline_parallel_cli(synth_root, tmp_path):
+    """--pp 2 through the full trainer on a dp2×pp2 virtual mesh: stacked
+    layer params, GPipe schedule, dense eval scorer, stacked-trainables
+    checkpoint save → resume (model/pipeline.py)."""
+    import jax
+    if len(jax.devices("cpu")) < 4:
+        pytest.skip("needs 4 virtual CPU devices")
+    out = str(tmp_path / "out_pp")
+    argv = ["--model", "tiny", "--dataset", "nextqa", "--data_root",
+            synth_root, "--batch_size", "4", "--max_seq_len", "128",
+            "--epochs", "1", "--warmup_epochs", "0.5", "--blr", "9e-1",
+            "--vaq", "--qav", "--dp", "2", "--pp", "2", "--output_dir", out]
+    run_main(argv)
+    lines = [json.loads(l) for l in open(os.path.join(out, "log.txt"))]
+    assert np.isfinite(lines[0]["train_loss"])
+    assert "val_acc" in lines[0]
+    # resume restores the STACKED trainable/opt trees and continues
+    run_main(argv + ["--epochs", "2", "--resume", "checkpoint_last"])
+    lines = [json.loads(l) for l in open(os.path.join(out, "log.txt"))]
+    assert lines[-1]["epoch"] == 1
+
+
 def test_real_tokenizer_cli(synth_root, tmp_path):
     """The full real-tokenizer path: a LLaMA-layout tokenizer.model read by
     text/spm.py (no sentencepiece package) → prompts → masking → one train

@@ -304,6 +304,40 @@ def test_pp_quantized_w8a8_runs():
     assert np.isfinite(gnorm) and gnorm > 0, gnorm
 
 
+def test_pp_chunked_lm_head_matches():
+    """--lm_head_chunk under pp (the long-context memory lever) must not
+    change the losses: the chunked CE sweeps the pipelined encode's output
+    through the stripped-params LM head."""
+    devs = cpu8()
+    model, params, _, batch, _ = _setup()
+    mesh = make_mesh(MeshConfig(dp=2, pp=2), devices=devs[:4])
+
+    def run(lm_chunk):
+        pmodel = PipelinedModel(model)
+        p = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
+        trainable, frozen = partition_params(p)
+        trainable = stack_layer_params(trainable, CFG.n_layers)
+        frozen = stack_layer_params(frozen, CFG.n_layers)
+        tcfg = TrainConfig(lr=1e-2, vaq=True, qav=True)
+        tx = make_optimizer(tcfg, steps_per_epoch=4, world_batch=4)
+        step = make_train_step(pmodel, tx, vaq=True, qav=True,
+                               lm_chunk=lm_chunk)
+        b = {k: jnp.array(v) for k, v in add_accum_axis(batch, 1).items()}
+        with jax.set_mesh(mesh):
+            t_sh = jax.device_put(trainable, param_shardings(mesh, trainable))
+            f_sh = jax.device_put(frozen, param_shardings(mesh, frozen))
+            o_sh = jax.jit(tx.init)(t_sh)
+            b_sh = {k: jax.device_put(v,
+                                      NamedSharding(mesh, P(None, DP_AXIS)))
+                    for k, v in b.items()}
+            _, _, m = step(t_sh, o_sh, f_sh, b_sh)
+            return float(m.loss)
+
+    dense, chunked = run(0), run(32)
+    assert dense > 1.0, dense
+    np.testing.assert_allclose(chunked, dense, rtol=1e-5)
+
+
 def test_pp_cuts_per_device_weight_footprint():
     """The reason pp exists: on the same 2 devices, sharding the stacked
     layer stack over pp=2 must cut the compiled per-device ARGUMENT
