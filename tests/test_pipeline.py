@@ -380,7 +380,61 @@ def test_pp_cuts_per_device_weight_footprint():
     assert a_dp - a_pp > 0.4 * block_bytes, (a_dp, a_pp, block_bytes)
 
 
-def test_pp_wd_mask_keeps_stacked_gates_undecayed():
+@pytest.mark.parametrize("preset,pp", [("llama13B", 4), ("llama33B", 4),
+                                       ("llama33B", 6)])
+def test_large_preset_pp_stage_shardings(preset, pp):
+    """Scale-readiness of the 13B/33B presets for pipeline parallelism: the
+    REAL stacked shape trees (eval_shape — nothing materialized) must shard
+    over pp with no fallback, stages must tile the layer stack evenly, and
+    the per-stage quantized backbone must fit a 16 GB v5e — the capacity
+    claim pp exists for (the reference caps at whatever fits one GPU's DDP
+    replica, util/misc.py:220-250)."""
+    from flipped_tpu.core.config import MODEL_PRESETS
+    from flipped_tpu.core.mesh import _path_str
+
+    devs = cpu8()
+    pre = MODEL_PRESETS[preset]
+    cfg = ModelConfig(dim=pre["dim"], n_layers=pre["n_layers"],
+                      n_heads=pre["n_heads"], vocab_size=32000,
+                      multiple_of=256, max_seq_len=128, adapter_len=10,
+                      adapter_layer=pre["n_layers"], max_feats=10)
+    validate_pp(MeshConfig(dp=1, pp=pp), cfg)
+    model = FlippedVQAModel(cfg)
+    B, S, F = 2, cfg.max_seq_len, cfg.max_feats
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        jnp.zeros((B, S), jnp.int32), jnp.zeros((B, F, 768), jnp.float32),
+        None, jnp.zeros((B,), jnp.int32), jnp.zeros((B, F), jnp.int32))
+
+    # stack the SHAPE tree by hand (jnp.stack needs real arrays)
+    p = dict(shapes["params"])
+    layer0 = p["layers_0"]
+    stacked = jax.tree_util.tree_map(
+        lambda l: jax.ShapeDtypeStruct((cfg.n_layers,) + l.shape, l.dtype),
+        layer0)
+    for i in range(cfg.n_layers):
+        p.pop(f"layers_{i}")
+    p["layers_stacked"] = stacked
+
+    mesh = make_mesh(MeshConfig(dp=8 // pp if pp < 8 else 1, pp=pp),
+                     devices=devs[:8 - 8 % pp])
+    shardings = param_shardings(mesh, p)
+    flat = jax.tree_util.tree_flatten_with_path(shardings)[0]
+    n_stacked = 0
+    for path, sh in flat:
+        if "layers_stacked" in _path_str(path):
+            assert sh.spec == P(PP_AXIS), _path_str(path)
+            n_stacked += 1
+    assert n_stacked == len(jax.tree_util.tree_leaves(stacked))
+
+    # capacity: per-stage block params at int8 (1 B) and packed int4 (0.5 B)
+    block_params = sum(np.prod(l.shape)
+                      for l in jax.tree_util.tree_leaves(stacked))
+    assert cfg.n_layers % pp == 0
+    per_stage = block_params // pp
+    hbm = 16 * 1024**3
+    assert per_stage * 1.0 < 0.75 * hbm, "int8 stage must fit a 16 GB chip"
+    assert per_stage * 0.5 < 0.40 * hbm, "int4 stage must fit comfortably"
     """Stacked per-layer gates are (L, H) but must keep the reference's
     1-D no-weight-decay treatment (timm grouping, train.py:119-121)."""
     from flipped_tpu.train.optim import wd_mask
