@@ -181,6 +181,33 @@ def test_four_process_dp4_matches_single(synth_root16, tmp_path):
     assert got["val_acc"] == pytest.approx(ref["val_acc"], abs=1e-6)
 
 
+def test_two_process_pp2_spanning_boundary(synth_root16, tmp_path):
+    """Pipeline parallelism with ONE device per process: the 'pp' axis spans
+    the process boundary, so every stage-to-stage activation ppermute (and
+    its backward transpose) crosses processes, each process holds only ITS
+    stage's slice of the stacked layer weights, both processes form one dp
+    row-group feeding identical loader rows (core/mesh.py:loader_shards),
+    and the checkpoint host-fetch must reassemble the pp-sharded stacked
+    trainables. Loss must match a single-process run of the same global
+    batch."""
+    out1 = str(tmp_path / "single")
+    _launch_cli(1, _base_argv(synth_root16, out1, batch_size=2))
+    ref = _log_line(out1)
+
+    out_pp = str(tmp_path / "pp2")
+    outs = _launch_cli(
+        2, _base_argv(synth_root16, out_pp, batch_size=2)
+        + ["--dp", "1", "--pp", "2"])
+    # one dp row-group → world batch is NOT multiplied by process count
+    assert "effective batch size: 2" in outs[0]
+    got = _log_line(out_pp)
+
+    assert got["train_loss"] == pytest.approx(ref["train_loss"], rel=2e-3)
+    assert got["val_acc"] == pytest.approx(ref["val_acc"], abs=1e-6)
+    # the stacked-trainables checkpoint was written and is loadable
+    assert os.path.isdir(os.path.join(out_pp, "checkpoint_last"))
+
+
 def test_two_process_tp2_spanning_boundary(synth_root16, tmp_path):
     """tp=2 with ONE device per process: the tensor-parallel axis spans the
     process boundary, so every backbone matmul's collectives cross
