@@ -178,10 +178,11 @@ class MeshConfig:
     per chip scales 1/sp, which is what bounds S≥4096 training on 16 GB
     chips (docs/PERF.md). `pp` partitions the LAYER stack into pipeline
     stages (model/pipeline.py): block params are stored stacked
-    (n_layers, ...) and sharded over 'pp'; a shard_map'd GPipe schedule
-    rotates microbatch activations through the stages via ppermute — the
-    capacity axis for models whose weights exceed one chip (33B/65B).
-    pp composes with dp; sp/tp within a pp run are v1-unsupported.
+    (n_layers, ...) and sharded over 'pp'; a partial-auto shard_map'd GPipe
+    schedule rotates microbatch activations through the stages via ppermute
+    — the capacity axis for models whose weights exceed one chip (33B/65B).
+    pp composes with dp and tp (stacked kernels shard P('pp', None, 'tp'));
+    sp within a pp run is rejected at validation.
     """
 
     dp: int = -1  # -1: all remaining devices
@@ -252,7 +253,7 @@ def get_args_parser() -> argparse.ArgumentParser:
                         "into pp stages (stacked per-stage weights, "
                         "shard_map'd GPipe microbatch schedule) — the "
                         "capacity axis when the frozen backbone exceeds one "
-                        "chip. Composes with dp; sp/tp must stay 1")
+                        "chip. Composes with dp and tp; sp must stay 1")
     p.add_argument("--pp_microbatches", type=int, default=0,
                    help="microbatches per pipeline round-trip (0 → pp); "
                         "bubble fraction is (pp-1)/(M+pp-1)")

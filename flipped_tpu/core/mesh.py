@@ -123,10 +123,13 @@ _TP_RULES = (
 
 def param_pspec(path: str) -> P:
     # stacked layer stack (model/pipeline.py): leading (n_layers,) axis over
-    # the pp stages. Checked BEFORE the tp suffix rules — those target the
-    # per-layer (in, out) layout, which sits one axis deeper here (pp
-    # requires tp == 1, so the tp rules are inert anyway).
+    # the pp stages, composed with the per-layer tp rule shifted one axis
+    # deeper (the kernels are (L, in, out) there) — pp×tp layouts like
+    # P('pp', None, 'tp') come out of the same split-dim table.
     if "layers_stacked" in path:
+        for suffix, spec in _TP_RULES:
+            if path.endswith(suffix):
+                return P(PP_AXIS, *spec)
         return P(PP_AXIS)
     for suffix, spec in _TP_RULES:
         if path.endswith(suffix):
@@ -147,16 +150,22 @@ def _path_str(key_path) -> str:
 
 
 def param_shardings(mesh: Mesh, params):
-    """NamedSharding pytree for a parameter pytree (TP rules + replication)."""
+    """NamedSharding pytree for a parameter pytree (pp/TP rules +
+    replication)."""
     def one(key_path, leaf):
         spec = param_pspec(_path_str(key_path))
-        # Drop specs that don't divide the dim evenly (e.g. tiny test configs)
-        tp = mesh.shape.get(TP_AXIS, 1)
-        if tp > 1 and any(s is not None for s in spec):
-            for axis, name in enumerate(spec):
-                if name == TP_AXIS and leaf.shape[axis] % tp != 0:
-                    spec = P()
-                    break
-        return NamedSharding(mesh, spec)
+        # Drop PER-AXIS entries that don't divide the dim evenly (tiny test
+        # configs): a composed spec like P('pp', None, 'tp') keeps its pp
+        # stage sharding even when tp doesn't divide the feature dim.
+        entries = list(spec)
+        for axis, name in enumerate(entries):
+            if name is None:
+                continue
+            size = mesh.shape.get(name, 1)
+            if size > 1 and leaf.shape[axis] % size != 0:
+                entries[axis] = None
+        if all(e is None for e in entries):
+            entries = []
+        return NamedSharding(mesh, P(*entries))
 
     return jax.tree_util.tree_map_with_path(one, params)

@@ -28,11 +28,19 @@ per-layer adapter slices come back sharded over 'pp', and replicated inputs
 (the spliced embeddings, rope tables) are psum-reduced by shard_map's
 transpose automatically.
 
-Scope (v1): the training/eval *encode* path. The KV-cache paths (cached
-option scorer, generation decode) require pp=1 — under --pp the eval engine
-falls back to the dense scorer (reference semantics,
-model_my_original_mod.py:249-377). pp composes with dp; sp/tp inside a pp
-run are rejected at validation.
+The shard_map is *partial-auto* (``axis_names={'pp'}``): only the pipeline
+axis is manual; dp and tp stay GSPMD-automatic inside the stage body, so
+the batch rides its usual dp sharding and tp-sharded stacked weights keep
+their Megatron column/row layout on the non-layer axes — pp×dp×tp compose
+from one implementation. (Pallas kernels are forced off inside: a Pallas
+call is a single-device program GSPMD cannot partition over the auto axes;
+the XLA einsum/quant formulations partition cleanly.)
+
+Scope: the training/eval *encode* path. The KV-cache paths (cached option
+scorer, generation decode) require pp=1 — under --pp the eval engine falls
+back to the dense scorer (reference semantics,
+model_my_original_mod.py:249-377). sp inside a pp run is rejected at
+validation (its attention dispatch is its own shard_map).
 """
 from __future__ import annotations
 
@@ -41,7 +49,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
-from ..core.mesh import DP_AXIS, PP_AXIS
+from ..core.mesh import PP_AXIS
 from .layers import precompute_rope
 from .llama import TransformerBlock
 
@@ -77,11 +85,11 @@ def validate_pp(mesh_cfg, cfg, is_generation_task: bool = False) -> None:
     pp = max(1, mesh_cfg.pp)
     if pp <= 1:
         return
-    if mesh_cfg.sp > 1 or mesh_cfg.tp > 1:
+    if mesh_cfg.sp > 1:
         raise ValueError(
-            f"--pp {pp} composes with dp only (got sp={mesh_cfg.sp}, "
-            f"tp={mesh_cfg.tp}); sp/tp inside a pipeline stage is not "
-            f"supported")
+            f"--pp {pp} composes with dp and tp, not sp (got "
+            f"sp={mesh_cfg.sp}): the sequence-parallel attention dispatch "
+            f"is its own shard_map and cannot nest inside a pipeline stage")
     if cfg.n_layers % pp:
         raise ValueError(
             f"--pp {pp} must divide n_layers={cfg.n_layers} evenly "
@@ -103,13 +111,21 @@ def validate_pp(mesh_cfg, cfg, is_generation_task: bool = False) -> None:
 def _block_module(model) -> TransformerBlock:
     """A standalone TransformerBlock matching the model's block flags —
     exactly how FlippedVQAModel.setup constructs its layers_i submodules, so
-    ``block.apply({'params': one_layer_tree}, ...)`` is the same function."""
+    ``block.apply({'params': one_layer_tree}, ...)`` is the same function.
+
+    use_flash/quant_pallas are forced OFF: the pipeline's shard_map is
+    partial-auto (only 'pp' manual; dp/tp stay GSPMD-automatic inside), and
+    a Pallas kernel is a single-device program that GSPMD cannot partition
+    over the auto axes — the XLA einsum/quant formulations partition
+    cleanly (same reason the sp path sets quant_pallas=False)."""
     return TransformerBlock(model.cfg, model.dtype, model.frozen_dtype,
-                            model.trainable_dtype, model.use_flash,
-                            model.quantized, model.act_quant,
-                            model.quant_group, model.quant_outliers,
-                            model.weight_bits, not model.seq_shard,
-                            model.seq_shard)
+                            model.trainable_dtype, use_flash=False,
+                            quantized=model.quantized,
+                            act_quant=model.act_quant,
+                            quant_group=model.quant_group,
+                            quant_outliers=model.quant_outliers,
+                            weight_bits=model.weight_bits,
+                            quant_pallas=False, seq_shard=False)
 
 
 def _block_apply_fn(model):
@@ -128,12 +144,12 @@ def _block_apply_fn(model):
     return apply_block
 
 
-def _pick_microbatches(requested: int, pp: int, b_local: int) -> int:
-    """Largest M ≤ requested (default pp) that divides the local batch —
+def _pick_microbatches(requested: int, pp: int, batch: int) -> int:
+    """Largest M ≤ requested (default pp) that divides the global batch —
     shrinking instead of erroring keeps odd eval tails runnable (M=1 is a
     degenerate but correct pipeline)."""
     m = max(1, requested or pp)
-    while b_local % m:
+    while batch % m:
         m -= 1
     return m
 
@@ -174,25 +190,29 @@ def pipeline_encode(model, variables, tokens, video_feature, video_start,
         h, _ = lax.scan(body, h, (stacked, adapters))
         return model.apply({"params": rest}, h, method=lambda m, x: m.norm(x))
 
-    dp = mesh.shape.get(DP_AXIS, 1) if DP_AXIS in mesh.axis_names else 1
-    b_enc = tokens.shape[0]
-    if b_enc % dp:
-        raise ValueError(
-            f"pipeline parallelism needs the encoded batch ({b_enc} rows "
-            f"here) divisible by dp={dp}")
-    m_count = _pick_microbatches(microbatches, pp, b_enc // dp)
-    lps = cfg.n_layers // pp
+    m_count = _pick_microbatches(microbatches, pp, tokens.shape[0])
+    n_ticks = m_count + pp - 1
+    # The residual stream crosses the shard_map boundary in f32: an explicit
+    # bf16 psum (the masked broadcast below, and the transposes of the
+    # replicated boundary arrays in backward) lowers to an all-reduce whose
+    # reduction computation XLA CPU's AllReducePromotion pass cannot clone
+    # (copy-rooted) — a hard compiler crash. The stage body casts straight
+    # back, so the blocks still compute in model.dtype; cost is one cast of
+    # h per encode, not per layer.
+    io_dtype = h.dtype
 
-    def local_fn(p_stage, a_stage, h_loc, vs_loc, cos, sin):
-        # p_stage: this stage's (lps, ...) layer slice; h_loc/vs_loc: this
-        # dp shard's rows (replicated over pp — stage 0 reads them, the
-        # rest arrive via ppermute)
+    def local_fn(p_stage, a_stage, h_glob, vs_glob, cos, sin):
+        # Partial-auto shard_map: only 'pp' is manual. p_stage/a_stage are
+        # this stage's (n_layers/pp, ...) layer slice; h_glob/vs_glob keep
+        # their GLOBAL batch shape — dp (and any tp sharding of the weights'
+        # non-layer axes) stays GSPMD-automatic inside, so the stage body is
+        # ordinary partitioned XLA code.
         stage = lax.axis_index(PP_AXIS)
-        bl = h_loc.shape[0]
-        mb = bl // m_count
-        h_mub = h_loc.reshape((m_count, mb) + h_loc.shape[1:])
-        vs_mub = vs_loc.reshape(m_count, mb)
-        n_ticks = m_count + pp - 1
+        h_glob = h_glob.astype(io_dtype)
+        b = h_glob.shape[0]
+        mb = b // m_count
+        h_mub = h_glob.reshape((m_count, mb) + h_glob.shape[1:])
+        vs_mub = vs_glob.reshape(m_count, mb)
 
         def stage_fn(h_in, vstart):
             def body(carry, xs):
@@ -216,26 +236,27 @@ def pipeline_encode(model, variables, tokens, video_feature, video_start,
                                [(i, (i + 1) % pp) for i in range(pp)])
             return nxt, out
 
-        recv0 = jnp.zeros((mb,) + h_loc.shape[1:], h_loc.dtype)
+        recv0 = jnp.zeros((mb,) + h_glob.shape[1:], h_glob.dtype)
         _, ys = lax.scan(tick, recv0, jnp.arange(n_ticks))
         # the last stage emitted microbatch m at tick m + pp - 1; broadcast
         # its slice to all stages (masked psum — zeros elsewhere)
         outs = jnp.where(stage == pp - 1, ys[pp - 1:],
                          jnp.zeros_like(ys[pp - 1:]))
-        outs = lax.psum(outs, PP_AXIS)
-        return outs.reshape(h_loc.shape)
+        outs = lax.psum(outs.astype(jnp.float32), PP_AXIS)
+        return outs.reshape(h_glob.shape)
 
     stacked_specs = jax.tree.map(lambda _: P(PP_AXIS), stacked)
     h = jax.shard_map(
         local_fn,
-        in_specs=(stacked_specs, P(PP_AXIS), P(DP_AXIS), P(DP_AXIS), P(),
-                  P()),
-        out_specs=P(DP_AXIS),
-        # pallas_call out_shapes carry no varying-mesh-axes info (same
-        # reason as the sp flash wrappers); replication over 'pp' is
-        # established by the final masked psum
+        in_specs=(stacked_specs, P(PP_AXIS), P(), P(), P(), P()),
+        out_specs=P(),
+        axis_names={PP_AXIS},
+        # replication over 'pp' is established by the final masked psum;
+        # the vma checker cannot see that through the scanned schedule
         check_vma=False,
-    )(stacked, adapters, h, video_start, rope_cos, rope_sin)
+    )(stacked, adapters, h.astype(jnp.float32), video_start, rope_cos,
+      rope_sin)
+    h = h.astype(io_dtype)
     return model.apply({"params": rest}, h, method=lambda m, x: m.norm(x))
 
 
