@@ -329,6 +329,123 @@ def test_pp_quantized_w8a8_runs():
     assert np.isfinite(gnorm) and gnorm > 0, gnorm
 
 
+def _quant_setup(mode):
+    """Quantized model + randomized frozen tree for pipeline composition
+    tests. On CPU both the plain model and the pipeline stage bodies run
+    XLA quant formulations (platform_dependent / forced off), and at dim 32
+    the 128-wide grouping falls back to one group, where the batched and
+    scan formulations are numerically identical."""
+    from flipped_tpu.ckpt.quantize import randomize_quantized
+    from flipped_tpu.core.config import quant_flags
+    tok = MockTokenizer(CFG.vocab_size)
+    model = FlippedVQAModel(CFG, dtype=jnp.float32, frozen_dtype=jnp.float32,
+                            **quant_flags(mode))
+    items = make_synthetic_items(tok, 4, max_feats=4, max_seq_len=96,
+                                 visual_dim=16, seed=0)
+    batch = pack_train_batch(items, 4)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.array(batch["vqa_tokens"][:1]),
+                        jnp.array(batch["video"][:1]), None,
+                        jnp.array(batch["vqa_video_start"][:1]),
+                        jnp.array(batch["vqa_splice"][:1]))["params"]
+    trainable, frozen = partition_params(params)
+    frozen = randomize_quantized(frozen, seed=1)
+    return model, trainable, frozen, batch
+
+
+def _quant_step(model, trainable, frozen, batch, accum=2):
+    tcfg = TrainConfig(lr=1e-2, vaq=True, qav=True)
+    tx = make_optimizer(tcfg, steps_per_epoch=4, world_batch=4)
+    step = make_train_step(model, tx, vaq=True, qav=True)
+    b = {k: jnp.array(v) for k, v in add_accum_axis(batch, accum).items()}
+    return tx, step, b
+
+
+def test_pp_w4a8_matches_plain_w4a8():
+    """Packed-int4 composition is a LAYOUT change too: the w4a8 backbone
+    under the pipeline schedule (stacked packed kernels sharded over 'pp')
+    produces the same losses and AdamW updates as the plain single-device
+    w4a8 model — the capacity combination pp exists for (a 33B int4 stage
+    on a 16 GB chip, docs/PERF.md)."""
+    devs = cpu8()
+    model, trainable, frozen, batch = _quant_setup("w4a8")
+
+    # single device
+    tx, step, b = _quant_step(model, trainable, frozen, batch)
+    with jax.default_device(devs[0]):
+        t0 = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                                    trainable)
+        t1, _, m1 = jax.jit(step)(t0, tx.init(t0), frozen, b)
+        loss_1dev = float(m1.loss)
+        t1 = jax.tree_util.tree_map(np.asarray, t1)
+    assert loss_1dev > 1.0, loss_1dev
+
+    # dp2×pp2 pipeline
+    mesh = make_mesh(MeshConfig(dp=2, pp=2), devices=devs[:4])
+    pmodel = PipelinedModel(model)
+    tx, step, b = _quant_step(pmodel, trainable, frozen, batch)
+    t_st = stack_layer_params(
+        jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), trainable),
+        CFG.n_layers)
+    f_st = stack_layer_params(frozen, CFG.n_layers)
+    with jax.set_mesh(mesh):
+        t_sh = jax.device_put(t_st, param_shardings(mesh, t_st))
+        f_sh = jax.device_put(f_st, param_shardings(mesh, f_st))
+        # the PACKED stacked kernels really are sharded over pp
+        spec = f_sh["layers_stacked"]["attention"]["wq"]["kernel_q4"]
+        assert spec.sharding.spec[0] == PP_AXIS, spec.sharding.spec
+        opt_state = jax.jit(tx.init)(t_sh)
+        b_sh = {k: jax.device_put(v, NamedSharding(mesh, P(None, DP_AXIS)))
+                for k, v in b.items()}
+        t2, _, m2 = step(t_sh, opt_state, f_sh, b_sh)
+        loss_pp = float(m2.loss)
+        t2 = jax.tree_util.tree_map(np.asarray, t2)
+    t2 = unstack_layer_params(t2, CFG.n_layers)
+
+    np.testing.assert_allclose(loss_pp, loss_1dev, rtol=2e-5, atol=2e-5)
+    jax.tree_util.tree_map(
+        lambda a, c: np.testing.assert_allclose(a, c, rtol=5e-5, atol=5e-5),
+        t1, t2)
+
+
+def test_pp_int4_argument_bytes_below_int8():
+    """The int4 capacity win survives the pipeline: compiled per-device
+    ARGUMENT footprint of the pp2 w4a8 step sits below the pp2 w8a8 step by
+    ≥80% of the frozen-tree byte difference (packed kernels are half the
+    int8 bytes; nothing may silently unpack into the argument space)."""
+    devs = cpu8()
+    sizes = {}
+    fz_bytes = {}
+    for mode in ("w8a8", "w4a8"):
+        model, trainable, frozen, batch = _quant_setup(mode)
+        pmodel = PipelinedModel(model)
+        tx, step, b = _quant_step(pmodel, trainable, frozen, batch)
+        t_st = stack_layer_params(trainable, CFG.n_layers)
+        f_st = stack_layer_params(frozen, CFG.n_layers)
+        mesh = make_mesh(MeshConfig(dp=1, pp=2), devices=devs[:2])
+        with jax.set_mesh(mesh):
+            t_sh = jax.device_put(t_st, param_shardings(mesh, t_st))
+            f_sh = jax.device_put(f_st, param_shardings(mesh, f_st))
+            opt_state = jax.jit(tx.init)(t_sh)
+            b_sh = {k: jax.device_put(v, NamedSharding(mesh,
+                                                       P(None, DP_AXIS)))
+                    for k, v in b.items()}
+            ma = step.lower(t_sh, opt_state, f_sh,
+                            b_sh).compile().memory_analysis()
+        sizes[mode] = ma.argument_size_in_bytes
+        # argument_size_in_bytes is PER DEVICE: stacked leaves are sharded
+        # over pp (each stage holds n_layers/pp layers), the rest replicated
+        fz_bytes[mode] = sum(
+            leaf.size * leaf.dtype.itemsize // (2 if "layers_stacked" in
+                                                jax.tree_util.keystr(path)
+                                                else 1)
+            for path, leaf in jax.tree_util.tree_flatten_with_path(f_st)[0])
+    pred = fz_bytes["w8a8"] - fz_bytes["w4a8"]
+    assert pred > 0, fz_bytes
+    got = sizes["w8a8"] - sizes["w4a8"]
+    assert got > 0.8 * pred, (sizes, fz_bytes)
+
+
 def test_pp_chunked_lm_head_matches():
     """--lm_head_chunk under pp (the long-context memory lever) must not
     change the losses: the chunked CE sweeps the pipelined encode's output
