@@ -208,6 +208,30 @@ def test_two_process_pp2_spanning_boundary(synth_root16, tmp_path):
     assert os.path.isdir(os.path.join(out_pp, "checkpoint_last"))
 
 
+def test_two_process_sp2_spanning_boundary(synth_root16, tmp_path):
+    """sp=2 with ONE device per process: the sequence axis spans the process
+    boundary — every block-boundary residual-stream sharding constraint
+    resolves to S/2 tokens per process and the attention K/V all-gather
+    crosses processes. Both processes form one dp row-group feeding
+    identical loader rows (core/mesh.py:loader_shards). Loss must match a
+    single-process run of the same global batch (sequence parallelism is a
+    layout change, docs/PERF.md)."""
+    out1 = str(tmp_path / "single")
+    _launch_cli(1, _base_argv(synth_root16, out1, batch_size=2))
+    ref = _log_line(out1)
+
+    out_sp = str(tmp_path / "sp2")
+    outs = _launch_cli(
+        2, _base_argv(synth_root16, out_sp, batch_size=2)
+        + ["--dp", "1", "--sp", "2"])
+    # one dp row-group → world batch is NOT multiplied by process count
+    assert "effective batch size: 2" in outs[0]
+    got = _log_line(out_sp)
+
+    assert got["train_loss"] == pytest.approx(ref["train_loss"], rel=2e-3)
+    assert got["val_acc"] == pytest.approx(ref["val_acc"], abs=1e-6)
+
+
 def test_two_process_tp2_spanning_boundary(synth_root16, tmp_path):
     """tp=2 with ONE device per process: the tensor-parallel axis spans the
     process boundary, so every backbone matmul's collectives cross
