@@ -192,8 +192,10 @@ def val_one_epoch(tokenizer, eval_step, gen_step, trainable, frozen,
             # process), which makes span_info ignored there; the allgather
             # fallback only fires in the defensively-impossible case of a
             # multi-process batch whose labels precede prefix.
-            if "span_need" in batch and (jax.process_count() == 1
-                                         or eval_step.span_pinned):
+            if eval_step.span_free:
+                span_info = None  # dense scorer (e.g. --pp): no span at all
+            elif "span_need" in batch and (jax.process_count() == 1
+                                           or eval_step.span_pinned):
                 span_info = (int(batch["span_need"]),
                              bool(batch["span_exact"]))
             else:

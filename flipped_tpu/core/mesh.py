@@ -57,10 +57,10 @@ def loader_shards(mesh: Mesh) -> tuple:
 
     The loader shards the dataset along the mesh's dp axis, not the raw
     process index: with the process-major device order of `jax.devices()`
-    and the (dp, sp, tp) row-major mesh reshape, `sp·tp` columns that span
-    process boundaries (sp·tp > local_device_count) put several processes
-    inside ONE dp row-group — those processes must feed IDENTICAL rows or
-    the assembled global batch is garbage. When sp·tp fits inside a process
+    and the (dp, pp, sp, tp) row-major mesh reshape, `pp·sp·tp` columns
+    that span process boundaries (pp·sp·tp > local_device_count) put several
+    processes inside ONE dp row-group — those processes must feed IDENTICAL rows or
+    the assembled global batch is garbage. When pp·sp·tp fits inside a process
     (the common case, over intra-host ICI), this degrades to the
     DistributedSampler-style per-process slice (reference:
     dataloader/__init__.py:21)."""

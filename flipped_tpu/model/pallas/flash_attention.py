@@ -950,9 +950,9 @@ def sp_flash_or_einsum(q, k, v, adapter_k, adapter_v, gate1, gate2,
         if SP_AXIS not in names:
             return f"no '{SP_AXIS}' axis in mesh {names}"
         if q.shape[1] % mesh.shape[SP_AXIS]:
-            return f"S={q.shape[1]} %% sp={mesh.shape[SP_AXIS]} != 0"
+            return f"S={q.shape[1]} % sp={mesh.shape[SP_AXIS]} != 0"
         if DP_AXIS in names and q.shape[0] % mesh.shape[DP_AXIS]:
-            return f"B={q.shape[0]} %% dp={mesh.shape[DP_AXIS]} != 0"
+            return f"B={q.shape[0]} % dp={mesh.shape[DP_AXIS]} != 0"
         return None
 
     if not _HAS_PALLAS or (jax.default_backend() != "tpu" and not INTERPRET):

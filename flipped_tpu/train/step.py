@@ -175,6 +175,10 @@ def make_eval_step(model, cached: bool = True, span_len: int | None = None):
             return dense_step(trainable, frozen, batch)
 
         eval_step.span_pinned = False
+        # the dense scorer consumes no span: callers (cli/train.py val loop)
+        # must not pay the host fetch / multi-process allgather to compute
+        # one (e.g. --pp runs, where eval is always dense)
+        eval_step.span_free = True
         return eval_step
 
     def eval_step(trainable, frozen, batch,
@@ -193,4 +197,5 @@ def make_eval_step(model, cached: bool = True, span_len: int | None = None):
         return cached_step(trainable, frozen, batch, bucket_span(need, s))
 
     eval_step.span_pinned = span_len is not None
+    eval_step.span_free = False
     return eval_step
