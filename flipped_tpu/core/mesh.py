@@ -89,6 +89,16 @@ def loader_shards(mesh: Mesh) -> tuple:
             max(1, jax.process_count() // group))
 
 
+def mesh_is_multi_device() -> bool:
+    """True when the ambient (jax.set_mesh) abstract mesh has any axis of
+    size > 1 — the regime where a bare pallas_call is a partitioning hazard
+    (GSPMD cannot partition a single-device program; its operands would be
+    all-gathered to global shape). Trace-time check: model code uses it to
+    route Pallas fast paths through shard_map'd wrappers instead."""
+    mesh = jax.sharding.get_abstract_mesh()
+    return any(mesh.shape[ax] > 1 for ax in mesh.axis_names)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading (batch) dim sharded over dp, everything else replicated."""
     return NamedSharding(mesh, P(DP_AXIS))

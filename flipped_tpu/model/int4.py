@@ -116,16 +116,18 @@ def _wo_xla_impl(x, kq4, scale_g):
 def _wo_impl(x, kq4, scale_g):
     # TPU: the packed kernel runs bf16 dots on the raw 4-bit values and
     # scales the per-group partial products — no (K, N) bf16 dequant buffer
-    # (2 bytes/elt, 4× the packed bytes) ever exists in HBM.
+    # (2 bytes/elt, 4× the packed bytes) ever exists in HBM. Multi-device
+    # meshes go through pallas_mesh_dispatch (a pallas_call is a single-
+    # device program — batch-sharded shard_map over 'dp', XLA elsewhere).
+    from .int8 import pallas_mesh_dispatch
     from .pallas.quant_matmul import (int4_matmul_grouped_pallas,
                                       int4_pallas_supported)
 
     if not int4_pallas_supported(x, kq4, scale_g):
         return _wo_xla_impl(x, kq4, scale_g)
-    return jax.lax.platform_dependent(
-        x, kq4, scale_g,
-        tpu=functools.partial(int4_matmul_grouped_pallas, act_quant=False),
-        default=_wo_xla_impl)
+    return pallas_mesh_dispatch(
+        functools.partial(int4_matmul_grouped_pallas, act_quant=False),
+        _wo_xla_impl, _wo_xla_impl, x, kq4, scale_g)
 
 
 int4_matmul = _make_int4_matmul(
@@ -151,15 +153,14 @@ def _w4a8_impl(x, kq4, scale_g):
     # block and unpacks nibbles in VMEM — the XLA formulation would
     # materialize an unpacked (K, N) int8 copy in HBM per matmul, giving
     # back the bandwidth the packing bought.
+    from .int8 import pallas_mesh_dispatch
     from .pallas.quant_matmul import (int4_matmul_grouped_pallas,
                                       int4_pallas_supported)
 
     if not int4_pallas_supported(x, kq4, scale_g):
         return _w4a8_xla_impl(x, kq4, scale_g)
-    return jax.lax.platform_dependent(
-        x, kq4, scale_g,
-        tpu=int4_matmul_grouped_pallas,
-        default=_w4a8_xla_impl)
+    return pallas_mesh_dispatch(int4_matmul_grouped_pallas, _w4a8_xla_impl,
+                                _w4a8_scan_impl, x, kq4, scale_g)
 
 
 int4_matmul_grouped = _make_int4_matmul(

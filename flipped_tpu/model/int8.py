@@ -104,20 +104,65 @@ def _grouped_matmul_impl(x, kq, scale_g):
     return out.reshape(*lead, n).astype(x.dtype)
 
 
+def pallas_mesh_dispatch(pallas_fn, xla_fn, xla_sharded_fn, x, *consts):
+    """Mesh-aware dispatch for a Pallas quant matmul.
+
+    A pallas_call is a single-device program GSPMD cannot partition — on a
+    sharded jit the SPMD partitioner would all-gather its operands to full
+    global shape around every matmul (the same reason the sp/pp paths force
+    the XLA formulations). Trace-time dispatch on the ambient mesh:
+
+    - no mesh / all axes size 1 → today's per-platform choice
+      (platform_dependent pallas on TPU, XLA elsewhere);
+    - axes ⊆ {dp, tp} with the batch dividing dp → the SAME pallas call per
+      device via a batch-sharded shard_map: weights are replicated (the
+      quantized leaves carry no tp rule, core/mesh.py), rows are
+      embarrassingly parallel, zero collectives;
+    - anything else (live sp/pp axes, indivisible batch) → the
+      GSPMD-partitionable XLA formulation.
+    """
+    from ..core.mesh import DP_AXIS, TP_AXIS
+    from .pallas import quant_matmul as _qm
+
+    def per_device(x_loc, *cs):
+        if _qm.INTERPRET:  # tests: force the kernel under the interpreter
+            return pallas_fn(x_loc, *cs)
+        return jax.lax.platform_dependent(x_loc, *cs, tpu=pallas_fn,
+                                          default=xla_fn)
+
+    mesh = jax.sharding.get_abstract_mesh()
+    big = {ax: mesh.shape[ax] for ax in mesh.axis_names if mesh.shape[ax] > 1}
+    if not big:
+        return per_device(x, *consts)
+    on_pallas_backend = jax.default_backend() == "tpu" or _qm.INTERPRET
+    if (on_pallas_backend and set(big) <= {DP_AXIS, TP_AXIS}
+            and x.shape[0] % big.get(DP_AXIS, 1) == 0):
+        from jax.sharding import PartitionSpec as P
+        return jax.shard_map(
+            per_device,
+            in_specs=(P(DP_AXIS),) + (P(),) * len(consts),
+            out_specs=P(DP_AXIS),
+            # pallas_call out_shapes carry no varying-mesh-axes info (same
+            # reason as the sp flash wrappers)
+            check_vma=False,
+        )(x, *consts)
+    return xla_sharded_fn(x, *consts)
+
+
 def _grouped_dispatch(x, kq, scale_g):
     # On TPU the Pallas kernel keeps the per-group reduction in VMEM; the
     # XLA batched-dot formulation materializes a (G, M, N) f32 intermediate
     # in HBM (multi-GB at 7B shapes). Numerics are identical — the XLA path
     # remains the oracle in tests and the CPU/interpret fallback. Dispatch
     # happens per lowering platform (platform_dependent), so a CPU-placed
-    # computation on a TPU-default host still gets the XLA path.
+    # computation on a TPU-default host still gets the XLA path; on a
+    # multi-device mesh pallas_mesh_dispatch shard_maps over 'dp' (the scan
+    # formulation covers every other sharded layout).
     from .pallas.quant_matmul import grouped_matmul_pallas, pallas_supported
     if not pallas_supported(x, kq, scale_g):
         return _grouped_matmul_impl(x, kq, scale_g)
-    return jax.lax.platform_dependent(
-        x, kq, scale_g,
-        tpu=grouped_matmul_pallas,
-        default=_grouped_matmul_impl)
+    return pallas_mesh_dispatch(grouped_matmul_pallas, _grouped_matmul_impl,
+                                _grouped_matmul_scan, x, kq, scale_g)
 
 
 def _g_bwd(res, g):

@@ -239,16 +239,27 @@ class Attention(nn.Module):
         av = self.wv(adapter.astype(self.dtype)).reshape(al, h, dh)
         return ak, av, self.gate1
 
+    def _attend_fn(self):
+        """Trace-time attention dispatch. The single-device Pallas wrappers
+        cannot live inside a GSPMD-partitioned jit (a pallas_call is a
+        single-device program — the partitioner would all-gather q/k/v to
+        global shape around it), so on ANY multi-device ambient mesh flash
+        routes through the shard_map'd streaming wrappers
+        (sp_flash_or_einsum: batch over 'dp', sequence over 'sp', heads
+        over 'tp'; with sp=1 that is plain batch/head-parallel flash with
+        zero collectives)."""
+        from ..core.mesh import mesh_is_multi_device
+        if not self.use_flash:
+            return adapter_gated_attention
+        if self.seq_shard or mesh_is_multi_device():
+            return sp_flash_or_einsum
+        return flash_adapter_attention
+
     def __call__(self, x, rope_cos, rope_sin, adapter, video_start):
         q, k, v = self._qkv(x, rope_cos, rope_sin)
         ak, av, g1 = self._adapter_kv(adapter)
-        if self.seq_shard and self.use_flash:
-            attend = sp_flash_or_einsum
-        else:
-            attend = (flash_adapter_attention if self.use_flash
-                      else adapter_gated_attention)
-        out = attend(q, k, v, ak, av, g1, self.gate2, video_start,
-                     self.cfg.max_feats)
+        out = self._attend_fn()(q, k, v, ak, av, g1, self.gate2, video_start,
+                                self.cfg.max_feats)
         out = checkpoint_name(out, "attn_out")
         return self.wo(out)
 
@@ -256,10 +267,8 @@ class Attention(nn.Module):
         """Full forward that also returns the rope'd K / V for the cache."""
         q, k, v = self._qkv(x, rope_cos, rope_sin)
         ak, av, g1 = self._adapter_kv(adapter)
-        attend = (flash_adapter_attention if self.use_flash
-                  else adapter_gated_attention)
-        out = attend(q, k, v, ak, av, g1, self.gate2, video_start,
-                     self.cfg.max_feats)
+        out = self._attend_fn()(q, k, v, ak, av, g1, self.gate2, video_start,
+                                self.cfg.max_feats)
         return self.wo(out), k, v
 
     def extend(self, x, rope_cos, rope_sin, adapter, video_start,

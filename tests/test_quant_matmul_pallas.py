@@ -118,3 +118,98 @@ def test_int4_pallas_weight_only_close_to_dequant():
     got = np.asarray(int4_matmul_grouped_pallas(x, kq4, sg, interpret=True,
                                                 act_quant=False))
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+# --- mesh-aware dispatch (model/int8.py pallas_mesh_dispatch) ----------------
+#
+# A pallas_call is a single-device program GSPMD cannot partition: under a
+# multi-device mesh the quant matmuls must run per-device via a batch-sharded
+# shard_map (dp axes) or fall back to the GSPMD-partitionable XLA
+# formulations (anything else). Interpret mode drives the real kernel on the
+# virtual CPU mesh.
+
+def _cpu_mesh(cfg_kwargs, n):
+    import jax
+    from flipped_tpu.core.config import MeshConfig
+    from flipped_tpu.core.mesh import make_mesh
+    devs = jax.devices("cpu")
+    if len(devs) < n:
+        pytest.skip(f"needs {n} virtual CPU devices")
+    return make_mesh(MeshConfig(**cfg_kwargs), devices=devs[:n])
+
+
+def test_grouped_dispatch_dp_shard_map_matches_xla():
+    """dp2 ambient mesh: the grouped w8a8 custom VJP runs the Pallas kernel
+    per-device via a batch-sharded shard_map — outputs and dx match the XLA
+    oracle."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    import flipped_tpu.model.pallas.quant_matmul as qm
+    from flipped_tpu.model.int8 import int8_matmul_grouped
+
+    x, kq, sg = _case(8, 256, 128)
+    ref = np.asarray(_grouped_matmul_impl(x, kq, sg))
+    # jit the oracle too: XLA's excess-precision folding elides the custom
+    # bwd's f32→bf16→f32 round trip inside jit but not in eager ops
+    dx_ref = np.asarray(jax.jit(jax.grad(
+        lambda a: int8_matmul_grouped(a, kq, sg).sum()))(x))
+
+    mesh = _cpu_mesh(dict(dp=2), 2)
+    old = qm.INTERPRET
+    qm.INTERPRET = True
+    try:
+        with jax.set_mesh(mesh):
+            xs = jax.device_put(x, NamedSharding(mesh, P("dp")))
+            got = np.asarray(jax.jit(
+                lambda a: int8_matmul_grouped(a, kq, sg))(xs))
+            dx = np.asarray(jax.jit(jax.grad(
+                lambda a: int8_matmul_grouped(a, kq, sg).sum()))(xs))
+    finally:
+        qm.INTERPRET = old
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(dx, dx_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_int4_dispatch_dp_shard_map_matches_xla():
+    """dp2 ambient mesh: the packed-int4 w4a8 custom VJP runs the Pallas
+    kernel per-device via the batch-sharded shard_map."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    import flipped_tpu.model.pallas.quant_matmul as qm
+    from flipped_tpu.model.int4 import int4_matmul_grouped, unpack_int4
+
+    x, kq4, sg = _case_int4(8, 256, 256)
+    ref = np.asarray(_grouped_matmul_impl(x, unpack_int4(kq4), sg))
+
+    mesh = _cpu_mesh(dict(dp=2), 2)
+    old = qm.INTERPRET
+    qm.INTERPRET = True
+    try:
+        with jax.set_mesh(mesh):
+            xs = jax.device_put(x, NamedSharding(mesh, P("dp")))
+            got = np.asarray(jax.jit(
+                lambda a: int4_matmul_grouped(a, kq4, sg))(xs))
+    finally:
+        qm.INTERPRET = old
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_grouped_dispatch_sp_mesh_falls_back_to_scan():
+    """A live non-dp axis (sp2) must NOT shard_map the kernel — the scan
+    formulation (GSPMD-partitionable) carries the matmul, exactly."""
+    import jax
+    import flipped_tpu.model.pallas.quant_matmul as qm
+    from flipped_tpu.model.int8 import int8_matmul_grouped
+
+    x, kq, sg = _case(8, 256, 128)
+    ref = np.asarray(_grouped_matmul_impl(x, kq, sg))
+    mesh = _cpu_mesh(dict(dp=1, sp=2), 2)
+    old = qm.INTERPRET
+    qm.INTERPRET = True
+    try:
+        with jax.set_mesh(mesh):
+            got = np.asarray(jax.jit(
+                lambda a: int8_matmul_grouped(a, kq, sg))(x))
+    finally:
+        qm.INTERPRET = old
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)

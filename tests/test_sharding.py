@@ -489,3 +489,69 @@ def test_sp_flash_with_int4_backbone():
     finally:
         fa.INTERPRET = old
     assert np.isfinite(loss) and np.isfinite(gnorm) and gnorm > 0
+
+
+def test_dp_flash_dispatch_matches_einsum_path():
+    """Multi-chip WITHOUT sequence parallelism: under a dp2×tp2 mesh (sp=1)
+    a use_flash model routes attention through the shard_map'd streaming
+    wrappers (Attention._attend_fn — a bare pallas_call cannot live inside
+    a GSPMD-partitioned jit) and the full train step matches the einsum
+    path on the same mesh."""
+    import flipped_tpu.model.pallas.flash_attention as fa
+    from jax.sharding import NamedSharding
+    devs = cpu8()
+    cfg = ModelConfig(dim=32, n_layers=2, n_heads=4, vocab_size=128,
+                      multiple_of=16, max_seq_len=96, adapter_len=4,
+                      adapter_layer=2, max_feats=4, visual_dim=16)
+    tok = MockTokenizer(cfg.vocab_size)
+    einsum_m = FlippedVQAModel(cfg, dtype=jnp.float32,
+                               frozen_dtype=jnp.float32, remat=True)
+    flash_m = FlippedVQAModel(cfg, dtype=jnp.float32,
+                              frozen_dtype=jnp.float32, use_flash=True,
+                              remat=True)
+    items = make_synthetic_items(tok, 4, max_feats=4, max_seq_len=96,
+                                 visual_dim=16, seed=0)
+    batch = pack_train_batch(items, 4)
+    params = einsum_m.init(jax.random.PRNGKey(0),
+                           jnp.array(batch["vqa_tokens"][:1]),
+                           jnp.array(batch["video"][:1]), None,
+                           jnp.array(batch["vqa_video_start"][:1]),
+                           jnp.array(batch["vqa_splice"][:1]))["params"]
+    trainable, frozen = partition_params(params)
+    tcfg = TrainConfig(lr=1e-2, vaq=True, qav=True)
+    tx = make_optimizer(tcfg, steps_per_epoch=4, world_batch=4)
+    opt_state = tx.init(trainable)
+    b = {k: jnp.array(v) for k, v in add_accum_axis(batch, 2).items()}
+    mesh = make_mesh(MeshConfig(dp=2, tp=2), devices=devs[:4])
+
+    host = jax.tree_util.tree_map(np.asarray,
+                                  (trainable, frozen, opt_state, b))
+
+    def run(model):
+        tr_h, fz_h, op_h, b_h = host
+        step = make_train_step(model, tx, vaq=True, qav=True)
+        with jax.set_mesh(mesh):
+            t_sh = jax.device_put(tr_h, param_shardings(mesh, trainable))
+            f_sh = jax.device_put(fz_h, param_shardings(mesh, frozen))
+            o_sh = jax.device_put(op_h, NamedSharding(mesh, P()))
+            b_sh = {k: jax.device_put(v,
+                                      NamedSharding(mesh, P(None, DP_AXIS)))
+                    for k, v in b_h.items()}
+            t2, _, m2 = step(t_sh, o_sh, f_sh, b_sh)
+            return float(m2.loss), jax.tree_util.tree_map(np.asarray, t2)
+
+    loss_e, t_e = run(einsum_m)
+    assert loss_e > 1.0, loss_e
+    old = fa.INTERPRET
+    fa.INTERPRET = True
+    try:
+        loss_f, t_f = run(flash_m)
+    finally:
+        fa.INTERPRET = old
+
+    np.testing.assert_allclose(loss_f, loss_e, rtol=5e-3)
+    flat_e = jax.tree_util.tree_leaves(t_e)
+    flat_f = jax.tree_util.tree_leaves(t_f)
+    for a, w in zip(flat_f, flat_e):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(w),
+                                   rtol=0.1, atol=5e-3)
