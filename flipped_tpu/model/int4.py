@@ -85,12 +85,26 @@ def _zero_tangents(kq4, scale_g):
     return np.broadcast_to(zero, kq4.shape), jnp.zeros_like(scale_g)
 
 
+def _int4_dx_xla(g, kq4, scale_g):
+    w = _dequant_bf16(kq4, scale_g)
+    return (g.astype(jnp.bfloat16) @ w.T).astype(g.dtype)
+
+
 def _int4_bwd(res, g):
     """Shared backward for every int4 matmul variant: dx = g @ dequant(W)ᵀ
-    in bf16, residuals are the PACKED weights only."""
+    in bf16, residuals are the PACKED weights only. On Pallas backends the
+    dx kernel reads the packed block once and dequantizes in VMEM — the
+    XLA form unpacks to (K, N) int8 AND dequantizes to (K, N) bf16 in HBM
+    per matmul (mesh-aware dispatch, like the forward)."""
     kq4, scale_g = res
-    w = _dequant_bf16(kq4, scale_g)
-    dx = (g.astype(jnp.bfloat16) @ w.T).astype(g.dtype)
+    from .int8 import pallas_mesh_dispatch
+    from .pallas.quant_matmul import int4_dx_pallas, int4_pallas_supported
+
+    if not int4_pallas_supported(g, kq4, scale_g):
+        dx = _int4_dx_xla(g, kq4, scale_g)
+    else:
+        dx = pallas_mesh_dispatch(int4_dx_pallas, _int4_dx_xla,
+                                  _int4_dx_xla, g, kq4, scale_g)
     return (dx, *_zero_tangents(kq4, scale_g))
 
 

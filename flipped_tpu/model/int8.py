@@ -59,8 +59,15 @@ def _fwd(x, kq, scale):
 
 def _bwd(res, g):
     kq, scale = res
-    w = kq.astype(jnp.bfloat16) * scale.astype(jnp.bfloat16)[None, :]
-    dx = (g.astype(jnp.bfloat16) @ w.T).astype(g.dtype)
+    k_dim = kq.shape[0]
+    if k_dim % 128 == 0:
+        # per-channel scales as degenerate 128-wide groups (identical value
+        # per group) — unlocks the block-dequant dx kernel on TPU
+        sg = jnp.broadcast_to(scale[None, :], (k_dim // 128, scale.shape[0]))
+        dx = _dx_dispatch(g, kq, sg)
+    else:
+        w = kq.astype(jnp.bfloat16) * scale.astype(jnp.bfloat16)[None, :]
+        dx = (g.astype(jnp.bfloat16) @ w.T).astype(g.dtype)
     zero = np.zeros((), jax.dtypes.float0)
     return (dx,
             np.broadcast_to(zero, kq.shape),
@@ -165,13 +172,32 @@ def _grouped_dispatch(x, kq, scale_g):
                                 _grouped_matmul_scan, x, kq, scale_g)
 
 
-def _g_bwd(res, g):
-    kq, scale_g = res
+def _dx_grouped_xla(g, kq, scale_g):
+    """dx = g @ dequant(W)ᵀ in bf16 — materializes the dequantized (K, N)
+    bf16 kernel (the XLA/oracle formulation)."""
     k_dim, n = kq.shape
     grp = k_dim // scale_g.shape[0]
     w = (kq.reshape(scale_g.shape[0], grp, n).astype(jnp.bfloat16)
          * scale_g[:, None, :].astype(jnp.bfloat16)).reshape(k_dim, n)
-    dx = (g.astype(jnp.bfloat16) @ w.T).astype(g.dtype)
+    return (g.astype(jnp.bfloat16) @ w.T).astype(g.dtype)
+
+
+def _dx_dispatch(g, kq, scale_g):
+    """Backward dequant matmul, mesh/platform-aware like the forward: the
+    XLA form writes+reads an extra 2·K·N bytes of dequantized bf16 weights
+    per matmul; on Pallas backends quant_dx_pallas dequantizes per block in
+    VMEM (same elementwise bf16 rounding, f32 sum order differs over
+    n-blocks)."""
+    from .pallas.quant_matmul import dx_pallas_supported, quant_dx_pallas
+    if not dx_pallas_supported(g, kq, scale_g):
+        return _dx_grouped_xla(g, kq, scale_g)
+    return pallas_mesh_dispatch(quant_dx_pallas, _dx_grouped_xla,
+                                _dx_grouped_xla, g, kq, scale_g)
+
+
+def _g_bwd(res, g):
+    kq, scale_g = res
+    dx = _dx_dispatch(g, kq, scale_g)
     zero = np.zeros((), jax.dtypes.float0)
     return (dx, np.broadcast_to(zero, kq.shape), jnp.zeros_like(scale_g))
 

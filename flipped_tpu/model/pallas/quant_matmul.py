@@ -300,3 +300,194 @@ def int4_matmul_grouped_pallas(x, kq4, scale_g, interpret: bool | None = None,
     )(x2, kq4, sgb, sgb)
     out = jnp.concatenate([out_lo[:m], out_hi[:m]], axis=-1)
     return out.reshape(*lead, 2 * n_half)
+
+
+# ---------------------------------------------------------------------------
+# Backward (dx) kernels: dx = g @ dequant(W)ᵀ with the dequant done per
+# (group, bn) block in VMEM. The XLA backward (model/int8.py _g_bwd /
+# model/int4.py _int4_bwd) materializes the full dequantized bf16 (K, N)
+# kernel in HBM before the dot — an extra write+read of 2·K·N bytes per
+# matmul per step that these kernels remove (the quantized weights are read
+# once, at their stored width). Elementwise numerics match the XLA
+# backward exactly ((kq·s)→bf16 rounding, f32-accumulated bf16 dots); only
+# the f32 sum order over n-blocks differs.
+# ---------------------------------------------------------------------------
+
+def _dx_kernel(g_ref, kq_ref, sg_ref, o_ref, acc_scr, *,
+               gpb: int, group: int, out_dtype):
+    ni = pl.program_id(2)
+    nn = pl.num_programs(2)
+
+    @pl.when(ni == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr[:])
+
+    gb = g_ref[:].astype(jnp.bfloat16)                   # (bm, bn)
+    acc = acc_scr[:]
+    for gi in range(gpb):                                # static unroll
+        # same elementwise rounding as _g_bwd: bf16(kq)·bf16(s)
+        w_g = (kq_ref[gi * group:(gi + 1) * group, :].astype(jnp.bfloat16)
+               * sg_ref[0, gi, :].astype(jnp.bfloat16))  # (group, bn)
+        d = jax.lax.dot_general(
+            gb, w_g, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (bm, group)
+        acc = acc.at[:, gi * group:(gi + 1) * group].add(d)
+    acc_scr[:] = acc
+
+    @pl.when(ni == nn - 1)
+    def _finalize():
+        # the XLA backward's bf16@bf16 dot emits a bf16 RESULT before the
+        # g.dtype cast — round identically for drop-in numerics
+        o_ref[:] = acc_scr[:].astype(jnp.bfloat16).astype(out_dtype)
+
+
+def dx_pallas_supported(g, kq, scale_g) -> bool:
+    """Alignment guard for the dx kernel (mirrors pallas_supported: the
+    contraction dim N must tile 128 lanes, k-blocks must cover whole
+    groups)."""
+    if not _HAS_PALLAS:
+        return False
+    k_dim, n = kq.shape
+    if k_dim % scale_g.shape[0]:
+        return False
+    group = k_dim // scale_g.shape[0]
+    bk = _pick(_BK, k_dim)
+    return n % 128 == 0 and group % 128 == 0 and bk % group == 0
+
+
+def quant_dx_pallas(g, kq, scale_g, interpret: bool | None = None):
+    """g (…, N) float; kq (K, N) int8; scale_g (G, N) f32 → dx (…, K)
+    g.dtype. Per-channel scales are the G=1-per-128-rows broadcast case
+    (model/int8.py wires it)."""
+    interpret = INTERPRET if interpret is None else interpret
+    k_dim, n = kq.shape
+    g_count = scale_g.shape[0]
+    group = k_dim // g_count
+    lead = g.shape[:-1]
+    m = int(np.prod(lead)) if lead else 1
+
+    bm = _pick(_BM, _round_up(max(m, 16), 16))
+    bn = _pick(_BN, n)
+    bk = _pick(_BK, k_dim)
+    if not dx_pallas_supported(g, kq, scale_g):
+        raise ValueError("quant_dx_pallas on unsupported shapes — callers "
+                         "must check dx_pallas_supported first")
+    gpb = bk // group
+
+    m_pad = _round_up(max(m, 16), bm)
+    g2 = g.reshape(m, n)
+    if m_pad != m:
+        g2 = jnp.pad(g2, ((0, m_pad - m), (0, 0)))
+    sgb = scale_g.reshape(k_dim // bk, gpb, n)
+
+    kernel = functools.partial(_dx_kernel, gpb=gpb, group=group,
+                               out_dtype=g.dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(m_pad // bm, k_dim // bk, n // bn),
+        in_specs=[
+            pl.BlockSpec((bm, bn), lambda mi, ki, ni: (mi, ni)),
+            pl.BlockSpec((bk, bn), lambda mi, ki, ni: (ki, ni)),
+            pl.BlockSpec((1, gpb, bn), lambda mi, ki, ni: (ki, 0, ni)),
+        ],
+        out_specs=pl.BlockSpec((bm, bk), lambda mi, ki, ni: (mi, ki)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, k_dim), g.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bk), jnp.float32)],
+        name="quant_dx_grouped",
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k_dim * n,
+            bytes_accessed=m * n * 2 + k_dim * n + m * k_dim * 2,
+            transcendentals=0,
+        ),
+    )(g2, kq, sgb)
+    return out[:m].reshape(*lead, k_dim)
+
+
+def _int4_dx_kernel(g_lo_ref, g_hi_ref, kq4_ref, sg_lo_ref, sg_hi_ref,
+                    o_ref, acc_scr, *, gpb: int, group: int, out_dtype):
+    ni = pl.program_id(2)
+    nn = pl.num_programs(2)
+
+    @pl.when(ni == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr[:])
+
+    p32 = kq4_ref[:].astype(jnp.int32)                   # (bk, bn) packed
+    w_lo = jnp.right_shift(jnp.left_shift(p32, 28), 28)
+    w_hi = jnp.right_shift(jnp.left_shift(p32, 24), 28)
+    gb_lo = g_lo_ref[:].astype(jnp.bfloat16)             # (bm, bn)
+    gb_hi = g_hi_ref[:].astype(jnp.bfloat16)
+    acc = acc_scr[:]
+    for gi in range(gpb):                                # static unroll
+        sl = slice(gi * group, (gi + 1) * group)
+        # same elementwise rounding as _dequant_bf16: bf16(w)·bf16(s)
+        wd_lo = (w_lo[sl, :].astype(jnp.bfloat16)
+                 * sg_lo_ref[0, gi, :].astype(jnp.bfloat16))
+        wd_hi = (w_hi[sl, :].astype(jnp.bfloat16)
+                 * sg_hi_ref[0, gi, :].astype(jnp.bfloat16))
+        dims = (((1,), (1,)), ((), ()))
+        d = jax.lax.dot_general(gb_lo, wd_lo, dims,
+                                preferred_element_type=jnp.float32)
+        d = d + jax.lax.dot_general(gb_hi, wd_hi, dims,
+                                    preferred_element_type=jnp.float32)
+        acc = acc.at[:, sl].add(d)
+    acc_scr[:] = acc
+
+    @pl.when(ni == nn - 1)
+    def _finalize():
+        # match the XLA backward's bf16 dot-result rounding (see _dx_kernel)
+        o_ref[:] = acc_scr[:].astype(jnp.bfloat16).astype(out_dtype)
+
+
+def int4_dx_pallas(g, kq4, scale_g, interpret: bool | None = None):
+    """g (…, N) float; kq4 (K, N/2) packed int8; scale_g (G, N) f32 →
+    dx (…, K) g.dtype. Reads the PACKED weights once — the XLA backward
+    unpacks to (K, N) int8 and dequantizes to (K, N) bf16 in HBM first."""
+    interpret = INTERPRET if interpret is None else interpret
+    k_dim, n_half = kq4.shape
+    g_count = scale_g.shape[0]
+    group = k_dim // g_count
+    lead = g.shape[:-1]
+    m = int(np.prod(lead)) if lead else 1
+
+    bm = _pick(_BM, _round_up(max(m, 16), 16))
+    bn = _pick(_BN, n_half)
+    bk = _pick(_BK, k_dim)
+    if not int4_pallas_supported(g, kq4, scale_g):
+        raise ValueError("int4_dx_pallas on unsupported shapes — callers "
+                         "must check int4_pallas_supported first")
+    gpb = bk // group
+    nh_blocks = n_half // bn
+
+    m_pad = _round_up(max(m, 16), bm)
+    g2 = g.reshape(m, 2 * n_half)
+    if m_pad != m:
+        g2 = jnp.pad(g2, ((0, m_pad - m), (0, 0)))
+    sgb = scale_g.reshape(k_dim // bk, gpb, 2 * n_half)
+
+    kernel = functools.partial(_int4_dx_kernel, gpb=gpb, group=group,
+                               out_dtype=g.dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(m_pad // bm, k_dim // bk, nh_blocks),
+        in_specs=[
+            pl.BlockSpec((bm, bn), lambda mi, ki, ni: (mi, ni)),
+            pl.BlockSpec((bm, bn), lambda mi, ki, ni: (mi, ni + nh_blocks)),
+            pl.BlockSpec((bk, bn), lambda mi, ki, ni: (ki, ni)),
+            pl.BlockSpec((1, gpb, bn), lambda mi, ki, ni: (ki, 0, ni)),
+            pl.BlockSpec((1, gpb, bn),
+                         lambda mi, ki, ni: (ki, 0, ni + nh_blocks)),
+        ],
+        out_specs=pl.BlockSpec((bm, bk), lambda mi, ki, ni: (mi, ki)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, k_dim), g.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bk), jnp.float32)],
+        name="int4_dx",
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k_dim * 2 * n_half,
+            bytes_accessed=m * n_half * 4 + k_dim * n_half + m * k_dim * 2,
+            transcendentals=0,
+        ),
+    )(g2, g2, kq4, sgb, sgb)
+    return out[:m].reshape(*lead, k_dim)

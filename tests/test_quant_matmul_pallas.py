@@ -149,15 +149,15 @@ def test_grouped_dispatch_dp_shard_map_matches_xla():
 
     x, kq, sg = _case(8, 256, 128)
     ref = np.asarray(_grouped_matmul_impl(x, kq, sg))
-    # jit the oracle too: XLA's excess-precision folding elides the custom
-    # bwd's f32→bf16→f32 round trip inside jit but not in eager ops
-    dx_ref = np.asarray(jax.jit(jax.grad(
-        lambda a: int8_matmul_grouped(a, kq, sg).sum()))(x))
 
     mesh = _cpu_mesh(dict(dp=2), 2)
     old = qm.INTERPRET
     qm.INTERPRET = True
     try:
+        # single-device reference under the SAME interpret-mode kernels
+        # (fwd + dx), so the shard_map split is the only variable
+        dx_ref = np.asarray(jax.jit(jax.grad(
+            lambda a: int8_matmul_grouped(a, kq, sg).sum()))(x))
         with jax.set_mesh(mesh):
             xs = jax.device_put(x, NamedSharding(mesh, P("dp")))
             got = np.asarray(jax.jit(
@@ -213,3 +213,77 @@ def test_grouped_dispatch_sp_mesh_falls_back_to_scan():
     finally:
         qm.INTERPRET = old
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+# --- backward (dx) kernels ---------------------------------------------------
+#
+# dx = g @ dequant(W)ᵀ. The XLA backward materializes the dequantized bf16
+# (K, N) kernel in HBM; the dx kernels dequantize per block in VMEM with the
+# SAME elementwise bf16 rounding — only the f32 sum order over n-blocks
+# differs.
+
+@pytest.mark.parametrize("m,k,n", [
+    (24, 256, 256),
+    (40, 1024, 384),
+    (8, 256, 128),
+])
+def test_quant_dx_pallas_matches_xla(m, k, n):
+    from flipped_tpu.model.int8 import _dx_grouped_xla
+    from flipped_tpu.model.pallas.quant_matmul import (dx_pallas_supported,
+                                                       quant_dx_pallas)
+    _, kq, sg = _case(m, k, n)
+    rs = np.random.RandomState(1)
+    g = jnp.array(rs.randn(m, n).astype(np.float32))
+    assert dx_pallas_supported(g, kq, sg)
+    ref = np.asarray(_dx_grouped_xla(g, kq, sg))
+    got = np.asarray(quant_dx_pallas(g, kq, sg, interpret=True))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_quant_dx_pallas_leading_dims():
+    from flipped_tpu.model.int8 import _dx_grouped_xla
+    from flipped_tpu.model.pallas.quant_matmul import quant_dx_pallas
+    _, kq, sg = _case(24, 256, 256)
+    rs = np.random.RandomState(2)
+    g = jnp.array(rs.randn(2, 12, 256).astype(np.float32))
+    ref = np.asarray(_dx_grouped_xla(g, kq, sg))
+    got = np.asarray(quant_dx_pallas(g, kq, sg, interpret=True))
+    assert got.shape == (2, 12, 256)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("m,k,n", [
+    (24, 256, 512),
+    (40, 1024, 768),
+    (8, 256, 256),
+])
+def test_int4_dx_pallas_matches_xla(m, k, n):
+    from flipped_tpu.model.int4 import _int4_dx_xla
+    from flipped_tpu.model.pallas.quant_matmul import int4_dx_pallas
+    _, kq4, sg = _case_int4(m, k, n)
+    rs = np.random.RandomState(1)
+    g = jnp.array(rs.randn(m, n).astype(np.float32))
+    ref = np.asarray(_int4_dx_xla(g, kq4, sg))
+    got = np.asarray(int4_dx_pallas(g, kq4, sg, interpret=True))
+    assert got.shape == ref.shape
+    # up to one bf16 ulp: f32 partial sums over n-blocks can cross a
+    # rounding boundary the single-dot accumulation doesn't
+    np.testing.assert_allclose(got, ref, rtol=8e-3, atol=1e-5)
+    exact = np.mean(got == ref)
+    assert exact > 0.99, exact
+
+
+def test_plain_int8_bwd_broadcast_groups_match_direct():
+    """The per-channel int8 backward now routes through the grouped dx
+    dispatch with 128-wide broadcast scale groups — numerics must equal the
+    direct bf16(kq)·bf16(scale) formulation."""
+    from flipped_tpu.model.int8 import _bwd
+    rs = np.random.RandomState(0)
+    kq = jnp.array(rs.randint(-127, 128, (256, 128)), jnp.int8)
+    scale = jnp.array(np.abs(rs.randn(128)).astype(np.float32))
+    g = jnp.array(rs.randn(8, 128).astype(np.float32))
+    dx = np.asarray(_bwd((kq, scale), g)[0])
+    w = kq.astype(jnp.bfloat16) * scale.astype(jnp.bfloat16)[None, :]
+    ref = np.asarray((g.astype(jnp.bfloat16) @ w.T).astype(g.dtype))
+    np.testing.assert_allclose(dx, ref, rtol=1e-6, atol=1e-6)
