@@ -30,7 +30,8 @@ CATEGORIES = (
     # (model/pallas/*.py `name=`): quant matmuls must match BEFORE the
     # attention bucket, and a bare custom-call with neither name goes to
     # its own bucket instead of being misattributed to attention.
-    ("quant_matmul_kernel", re.compile(r"quant_matmul|int4_matmul", re.I)),
+    ("quant_matmul_kernel",
+     re.compile(r"quant_matmul|int4_matmul|quant_dx|int4_dx", re.I)),
     ("attention_kernel", re.compile(r"flash|_stream_|attention", re.I)),
     ("custom_call_other", re.compile(r"pallas|custom-call|tpu_custom_call", re.I)),
     # quant_convert BEFORE matmul: 'convert.N' must not substring-match a
