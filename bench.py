@@ -61,6 +61,14 @@ PRESETS = {
                           vocab_size=32000, multiple_of=256,
                           max_seq_len=8192, adapter_len=10, adapter_layer=32,
                           max_feats=10, bias=3.0, tau=100.0),
+    # S=16384: the capacity composition row — packed int4 weights (3.6 GB)
+    # + full remat + chunked LM-head CE leave the 16 GB chip to the
+    # streaming kernels' S-linear activations (~4.3 GB of block inputs)
+    "7b_s16k": ModelConfig(dim=4096, n_layers=32, n_heads=32,
+                           vocab_size=32000, multiple_of=256,
+                           max_seq_len=16384, adapter_len=10,
+                           adapter_layer=32, max_feats=10, bias=3.0,
+                           tau=100.0),
     # 13B (reference 13B runs use --adapter_layer 40, run-nextqa13B-array.sh)
     "13b": ModelConfig(dim=5120, n_layers=40, n_heads=40, vocab_size=32000,
                        multiple_of=256, max_seq_len=128, adapter_len=10,
