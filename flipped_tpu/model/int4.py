@@ -108,7 +108,14 @@ def _int4_bwd(res, g):
     return (dx, *_zero_tangents(kq4, scale_g))
 
 
-def _make_int4_matmul(impl, doc):
+def _int4_bwd_xla(res, g):
+    """Pure-XLA backward for the _xla variants (contract: no pallas_call in
+    either direction)."""
+    kq4, scale_g = res
+    return (_int4_dx_xla(g, kq4, scale_g), *_zero_tangents(kq4, scale_g))
+
+
+def _make_int4_matmul(impl, doc, bwd=None):
     @jax.custom_vjp
     def f(x, kq4, scale_g):
         return impl(x, kq4, scale_g)
@@ -116,7 +123,7 @@ def _make_int4_matmul(impl, doc):
     def fwd(x, kq4, scale_g):
         return impl(x, kq4, scale_g), (kq4, scale_g)
 
-    f.defvjp(fwd, _int4_bwd)
+    f.defvjp(fwd, bwd or _int4_bwd)
     f.__doc__ = doc
     return f
 
@@ -150,7 +157,8 @@ int4_matmul = _make_int4_matmul(
     "(…, N) x.dtype. Weight-only: the matmul runs in x.dtype.")
 # XLA-only variant for GSPMD-partitioned jits (sequence parallelism)
 int4_matmul_xla = _make_int4_matmul(
-    _wo_xla_impl, int4_matmul.__doc__ + " XLA formulation only.")
+    _wo_xla_impl, int4_matmul.__doc__ + " XLA formulation only.",
+    bwd=_int4_bwd_xla)
 
 
 # --- w4a8: int8 activations × unpacked int4 weights on the MXU ---------------
@@ -191,4 +199,5 @@ def _w4a8_scan_impl(x, kq4, scale_g):
 # every matmul; the scan formulation also avoids the batched dot's
 # (G, M, N) intermediate. Numerics identical up to f32 sum order.
 int4_matmul_grouped_xla = _make_int4_matmul(
-    _w4a8_scan_impl, int4_matmul_grouped.__doc__ + " XLA scan formulation.")
+    _w4a8_scan_impl, int4_matmul_grouped.__doc__ + " XLA scan formulation.",
+    bwd=_int4_bwd_xla)

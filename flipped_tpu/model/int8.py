@@ -9,9 +9,11 @@ This is an addition over the reference, which runs every matmul in fp16
 cuBLAS (llama_vqa.py:63-65). Opt-in via --quantize w8a8.
 
 Backward is exact w.r.t. the *dequantized* weights: a custom VJP returns
-dx = g @ (kq·scale)ᵀ in bf16, i.e. bit-identical gradients to the
-weight-only int8 path (straight-through the activation rounding). The
-frozen backbone has no weight grads, so this is the only cotangent needed.
+dx = g @ (kq·scale)ᵀ in bf16 (straight-through the activation rounding) —
+the same dequantized-weight gradients as the weight-only int8 path, up to
+one bf16 ulp of f32 sum order when the Pallas dx kernel carries it
+(pallas/quant_matmul.py). The frozen backbone has no weight grads, so
+this is the only cotangent needed.
 
 The LM head stays weight-only (callers choose): logit perturbation feeds
 the eval argmin (reference: engine.py:87-93) directly, while hidden-layer
@@ -124,7 +126,11 @@ def pallas_mesh_dispatch(pallas_fn, xla_fn, xla_sharded_fn, x, *consts):
     - axes ⊆ {dp, tp} with the batch dividing dp → the SAME pallas call per
       device via a batch-sharded shard_map: weights are replicated (the
       quantized leaves carry no tp rule, core/mesh.py), rows are
-      embarrassingly parallel, zero collectives;
+      embarrassingly parallel, zero collectives. tp devices within a dp
+      group compute the matmul redundantly — a deliberate tradeoff
+      matching the tp-REPLICATED storage of quantized leaves (tp exists
+      for the bf16 large-model path; quantized runs scale via dp, and with
+      fully replicated operands GSPMD would replicate the XLA op too);
     - anything else (live sp/pp axes, indivisible batch) → the
       GSPMD-partitionable XLA formulation.
     """
@@ -235,10 +241,20 @@ def _grouped_matmul_scan(x, kq, scale_g):
     return out.reshape(*lead, n).astype(x.dtype)
 
 
-def _make_grouped_matmul(impl):
+def _g_bwd_xla(res, g):
+    """Pure-XLA backward for the _xla variants: never emits a pallas_call
+    (their contract — GSPMD-partitioned jits and Mosaic escape hatches)."""
+    kq, scale_g = res
+    dx = _dx_grouped_xla(g, kq, scale_g)
+    zero = np.zeros((), jax.dtypes.float0)
+    return (dx, np.broadcast_to(zero, kq.shape), jnp.zeros_like(scale_g))
+
+
+def _make_grouped_matmul(impl, bwd=None):
     """custom-VJP wrapper around a grouped-matmul primal: the backward
     (dx = g @ dequant(W)ᵀ in bf16, packed/int residuals only) is shared —
-    only the primal implementation differs between variants."""
+    only the primal implementation (and, for the pure-XLA variants, the
+    backward dispatch) differs between variants."""
 
     @jax.custom_vjp
     def f(x, kq, scale_g):
@@ -247,7 +263,7 @@ def _make_grouped_matmul(impl):
     def fwd(x, kq, scale_g):
         return impl(x, kq, scale_g), (kq, scale_g)
 
-    f.defvjp(fwd, _g_bwd)
+    f.defvjp(fwd, bwd or _g_bwd)
     return f
 
 
@@ -257,4 +273,6 @@ int8_matmul_grouped = _make_grouped_matmul(_grouped_dispatch)
 # to full shape around every matmul, negating the sp sharding. The scan
 # formulation partitions natively AND never materializes the batched
 # dot's (G, M, N) intermediate. Numerics identical up to f32 sum order.
-int8_matmul_grouped_xla = _make_grouped_matmul(_grouped_matmul_scan)
+# The backward is pure XLA too — no pallas_call in either direction.
+int8_matmul_grouped_xla = _make_grouped_matmul(_grouped_matmul_scan,
+                                               bwd=_g_bwd_xla)

@@ -49,7 +49,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
-from ..core.mesh import PP_AXIS
+from ..core.mesh import DP_AXIS, PP_AXIS
 from .layers import precompute_rope
 from .llama import TransformerBlock
 
@@ -144,12 +144,13 @@ def _block_apply_fn(model):
     return apply_block
 
 
-def _pick_microbatches(requested: int, pp: int, batch: int) -> int:
-    """Largest M ≤ requested (default pp) that divides the global batch —
-    shrinking instead of erroring keeps odd eval tails runnable (M=1 is a
-    degenerate but correct pipeline)."""
+def _pick_microbatches(requested: int, pp: int, rows: int) -> int:
+    """Largest M ≤ requested (default pp) that divides `rows` (each dp
+    shard's row count, so microbatches stripe evenly across dp) — shrinking
+    instead of erroring keeps odd eval tails runnable (M=1 is a degenerate
+    but correct pipeline)."""
     m = max(1, requested or pp)
-    while batch % m:
+    while rows % m:
         m -= 1
     return m
 
@@ -190,7 +191,15 @@ def pipeline_encode(model, variables, tokens, video_feature, video_start,
         h, _ = lax.scan(body, h, (stacked, adapters))
         return model.apply({"params": rest}, h, method=lambda m, x: m.norm(x))
 
-    m_count = _pick_microbatches(microbatches, pp, tokens.shape[0])
+    # Microbatch count must divide each dp shard's rows (not just the global
+    # batch): microbatches are STRIPED across the dp-sharded batch axis
+    # below so every dp row-group computes its own slice of every
+    # microbatch — contiguous global blocks would align each microbatch
+    # with ONE dp group and serialize the dp axis through the pipeline.
+    dp = mesh.shape.get(DP_AXIS, 1) if DP_AXIS in mesh.axis_names else 1
+    b_glob = tokens.shape[0]
+    rows_per_dp = b_glob // dp if (dp > 1 and b_glob % dp == 0) else b_glob
+    m_count = _pick_microbatches(microbatches, pp, rows_per_dp)
     n_ticks = m_count + pp - 1
     # The residual stream crosses the shard_map boundary in f32: an explicit
     # bf16 psum (the masked broadcast below, and the transposes of the
@@ -211,8 +220,15 @@ def pipeline_encode(model, variables, tokens, video_feature, video_start,
         h_glob = h_glob.astype(io_dtype)
         b = h_glob.shape[0]
         mb = b // m_count
-        h_mub = h_glob.reshape((m_count, mb) + h_glob.shape[1:])
-        vs_mub = vs_glob.reshape(m_count, mb)
+        # STRIPED microbatches: microbatch t = rows {t, m+t, 2m+t, …}. The
+        # (mb, m_count) reshape keeps the dp-sharded batch blocks contiguous
+        # on axis 0 (m_count divides each dp shard's rows), so after the
+        # moveaxis the per-tick dynamic_index slices a REPLICATED axis and
+        # every dp row-group computes its own mb/dp rows of every
+        # microbatch — no resharding, no dp serialization.
+        h_mub = jnp.moveaxis(
+            h_glob.reshape((mb, m_count) + h_glob.shape[1:]), 1, 0)
+        vs_mub = jnp.moveaxis(vs_glob.reshape(mb, m_count), 1, 0)
 
         def stage_fn(h_in, vstart):
             def body(carry, xs):
@@ -243,7 +259,8 @@ def pipeline_encode(model, variables, tokens, video_feature, video_start,
         outs = jnp.where(stage == pp - 1, ys[pp - 1:],
                          jnp.zeros_like(ys[pp - 1:]))
         outs = lax.psum(outs.astype(jnp.float32), PP_AXIS)
-        return outs.reshape(h_glob.shape)
+        # invert the microbatch striping back to batch-row order
+        return jnp.moveaxis(outs, 0, 1).reshape(h_glob.shape)
 
     stacked_specs = jax.tree.map(lambda _: P(PP_AXIS), stacked)
     h = jax.shard_map(

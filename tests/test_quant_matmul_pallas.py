@@ -238,7 +238,10 @@ def test_quant_dx_pallas_matches_xla(m, k, n):
     ref = np.asarray(_dx_grouped_xla(g, kq, sg))
     got = np.asarray(quant_dx_pallas(g, kq, sg, interpret=True))
     assert got.shape == ref.shape
-    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    # up to one bf16 ulp: f32 partial sums over n-blocks can cross a
+    # rounding boundary the single-dot accumulation doesn't
+    np.testing.assert_allclose(got, ref, rtol=8e-3, atol=1e-5)
+    assert np.mean(got == ref) > 0.99
 
 
 def test_quant_dx_pallas_leading_dims():
@@ -250,7 +253,8 @@ def test_quant_dx_pallas_leading_dims():
     ref = np.asarray(_dx_grouped_xla(g, kq, sg))
     got = np.asarray(quant_dx_pallas(g, kq, sg, interpret=True))
     assert got.shape == (2, 12, 256)
-    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got, ref, rtol=8e-3, atol=1e-5)
+    assert np.mean(got == ref) > 0.99
 
 
 @pytest.mark.parametrize("m,k,n", [
