@@ -251,10 +251,12 @@ def test_pp_scan_fallback_matches_encode():
                                rtol=1e-5, atol=1e-5)
 
 
-def test_pp_dense_eval_scores_match():
+@pytest.mark.parametrize("mesh_cfg", [MeshConfig(dp=2, pp=2),
+                                      MeshConfig(dp=2, pp=2, tp=2)])
+def test_pp_dense_eval_scores_match(mesh_cfg):
     """Classification eval under pp (dense scorer through the pipelined
     encode) reproduces the plain model's option scores and predictions
-    (the argmin of engine.py:87-93)."""
+    (the argmin of engine.py:87-93) — on dp×pp and dp×pp×tp meshes."""
     devs = cpu8()
     model, params, _, _, tok = _setup()
     items = make_synthetic_items(tok, 4, max_feats=4, max_seq_len=96,
@@ -270,7 +272,8 @@ def test_pp_dense_eval_scores_match():
     f_st = stack_layer_params(frozen, CFG.n_layers)
     pmodel = PipelinedModel(model)
     eval_step = make_eval_step(pmodel, cached=False)
-    mesh = make_mesh(MeshConfig(dp=2, pp=2), devices=devs[:4])
+    n_dev = mesh_cfg.dp * mesh_cfg.pp * max(1, mesh_cfg.tp)
+    mesh = make_mesh(mesh_cfg, devices=devs[:n_dev])
     with jax.set_mesh(mesh):
         t_sh = jax.device_put(t_st, param_shardings(mesh, t_st))
         f_sh = jax.device_put(f_st, param_shardings(mesh, f_st))
