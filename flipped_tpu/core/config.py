@@ -181,8 +181,9 @@ class MeshConfig:
     (n_layers, ...) and sharded over 'pp'; a partial-auto shard_map'd GPipe
     schedule rotates microbatch activations through the stages via ppermute
     — the capacity axis for models whose weights exceed one chip (33B/65B).
-    pp composes with dp and tp (stacked kernels shard P('pp', None, 'tp'));
-    sp within a pp run is rejected at validation.
+    pp composes with dp, tp (stacked kernels shard P('pp', None, 'tp')),
+    and sp (sequence sharding rides GSPMD inside the stage bodies with
+    einsum attention).
     """
 
     dp: int = -1  # -1: all remaining devices
@@ -253,7 +254,7 @@ def get_args_parser() -> argparse.ArgumentParser:
                         "into pp stages (stacked per-stage weights, "
                         "shard_map'd GPipe microbatch schedule) — the "
                         "capacity axis when the frozen backbone exceeds one "
-                        "chip. Composes with dp and tp; sp must stay 1")
+                        "chip. Composes with dp, tp, and sp")
     p.add_argument("--pp_microbatches", type=int, default=0,
                    help="microbatches per pipeline round-trip (0 → pp); "
                         "bubble fraction is (pp-1)/(M+pp-1)")

@@ -39,8 +39,9 @@ the XLA einsum/quant formulations partition cleanly.)
 Scope: the training/eval *encode* path. The KV-cache paths (cached option
 scorer, generation decode) require pp=1 — under --pp the eval engine falls
 back to the dense scorer (reference semantics,
-model_my_original_mod.py:249-377). sp inside a pp run is rejected at
-validation (its attention dispatch is its own shard_map).
+model_my_original_mod.py:249-377). sp inside a pp run composes through
+GSPMD (einsum attention + per-block residual constraints in the stage
+bodies); the sp-FLASH shard_map itself stays a pp=1 feature.
 """
 from __future__ import annotations
 
@@ -85,11 +86,6 @@ def validate_pp(mesh_cfg, cfg, is_generation_task: bool = False) -> None:
     pp = max(1, mesh_cfg.pp)
     if pp <= 1:
         return
-    if mesh_cfg.sp > 1:
-        raise ValueError(
-            f"--pp {pp} composes with dp and tp, not sp (got "
-            f"sp={mesh_cfg.sp}): the sequence-parallel attention dispatch "
-            f"is its own shard_map and cannot nest inside a pipeline stage")
     if cfg.n_layers % pp:
         raise ValueError(
             f"--pp {pp} must divide n_layers={cfg.n_layers} evenly "
@@ -132,8 +128,21 @@ def _block_apply_fn(model):
     block = _block_module(model)
 
     def apply_block(p_layer, h, cos, sin, adapter, video_start):
-        return block.apply({"params": p_layer}, h, cos, sin, adapter,
-                           video_start)
+        out = block.apply({"params": p_layer}, h, cos, sin, adapter,
+                          video_start)
+        if model.seq_shard:
+            # sequence parallelism inside a pipeline stage: the model-level
+            # residual constraint (llama.py _seq_wsc) doesn't reach blocks
+            # applied here; pin (batch → dp, sequence → sp) on the auto
+            # axes so GSPMD keeps S/sp tokens per chip through the stage.
+            # Attention stays the einsum formulation (use_flash is forced
+            # off above — the sp-flash shard_map cannot nest in here).
+            from jax.sharding import PartitionSpec as P
+
+            from ..core.mesh import SP_AXIS
+            out = jax.lax.with_sharding_constraint(
+                out, P(DP_AXIS, SP_AXIS, None))
+        return out
 
     if model.remat and model.remat_policy == "qkv":
         policy = jax.checkpoint_policies.save_only_these_names(

@@ -99,8 +99,7 @@ def test_validate_pp_errors():
     mesh_ok = MeshConfig(dp=2, pp=2)
     validate_pp(mesh_ok, CFG)  # fine
     validate_pp(MeshConfig(dp=1, pp=2, tp=2), CFG)  # pp×tp composes
-    with pytest.raises(ValueError, match="not sp"):
-        validate_pp(MeshConfig(dp=1, pp=2, sp=2), CFG)
+    validate_pp(MeshConfig(dp=1, pp=2, sp=2), CFG)  # pp×sp composes too
     with pytest.raises(ValueError, match="divide n_layers"):
         validate_pp(MeshConfig(dp=1, pp=3), CFG)
     import dataclasses
@@ -200,6 +199,26 @@ def test_pp_tp_train_step_matches_single_device():
 
     mesh = make_mesh(MeshConfig(dp=2, pp=2, tp=2), devices=devs)
     loss_pp, t2 = _run_pp_step(model, params, batch, mesh)
+    np.testing.assert_allclose(loss_pp, loss_1dev, rtol=2e-5, atol=2e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=5e-5, atol=5e-5),
+        t1, t2)
+
+
+def test_pp_sp_train_step_matches_single_device():
+    """pp×sp composition: sequence parallelism rides GSPMD inside the
+    partial-auto stage bodies (einsum attention + a residual-stream
+    (dp, sp) constraint per block) — dp2×pp2×sp2 losses and AdamW updates
+    equal the single-device model. The capacity pairing for long-context
+    training of backbones that exceed one chip."""
+    devs = cpu8()
+    model, params, _, batch, _ = _setup()
+    loss_1dev, t1 = _run_plain_step(model, params, batch, devs[0])
+    assert loss_1dev > 1.0, loss_1dev
+
+    mesh = make_mesh(MeshConfig(dp=2, pp=2, sp=2), devices=devs)
+    loss_pp, t2 = _run_pp_step(model.clone(seq_shard=True), params, batch,
+                               mesh)
     np.testing.assert_allclose(loss_pp, loss_1dev, rtol=2e-5, atol=2e-5)
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(a, b, rtol=5e-5, atol=5e-5),
