@@ -827,8 +827,12 @@ def flash_adapter_attention(q, k, v, adapter_k, adapter_v, gate1, gate2,
 # ---------------------------------------------------------------------------
 
 def _sp_specs(h_dim: int, b_dim: int):
-    """(q/k/v spec, gate2 spec, video_start spec, lse spec) for the ambient
-    mesh — dims whose mesh axis is absent or indivisible stay replicated."""
+    """(q/k/v spec, gate2 spec, video_start spec, lse spec, axis_names) for
+    the ambient mesh — dims whose mesh axis is absent or indivisible stay
+    replicated. axis_names lists the axes these shard_maps take MANUAL:
+    explicitly {dp, sp, tp} (never pp), so the wrappers also nest inside
+    the pipeline's partial-auto pp shard_map (model/pipeline.py) — there
+    pp is already manual and must not be re-taken."""
     from jax.sharding import PartitionSpec as P
 
     from ...core.mesh import DP_AXIS, SP_AXIS, TP_AXIS
@@ -841,30 +845,67 @@ def _sp_specs(h_dim: int, b_dim: int):
                      and b_dim % mesh.shape[DP_AXIS] == 0) else None
     tp = (TP_AXIS if (TP_AXIS in names
                       and h_dim % mesh.shape[TP_AXIS] == 0) else None)
+    try:
+        manual = {ax for ax, t in zip(names, mesh.axis_types)
+                  if str(t) == "Manual"}
+    except Exception:  # axis_types API absent — assume top level
+        manual = set()
+    if manual:
+        # nested inside another shard_map (the pipeline's pp map): take
+        # manual ONLY the axes these wrappers actually use, never the
+        # already-bound ones
+        axes = (frozenset({SP_AXIS}
+                          | {a for a in (DP_AXIS, TP_AXIS) if a in names})
+                - manual)
+    else:
+        # top level: default full-manual (partial-auto shard_map cannot
+        # run eagerly — a JAX limitation its error message names out_specs
+        # for)
+        axes = None
     return (P(dp, SP_AXIS, tp, None), P(tp), P(dp),
-            P(dp, tp, SP_AXIS, None))
+            P(dp, tp, SP_AXIS, None), axes)
+
+
+def _sp_shard_index():
+    """A P('sp')-sharded iota whose local slice holds the shard's sp index
+    — the nesting-safe replacement for lax.axis_index(SP_AXIS) inside the
+    sp shard_maps (axis_index cannot lower when the map is nested inside
+    the pipeline's pp shard_map)."""
+    from ...core.mesh import SP_AXIS
+    mesh = jax.sharding.get_abstract_mesh()
+    return jnp.arange(mesh.shape[SP_AXIS], dtype=jnp.int32)
 
 
 def _sp_text_fwd(q, k, v, gate2, video_start, max_feats):
     """shard_map'd streaming forward → (text (B,S,H,Dh), lse sharded)."""
     from ...core.mesh import SP_AXIS
 
-    qkv_spec, g2_spec, vs_spec, lse_spec = _sp_specs(q.shape[2], q.shape[0])
+    qkv_spec, g2_spec, vs_spec, lse_spec, axes = _sp_specs(q.shape[2],
+                                                           q.shape[0])
+    sp_iota = _sp_shard_index()
 
-    def f(q_loc, k_loc, v_loc, g2, vs):
-        q0 = jax.lax.axis_index(SP_AXIS) * q_loc.shape[1]
+    def f(q_loc, k_loc, v_loc, g2, vs, idx):
+        # idx: this shard's slice of a P('sp') iota — the sp shard index.
+        # (lax.axis_index cannot lower inside a NESTED shard_map — sdy
+        # re-binds the parent's manual axes — so the index arrives as data.)
+        q0 = idx[0] * q_loc.shape[1]
         kf = jax.lax.all_gather(k_loc, SP_AXIS, axis=1, tiled=True)
         vf = jax.lax.all_gather(v_loc, SP_AXIS, axis=1, tiled=True)
         return flash_streaming_fwd(q_loc, kf, vf, g2, vs, max_feats,
                                    q_offset=q0)
 
     # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
-    # info, so shard_map's replication checker cannot see through them
+    # info, so shard_map's replication checker cannot see through them.
+    # axis_names: {dp, sp, tp} explicitly — nests inside the pipeline's
+    # pp shard_map (pp stays that outer map's manual axis).
+    from jax.sharding import PartitionSpec as P
+    kw = {} if axes is None else {"axis_names": axes}
     return jax.shard_map(
         f,
-        in_specs=(qkv_spec, qkv_spec, qkv_spec, g2_spec, vs_spec),
-        out_specs=(qkv_spec, lse_spec), check_vma=False,
-    )(q, k, v, gate2, video_start)
+        in_specs=(qkv_spec, qkv_spec, qkv_spec, g2_spec, vs_spec,
+                  P(SP_AXIS)),
+        out_specs=(qkv_spec, lse_spec), check_vma=False, **kw,
+    )(q, k, v, gate2, video_start, sp_iota)
 
 
 def _sp_text_bwd(q, k, v, gate2, video_start, max_feats, g, text, lse):
@@ -872,13 +913,15 @@ def _sp_text_bwd(q, k, v, gate2, video_start, max_feats, g, text, lse):
     their shards via psum_scatter, dgate2 psummed over dp×sp)."""
     from ...core.mesh import DP_AXIS, SP_AXIS
 
-    qkv_spec, g2_spec, vs_spec, lse_spec = _sp_specs(q.shape[2], q.shape[0])
-    mesh = jax.sharding.get_abstract_mesh()
+    qkv_spec, g2_spec, vs_spec, lse_spec, axes = _sp_specs(q.shape[2],
+                                                           q.shape[0])
     dg2_axes = ((SP_AXIS, DP_AXIS) if qkv_spec[0] is not None
                 else (SP_AXIS,))
 
-    def f(q_loc, k_loc, v_loc, g2, vs, g_loc, text_loc, lse_loc):
-        q0 = jax.lax.axis_index(SP_AXIS) * q_loc.shape[1]
+    sp_iota = _sp_shard_index()
+
+    def f(q_loc, k_loc, v_loc, g2, vs, g_loc, text_loc, lse_loc, idx):
+        q0 = idx[0] * q_loc.shape[1]
         kf = jax.lax.all_gather(k_loc, SP_AXIS, axis=1, tiled=True)
         vf = jax.lax.all_gather(v_loc, SP_AXIS, axis=1, tiled=True)
         dq, dk_full, dv_full, dg2 = flash_streaming_bwd(
@@ -890,12 +933,15 @@ def _sp_text_bwd(q, k, v, gate2, video_start, max_feats, g, text, lse):
                                   tiled=True)
         return dq, dk, dv, jax.lax.psum(dg2, dg2_axes)
 
+    from jax.sharding import PartitionSpec as P
+    kw = {} if axes is None else {"axis_names": axes}
     return jax.shard_map(
         f,
         in_specs=(qkv_spec, qkv_spec, qkv_spec, g2_spec, vs_spec,
-                  qkv_spec, qkv_spec, lse_spec),
-        out_specs=(qkv_spec, qkv_spec, qkv_spec, g2_spec), check_vma=False,
-    )(q, k, v, gate2, video_start, g, text, lse)
+                  qkv_spec, qkv_spec, lse_spec, P(SP_AXIS)),
+        out_specs=(qkv_spec, qkv_spec, qkv_spec, g2_spec),
+        check_vma=False, **kw,
+    )(q, k, v, gate2, video_start, g, text, lse, sp_iota)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8,))

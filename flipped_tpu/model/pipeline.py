@@ -40,8 +40,10 @@ Scope: the training/eval *encode* path. The KV-cache paths (cached option
 scorer, generation decode) require pp=1 — under --pp the eval engine falls
 back to the dense scorer (reference semantics,
 model_my_original_mod.py:249-377). sp inside a pp run composes through
-GSPMD (einsum attention + per-block residual constraints in the stage
-bodies); the sp-FLASH shard_map itself stays a pp=1 feature.
+GSPMD (per-block residual constraints in the stage bodies), and the
+sp-FLASH streaming wrappers nest too: when another shard_map is already
+manual over 'pp', they take manual only {dp, sp, tp} (flash_attention.py
+_sp_specs) — so long-context flash attention runs inside pipeline stages.
 """
 from __future__ import annotations
 
@@ -109,13 +111,17 @@ def _block_module(model) -> TransformerBlock:
     exactly how FlippedVQAModel.setup constructs its layers_i submodules, so
     ``block.apply({'params': one_layer_tree}, ...)`` is the same function.
 
-    use_flash/quant_pallas are forced OFF: the pipeline's shard_map is
-    partial-auto (only 'pp' manual; dp/tp stay GSPMD-automatic inside), and
-    a Pallas kernel is a single-device program that GSPMD cannot partition
-    over the auto axes — the XLA einsum/quant formulations partition
-    cleanly (same reason the sp path sets quant_pallas=False)."""
+    quant_pallas is forced OFF: the pipeline's shard_map is partial-auto
+    (only 'pp' manual; dp/sp/tp stay GSPMD-automatic inside), and a bare
+    Pallas kernel is a single-device program that GSPMD cannot partition
+    over the auto axes — the XLA quant formulations partition cleanly.
+    use_flash is allowed: on any multi-device mesh Attention._attend_fn
+    routes flash to the shard_map'd streaming wrappers, whose explicit
+    axis_names={dp, sp, tp} nest inside the pp shard_map (pp stays the
+    outer map's manual axis)."""
     return TransformerBlock(model.cfg, model.dtype, model.frozen_dtype,
-                            model.trainable_dtype, use_flash=False,
+                            model.trainable_dtype,
+                            use_flash=model.use_flash,
                             quantized=model.quantized,
                             act_quant=model.act_quant,
                             quant_group=model.quant_group,
@@ -135,8 +141,8 @@ def _block_apply_fn(model):
             # residual constraint (llama.py _seq_wsc) doesn't reach blocks
             # applied here; pin (batch → dp, sequence → sp) on the auto
             # axes so GSPMD keeps S/sp tokens per chip through the stage.
-            # Attention stays the einsum formulation (use_flash is forced
-            # off above — the sp-flash shard_map cannot nest in here).
+            # (With use_flash, attention runs the NESTED sp-flash shard_map
+            # — see _block_module; einsum otherwise.)
             from jax.sharding import PartitionSpec as P
 
             from ..core.mesh import SP_AXIS

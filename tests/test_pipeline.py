@@ -612,3 +612,32 @@ def test_large_preset_pp_stage_shardings(preset, pp):
     # the stacked gate is 2-D but must stay undecayed, like its per-layer form
     assert stacked_mask["layers_stacked"]["attention"]["gate2"] is False
     assert stacked_mask["visual_proj"]["kernel"] is True
+
+
+def test_pp_sp_flash_matches_einsum():
+    """sp-FLASH inside the pipeline: the streaming shard_map wrappers
+    (explicit axis_names={dp, sp, tp}) nest inside the pp shard_map, so
+    long-context flash attention runs per stage. dp1×pp2×sp2×tp2 train loss
+    and updates match the einsum-path pipeline on the same mesh (interpret
+    kernels; bf16 dots inside → loose-ish tolerance)."""
+    import flipped_tpu.model.pallas.flash_attention as fa
+    devs = cpu8()
+    model, params, _, batch, _ = _setup()
+    mesh = make_mesh(MeshConfig(dp=1, pp=2, sp=2, tp=2), devices=devs)
+
+    loss_e, t_e = _run_pp_step(model.clone(seq_shard=True), params, batch,
+                               mesh)
+    old = fa.INTERPRET
+    fa.INTERPRET = True
+    try:
+        loss_f, t_f = _run_pp_step(
+            model.clone(seq_shard=True, use_flash=True), params, batch, mesh)
+    finally:
+        fa.INTERPRET = old
+    assert loss_e > 1.0, loss_e
+    np.testing.assert_allclose(loss_f, loss_e, rtol=5e-3)
+    flat_e = jax.tree_util.tree_leaves(t_e)
+    flat_f = jax.tree_util.tree_leaves(t_f)
+    for a, w in zip(flat_f, flat_e):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(w),
+                                   rtol=0.1, atol=5e-3)
