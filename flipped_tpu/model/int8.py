@@ -144,20 +144,35 @@ def pallas_mesh_dispatch(pallas_fn, xla_fn, xla_sharded_fn, x, *consts):
                                           default=xla_fn)
 
     mesh = jax.sharding.get_abstract_mesh()
-    big = {ax: mesh.shape[ax] for ax in mesh.axis_names if mesh.shape[ax] > 1}
+    try:
+        manual = {ax for ax, t in zip(mesh.axis_names, mesh.axis_types)
+                  if str(t) == "Manual"}
+    except Exception:  # axis_types API absent — assume top level
+        manual = set()
+    # axes already manual (e.g. 'pp' inside a pipeline stage body) are
+    # bound: the computation here is per-device along them already
+    big = {ax: mesh.shape[ax] for ax in mesh.axis_names
+           if mesh.shape[ax] > 1 and ax not in manual}
     if not big:
         return per_device(x, *consts)
     on_pallas_backend = jax.default_backend() == "tpu" or _qm.INTERPRET
     if (on_pallas_backend and set(big) <= {DP_AXIS, TP_AXIS}
             and x.shape[0] % big.get(DP_AXIS, 1) == 0):
         from jax.sharding import PartitionSpec as P
+
+        # nested (inside the pipeline's pp shard_map): take manual only the
+        # remaining auto axes — the default full-manual set would re-bind
+        # 'pp' and fail to lower
+        kw = ({"axis_names": frozenset(
+            {a for a in (DP_AXIS, TP_AXIS) if a in mesh.axis_names}
+            - manual)} if manual else {})
         return jax.shard_map(
             per_device,
             in_specs=(P(DP_AXIS),) + (P(),) * len(consts),
             out_specs=P(DP_AXIS),
             # pallas_call out_shapes carry no varying-mesh-axes info (same
             # reason as the sp flash wrappers)
-            check_vma=False,
+            check_vma=False, **kw,
         )(x, *consts)
     return xla_sharded_fn(x, *consts)
 

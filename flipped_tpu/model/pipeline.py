@@ -111,14 +111,15 @@ def _block_module(model) -> TransformerBlock:
     exactly how FlippedVQAModel.setup constructs its layers_i submodules, so
     ``block.apply({'params': one_layer_tree}, ...)`` is the same function.
 
-    quant_pallas is forced OFF: the pipeline's shard_map is partial-auto
-    (only 'pp' manual; dp/sp/tp stay GSPMD-automatic inside), and a bare
-    Pallas kernel is a single-device program that GSPMD cannot partition
-    over the auto axes — the XLA quant formulations partition cleanly.
-    use_flash is allowed: on any multi-device mesh Attention._attend_fn
-    routes flash to the shard_map'd streaming wrappers, whose explicit
-    axis_names={dp, sp, tp} nest inside the pp shard_map (pp stays the
-    outer map's manual axis)."""
+    Pallas fast paths stay LIVE inside the stage bodies: both the quant
+    matmuls (pallas_mesh_dispatch, model/int8.py) and flash attention
+    (Attention._attend_fn → the sp streaming wrappers) detect the
+    already-manual 'pp' axis via the abstract mesh's axis_types and nest
+    their own shard_maps over the remaining auto axes only — per-stage
+    compute is per-device along pp, so the kernels run unchanged. Sharded
+    layouts the kernels can't take manual (e.g. live sp for the quant
+    matmuls) fall back to the GSPMD-partitionable XLA formulations
+    automatically."""
     return TransformerBlock(model.cfg, model.dtype, model.frozen_dtype,
                             model.trainable_dtype,
                             use_flash=model.use_flash,
@@ -127,7 +128,7 @@ def _block_module(model) -> TransformerBlock:
                             quant_group=model.quant_group,
                             quant_outliers=model.quant_outliers,
                             weight_bits=model.weight_bits,
-                            quant_pallas=False, seq_shard=False)
+                            quant_pallas=True, seq_shard=False)
 
 
 def _block_apply_fn(model):

@@ -291,3 +291,34 @@ def test_plain_int8_bwd_broadcast_groups_match_direct():
     w = kq.astype(jnp.bfloat16) * scale.astype(jnp.bfloat16)[None, :]
     ref = np.asarray((g.astype(jnp.bfloat16) @ w.T).astype(g.dtype))
     np.testing.assert_allclose(dx, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_grouped_dispatch_nests_inside_manual_pp():
+    """Inside a pipeline stage body ('pp' already manual), the dispatch must
+    treat pp as bound and still run the Pallas kernel per device via a
+    nested shard_map over the remaining auto axes (dp here)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    import flipped_tpu.model.pallas.quant_matmul as qm
+    from flipped_tpu.model.int8 import int8_matmul_grouped
+
+    x, kq, sg = _case(8, 256, 128)
+    ref = np.asarray(_grouped_matmul_impl(x, kq, sg))
+    mesh = _cpu_mesh(dict(dp=2, pp=2), 4)
+    old = qm.INTERPRET
+    qm.INTERPRET = True
+    try:
+        with jax.set_mesh(mesh):
+            xs = jax.device_put(x, NamedSharding(mesh, P("dp")))
+
+            def outer(xx, kql, sgl):
+                def body(xl, kq_, sg_):
+                    return int8_matmul_grouped(xl, kq_, sg_)
+                return jax.shard_map(body, in_specs=(P(), P(), P()),
+                                     out_specs=P(), axis_names={"pp"},
+                                     check_vma=False)(xx, kql, sgl)
+
+            got = np.asarray(jax.jit(outer)(xs, kq, sg))
+    finally:
+        qm.INTERPRET = old
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
