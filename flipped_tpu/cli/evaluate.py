@@ -64,10 +64,9 @@ def main(args):
             from ..data.pipeline import pinned_eval_span
             span_pin = pinned_eval_span(loader_val.dataset,
                                         run_cfg.data.max_seq_len)
-        # --pp: dense scorer (the cached scorer's prefill/extend are pp=1
-        # KV-cache paths — same policy as cli/train.py)
-        eval_step = make_eval_step(model, cached=run_cfg.mesh.pp <= 1,
-                                   span_len=span_pin)
+        # the cached scorer works under --pp too (pipelined prefill/extend
+        # with a pp-sharded cache — same policy as cli/train.py)
+        eval_step = make_eval_step(model, cached=True, span_len=span_pin)
         gen_step = (make_generation_step(model, tokenizer.eos_id)
                     if run_cfg.train.is_generation_task else None)
         stats = val_one_epoch(tokenizer, eval_step, gen_step,

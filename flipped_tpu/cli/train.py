@@ -289,10 +289,10 @@ def main(args):
                                         run_cfg.data.max_seq_len)
             if span_pin is not None:
                 print(f"eval span pinned: {span_pin}")
-        # --pp: the cached scorer's prefill/extend are KV-cache (pp=1) paths
-        # — score options with the dense per-option forward instead
-        eval_step = make_eval_step(model, cached=run_cfg.mesh.pp <= 1,
-                                   span_len=span_pin)
+        # the cached scorer works under --pp too: PipelinedModel routes
+        # prefill/extend through the GPipe schedule with a pp-sharded cache
+        # (model/pipeline.py pipeline_prefill / pipeline_extend_logits)
+        eval_step = make_eval_step(model, cached=True, span_len=span_pin)
         gen_step = (make_generation_step(model, tokenizer.eos_id)
                     if run_cfg.train.is_generation_task else None)
 

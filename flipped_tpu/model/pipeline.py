@@ -32,14 +32,16 @@ The shard_map is *partial-auto* (``axis_names={'pp'}``): only the pipeline
 axis is manual; dp and tp stay GSPMD-automatic inside the stage body, so
 the batch rides its usual dp sharding and tp-sharded stacked weights keep
 their Megatron column/row layout on the non-layer axes — pp×dp×tp compose
-from one implementation. (Pallas kernels are forced off inside: a Pallas
-call is a single-device program GSPMD cannot partition over the auto axes;
-the XLA einsum/quant formulations partition cleanly.)
+from one implementation. (Pallas fast paths stay live inside: the quant
+and flash dispatches detect the already-manual 'pp' axis and nest their
+own shard_maps over the remaining auto axes — see _block_module.)
 
-Scope: the training/eval *encode* path. The KV-cache paths (cached option
-scorer, generation decode) require pp=1 — under --pp the eval engine falls
-back to the dense scorer (reference semantics,
-model_my_original_mod.py:249-377). sp inside a pp run composes through
+Scope: training and eval, including the prefix-shared cached scorer —
+:func:`pipeline_prefill` keeps each stage's layers' K/V resident (the
+cache is pp-sharded on the layer axis) and :func:`pipeline_extend_logits`
+sweeps the option chunks through the stages against it. Only per-token
+generation decode requires pp=1 (a stage ring per generated token is
+latency-bound by design). sp inside a pp run composes through
 GSPMD (per-block residual constraints in the stage bodies), and the
 sp-FLASH streaming wrappers nest too: when another shard_map is already
 manual over 'pp', they take manual only {dp, sp, tp} (flash_attention.py
@@ -293,14 +295,234 @@ def pipeline_encode(model, variables, tokens, video_feature, video_start,
     return model.apply({"params": rest}, h, method=lambda m, x: m.norm(x))
 
 
+def _pp_setup(model, variables):
+    """Shared scaffold: split params, resolve the mesh, build adapters."""
+    cfg = model.cfg
+    params = variables["params"] if "params" in variables else variables
+    stacked = params["layers_stacked"]
+    rest = {k: v for k, v in params.items() if k != "layers_stacked"}
+    adapters = rest["adapter_query"].reshape(cfg.n_layers, cfg.adapter_len,
+                                             cfg.dim)
+    mesh = jax.sharding.get_abstract_mesh()
+    pp = mesh.shape.get(PP_AXIS, 1) if PP_AXIS in mesh.axis_names else 1
+    return cfg, stacked, rest, adapters, mesh, pp
+
+
+def _stripe(x, m_count):
+    """(b, …) → (m_count, b/m_count, …): microbatch t = rows {t, m+t, …}
+    (dp-shard-aligned; see pipeline_encode)."""
+    mb = x.shape[0] // m_count
+    return jnp.moveaxis(x.reshape((mb, m_count) + x.shape[1:]), 1, 0)
+
+
+def _unstripe(x):
+    """(m_count, mb, …) → (b, …): inverse of :func:`_stripe`."""
+    return jnp.moveaxis(x, 0, 1).reshape((-1,) + x.shape[2:])
+
+
+def pipeline_prefill(model, variables, tokens, video_feature, video_start,
+                     splice_index, cache_len: int, microbatches: int = 0):
+    """Pipelined ``Transformer.prefill``: the prompt crosses the stages once
+    and each stage KEEPS the K/V of its own layers — the returned caches
+    are (L, B, cache_len, H, Dh) sharded over 'pp' on the layer axis, ready
+    for :func:`pipeline_extend_logits`. Eval-only (no backward → bubble
+    cost is wall-clock only)."""
+    cfg, stacked, rest, adapters, mesh, pp = _pp_setup(model, variables)
+    h = model.apply({"params": rest}, tokens, video_feature, splice_index,
+                    method="_embed_and_splice")
+    rope_cos, rope_sin = precompute_rope(cfg.head_dim, cache_len,
+                                         cfg.rope_theta)
+    block = _block_module(model)
+    s = tokens.shape[1]
+    pad = cache_len - s
+
+    if pp <= 1:
+        def body1(carry, xs):
+            p_layer, adapter = xs
+            h2, k, v = block.apply({"params": p_layer}, carry, rope_cos,
+                                   rope_sin, adapter, video_start,
+                                   method="prefill")
+            return h2, (k, v)
+        h, (ck, cv) = lax.scan(body1, h, (stacked, adapters))
+    else:
+        dp = mesh.shape.get(DP_AXIS, 1) if DP_AXIS in mesh.axis_names else 1
+        b_glob = tokens.shape[0]
+        rows = b_glob // dp if (dp > 1 and b_glob % dp == 0) else b_glob
+        m_count = _pick_microbatches(microbatches, pp, rows)
+        n_ticks = m_count + pp - 1
+        io_dtype = h.dtype
+
+        def local_fn(p_stage, a_stage, h_glob, vs_glob, cos, sin):
+            stage = lax.axis_index(PP_AXIS)
+            h_glob = h_glob.astype(io_dtype)
+            mb = h_glob.shape[0] // m_count
+            h_mub = _stripe(h_glob, m_count)
+            vs_mub = _stripe(vs_glob, m_count)
+
+            def stage_fn(h_in, vstart):
+                def sbody(carry, xs):
+                    p_layer, adapter = xs
+                    h2, k, v = block.apply({"params": p_layer}, carry, cos,
+                                           sin, adapter, vstart,
+                                           method="prefill")
+                    return h2, (k, v)
+                out, (ks, vs_) = lax.scan(sbody, h_in, (p_stage, a_stage))
+                return out, ks, vs_
+
+            def tick(recv, t):
+                feed = lax.dynamic_index_in_dim(
+                    h_mub, jnp.clip(t, 0, m_count - 1), 0, keepdims=False)
+                inp = jnp.where(stage == 0, feed, recv)
+                vstart = lax.dynamic_index_in_dim(
+                    vs_mub, jnp.clip(t - stage, 0, m_count - 1), 0,
+                    keepdims=False)
+                out, ks, vs_ = stage_fn(inp, vstart)
+                nxt = lax.ppermute(out, PP_AXIS,
+                                   [(i, (i + 1) % pp) for i in range(pp)])
+                return nxt, (out, ks, vs_)
+
+            recv0 = jnp.zeros((mb,) + h_glob.shape[1:], h_glob.dtype)
+            _, (ys, kys, vys) = lax.scan(tick, recv0, jnp.arange(n_ticks))
+            outs = jnp.where(stage == pp - 1, ys[pp - 1:],
+                             jnp.zeros_like(ys[pp - 1:]))
+            outs = lax.psum(outs.astype(jnp.float32), PP_AXIS)
+            h_out = _unstripe(outs)
+            # this stage computed its REAL microbatch m at tick m + stage:
+            # gather those ticks' K/V — (M, lps, mb, s, H, Dh)
+            idx = jnp.arange(m_count) + stage
+            def assemble(c):
+                c = jnp.take(c, idx, axis=0)
+                c = jnp.moveaxis(c, 0, 2)          # (lps, mb, M, s, H, Dh)
+                return c.reshape((c.shape[0], c.shape[1] * c.shape[2])
+                                 + c.shape[3:])
+            return h_out, assemble(kys), assemble(vys)
+
+        stacked_specs = jax.tree.map(lambda _: P(PP_AXIS), stacked)
+        h, ck, cv = jax.shard_map(
+            local_fn,
+            in_specs=(stacked_specs, P(PP_AXIS), P(), P(), P(), P()),
+            out_specs=(P(), P(PP_AXIS), P(PP_AXIS)),
+            axis_names={PP_AXIS},
+            check_vma=False,
+        )(stacked, adapters, h.astype(jnp.float32), video_start, rope_cos,
+          rope_sin)
+        h = h.astype(io_dtype)
+
+    if pad > 0:
+        widths = ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0))
+        ck = jnp.pad(ck, widths)
+        cv = jnp.pad(cv, widths)
+    h = model.apply({"params": rest}, h, method=lambda m, x: m.norm(x))
+    return h, ck, cv
+
+
+def pipeline_extend_logits(model, variables, tokens, cache_k, cache_v,
+                           prefix, video_start, microbatches: int = 0):
+    """Pipelined ``Transformer.extend_logits``: the option chunks sweep the
+    stages with each stage reading ITS layers' slice of the pp-sharded
+    cache from :func:`pipeline_prefill`."""
+    cfg, stacked, rest, adapters, mesh, pp = _pp_setup(model, variables)
+    b, n_opt, chunk_len = tokens.shape
+    cache_len = cache_k.shape[2]
+    h = jax.lax.stop_gradient(model.apply(
+        {"params": rest}, tokens.reshape(b, n_opt * chunk_len),
+        method=lambda m, t: m.tok_embeddings(t)))
+    rope_cos, rope_sin = precompute_rope(cfg.head_dim, cache_len,
+                                         cfg.rope_theta)
+    block = _block_module(model)
+
+    def apply_extend(p_layer, h_in, cos, sin, adapter, vstart, ck_l, cv_l,
+                     pr):
+        return block.apply({"params": p_layer}, h_in, cos, sin, adapter,
+                           vstart, ck_l, cv_l, pr, n_opt, method="extend")
+
+    if pp <= 1:
+        def body1(carry, xs):
+            p_layer, adapter, ck_l, cv_l = xs
+            return apply_extend(p_layer, carry, rope_cos, rope_sin, adapter,
+                                video_start, ck_l, cv_l, prefix), None
+        h, _ = lax.scan(body1, h, (stacked, adapters, cache_k, cache_v))
+    else:
+        dp = mesh.shape.get(DP_AXIS, 1) if DP_AXIS in mesh.axis_names else 1
+        rows = b // dp if (dp > 1 and b % dp == 0) else b
+        m_count = _pick_microbatches(microbatches, pp, rows)
+        n_ticks = m_count + pp - 1
+        io_dtype = h.dtype
+
+        def local_fn(p_stage, a_stage, ck_stage, cv_stage, h_glob, pr_glob,
+                     vs_glob, cos, sin):
+            stage = lax.axis_index(PP_AXIS)
+            h_glob = h_glob.astype(io_dtype)
+            mb = h_glob.shape[0] // m_count
+            h_mub = _stripe(h_glob, m_count)
+            pr_mub = _stripe(pr_glob, m_count)
+            vs_mub = _stripe(vs_glob, m_count)
+            # caches: stripe the batch axis (axis 1) identically
+            def stripe_cache(c):
+                lps = c.shape[0]
+                c = c.reshape((lps, mb, m_count) + c.shape[2:])
+                return jnp.moveaxis(c, 2, 0)       # (M, lps, mb, S, H, Dh)
+            ck_mub = stripe_cache(ck_stage)
+            cv_mub = stripe_cache(cv_stage)
+
+            def stage_fn(h_in, pr, vstart, ck_t, cv_t):
+                def sbody(carry, xs):
+                    p_layer, adapter, ck_l, cv_l = xs
+                    return apply_extend(p_layer, carry, cos, sin, adapter,
+                                        vstart, ck_l, cv_l, pr), None
+                out, _ = lax.scan(sbody, h_in,
+                                  (p_stage, a_stage, ck_t, cv_t))
+                return out
+
+            def tick(recv, t):
+                feed = lax.dynamic_index_in_dim(
+                    h_mub, jnp.clip(t, 0, m_count - 1), 0, keepdims=False)
+                inp = jnp.where(stage == 0, feed, recv)
+                mi = jnp.clip(t - stage, 0, m_count - 1)
+                pr = lax.dynamic_index_in_dim(pr_mub, mi, 0, keepdims=False)
+                vstart = lax.dynamic_index_in_dim(vs_mub, mi, 0,
+                                                  keepdims=False)
+                ck_t = lax.dynamic_index_in_dim(ck_mub, mi, 0,
+                                                keepdims=False)
+                cv_t = lax.dynamic_index_in_dim(cv_mub, mi, 0,
+                                                keepdims=False)
+                out = stage_fn(inp, pr, vstart, ck_t, cv_t)
+                nxt = lax.ppermute(out, PP_AXIS,
+                                   [(i, (i + 1) % pp) for i in range(pp)])
+                return nxt, out
+
+            recv0 = jnp.zeros((mb,) + h_glob.shape[1:], h_glob.dtype)
+            _, ys = lax.scan(tick, recv0, jnp.arange(n_ticks))
+            outs = jnp.where(stage == pp - 1, ys[pp - 1:],
+                             jnp.zeros_like(ys[pp - 1:]))
+            outs = lax.psum(outs.astype(jnp.float32), PP_AXIS)
+            return _unstripe(outs)
+
+        stacked_specs = jax.tree.map(lambda _: P(PP_AXIS), stacked)
+        h = jax.shard_map(
+            local_fn,
+            in_specs=(stacked_specs, P(PP_AXIS), P(PP_AXIS), P(PP_AXIS),
+                      P(), P(), P(), P(), P()),
+            out_specs=P(),
+            axis_names={PP_AXIS},
+            check_vma=False,
+        )(stacked, adapters, cache_k, cache_v, h.astype(jnp.float32),
+          prefix, video_start, rope_cos, rope_sin)
+        h = h.astype(io_dtype)
+
+    logits = model.apply({"params": rest}, h,
+                         method=lambda m, x: m.output(m.norm(x)))
+    return logits.reshape(b, n_opt, chunk_len, cfg.vocab_size)
+
+
 # --- the model wrapper ---------------------------------------------------------
 
 class PipelinedModel:
     """Duck-types the ``model.apply(variables, ..., method=...)`` surface the
     training/eval engines use (train/objectives.py, train/step.py), routing
-    ``encode`` through :func:`pipeline_encode` and everything else to the
-    wrapped model with the stacked subtree stripped. Built by
-    train/builder.py when --pp > 1."""
+    ``encode``/``prefill``/``extend_logits`` through the pipelined
+    implementations and everything else to the wrapped model with the
+    stacked subtree stripped. Built by train/builder.py when --pp > 1."""
 
     def __init__(self, model, microbatches: int = 0):
         self._model = model
@@ -314,11 +536,19 @@ class PipelinedModel:
         if method == "encode":
             return pipeline_encode(self._model, variables, *args,
                                    microbatches=self._microbatches, **kwargs)
-        if method in ("prefill", "extend_logits", "decode_step"):
+        if method == "prefill":
+            return pipeline_prefill(self._model, variables, *args,
+                                    microbatches=self._microbatches,
+                                    **kwargs)
+        if method == "extend_logits":
+            return pipeline_extend_logits(self._model, variables, *args,
+                                          microbatches=self._microbatches,
+                                          **kwargs)
+        if method == "decode_step":
             raise NotImplementedError(
-                f"method {method!r} (a KV-cache path) is not supported under "
-                f"pipeline parallelism — the eval engine uses the dense "
-                f"scorer and generation requires pp=1")
+                "decode_step under pipeline parallelism is not supported — "
+                "per-token decode through the stage ring is latency-bound; "
+                "generation requires pp=1")
         if method is None:
             # __call__ convenience (fuse → encode → heads), pipelined
             tokens, video, audio, video_start, splice_index = args

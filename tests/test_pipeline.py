@@ -305,11 +305,11 @@ def test_pp_dense_eval_scores_match(mesh_cfg):
     np.testing.assert_array_equal(pred, np.argmin(want, axis=-1))
 
 
-def test_pp_kv_cache_paths_refuse():
+def test_pp_decode_refuses():
     model, params, *_ = _setup()
     pmodel = PipelinedModel(model)
-    with pytest.raises(NotImplementedError, match="KV-cache"):
-        pmodel.apply({"params": {}}, None, method="prefill")
+    with pytest.raises(NotImplementedError, match="decode_step"):
+        pmodel.apply({"params": {}}, None, method="decode_step")
 
 
 def test_pp_quantized_w8a8_runs():
@@ -641,3 +641,39 @@ def test_pp_sp_flash_matches_einsum():
     for a, w in zip(flat_f, flat_e):
         np.testing.assert_allclose(np.asarray(a), np.asarray(w),
                                    rtol=0.1, atol=5e-3)
+
+
+@pytest.mark.parametrize("mesh_cfg", [MeshConfig(dp=2, pp=2),
+                                      MeshConfig(dp=1, pp=2, tp=2)])
+def test_pp_cached_eval_scores_match(mesh_cfg):
+    """The prefix-shared CACHED scorer under pp (pipelined prefill with a
+    pp-sharded cache + pipelined chunk-extend) reproduces the plain model's
+    dense option scores exactly — the 2-4× eval path no longer falls back
+    under pipeline parallelism."""
+    devs = cpu8()
+    model, params, _, _, tok = _setup()
+    items = make_synthetic_items(tok, 4, max_feats=4, max_seq_len=96,
+                                 visual_dim=16, seed=3, split="val")
+    ebatch = pack_eval_batch(items, 4)
+    ebatch = {k: jnp.array(v) for k, v in ebatch.items()
+              if isinstance(v, np.ndarray) and np.ndim(v) > 0}
+
+    want = np.asarray(option_scores(model, {"params": params}, ebatch))
+
+    trainable, frozen = partition_params(params)
+    t_st = stack_layer_params(trainable, CFG.n_layers)
+    f_st = stack_layer_params(frozen, CFG.n_layers)
+    pmodel = PipelinedModel(model)
+    eval_step = make_eval_step(pmodel, cached=True)
+    n_dev = mesh_cfg.dp * mesh_cfg.pp * max(1, mesh_cfg.tp)
+    mesh = make_mesh(mesh_cfg, devices=devs[:n_dev])
+    with jax.set_mesh(mesh):
+        t_sh = jax.device_put(t_st, param_shardings(mesh, t_st))
+        f_sh = jax.device_put(f_st, param_shardings(mesh, f_st))
+        b_sh = {k: jax.device_put(v, NamedSharding(mesh, P(DP_AXIS)))
+                for k, v in ebatch.items()}
+        out = eval_step(t_sh, f_sh, b_sh)
+        got = np.asarray(out["scores"])
+        pred = np.asarray(out["prediction"])
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(pred, np.argmin(want, axis=-1))
