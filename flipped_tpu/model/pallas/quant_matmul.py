@@ -323,16 +323,18 @@ def _dx_kernel(g_ref, kq_ref, sg_ref, o_ref, acc_scr, *,
         acc_scr[:] = jnp.zeros_like(acc_scr[:])
 
     gb = g_ref[:].astype(jnp.bfloat16)                   # (bm, bn)
-    acc = acc_scr[:]
+    parts = []
     for gi in range(gpb):                                # static unroll
         # same elementwise rounding as _g_bwd: bf16(kq)·bf16(s)
         w_g = (kq_ref[gi * group:(gi + 1) * group, :].astype(jnp.bfloat16)
                * sg_ref[0, gi, :].astype(jnp.bfloat16))  # (group, bn)
-        d = jax.lax.dot_general(
+        parts.append(jax.lax.dot_general(
             gb, w_g, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (bm, group)
-        acc = acc.at[:, gi * group:(gi + 1) * group].add(d)
-    acc_scr[:] = acc
+            preferred_element_type=jnp.float32))         # (bm, group)
+    # the unrolled groups tile the whole (bm, bk) block contiguously, so one
+    # concat + add covers the k axis — a sliced .at[].add would lower to
+    # scatter-add, which Mosaic cannot lower on TPU
+    acc_scr[:] = acc_scr[:] + jnp.concatenate(parts, axis=1)
 
     @pl.when(ni == nn - 1)
     def _finalize():
@@ -418,7 +420,7 @@ def _int4_dx_kernel(g_lo_ref, g_hi_ref, kq4_ref, sg_lo_ref, sg_hi_ref,
     w_hi = jnp.right_shift(jnp.left_shift(p32, 24), 28)
     gb_lo = g_lo_ref[:].astype(jnp.bfloat16)             # (bm, bn)
     gb_hi = g_hi_ref[:].astype(jnp.bfloat16)
-    acc = acc_scr[:]
+    parts = []
     for gi in range(gpb):                                # static unroll
         sl = slice(gi * group, (gi + 1) * group)
         # same elementwise rounding as _dequant_bf16: bf16(w)·bf16(s)
@@ -429,10 +431,11 @@ def _int4_dx_kernel(g_lo_ref, g_hi_ref, kq4_ref, sg_lo_ref, sg_hi_ref,
         dims = (((1,), (1,)), ((), ()))
         d = jax.lax.dot_general(gb_lo, wd_lo, dims,
                                 preferred_element_type=jnp.float32)
-        d = d + jax.lax.dot_general(gb_hi, wd_hi, dims,
-                                    preferred_element_type=jnp.float32)
-        acc = acc.at[:, sl].add(d)
-    acc_scr[:] = acc
+        parts.append(d + jax.lax.dot_general(
+            gb_hi, wd_hi, dims, preferred_element_type=jnp.float32))
+    # contiguous static unroll over the k axis: concat + add, no scatter
+    # (Mosaic cannot lower the sliced .at[].add form on TPU)
+    acc_scr[:] = acc_scr[:] + jnp.concatenate(parts, axis=1)
 
     @pl.when(ni == nn - 1)
     def _finalize():
