@@ -22,6 +22,8 @@ scripts/int8_parity_study.py --phase w8a8 for the measured envelope.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
@@ -62,9 +64,16 @@ def _fwd(x, kq, scale):
 def _bwd(res, g):
     kq, scale = res
     k_dim = kq.shape[0]
-    if k_dim % 128 == 0:
+    if (k_dim % 128 == 0
+            and os.environ.get("FLIPPED_DX_PALLAS_PER_CHANNEL", "0") == "1"):
         # per-channel scales as degenerate 128-wide groups (identical value
-        # per group) — unlocks the block-dequant dx kernel on TPU
+        # per group) routed through the block-dequant dx kernel. MEASURED
+        # SLOWER on v5e at the 7B bench shape (0.545 vs 0.451 s/step): for
+        # per-channel scales XLA's dequant + one full-width dot beats the
+        # kernel's group-sliced dots, so the XLA path below is the default —
+        # the Pallas dx kernels stay the default only for the grouped
+        # (sub-channel) and packed-int4 paths (_g_bwd / _int4_bwd), whose
+        # XLA backwards must materialize real per-group dequant buffers.
         sg = jnp.broadcast_to(scale[None, :], (k_dim // 128, scale.shape[0]))
         dx = _dx_dispatch(g, kq, sg)
     else:
