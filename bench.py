@@ -151,8 +151,8 @@ def bench_eval(args, cfg, model, trainable, frozen, tok):
         span = max(span, int(batch["span_need"]))
         batches.append({k: jnp.array(v) for k, v in batch.items()
                         if isinstance(v, np.ndarray)
-                        and k not in ("answer", "qtype", "span_need",
-                                      "span_exact")})
+                        and k not in ("answer", "qtype", "qid",
+                                      "span_need", "span_exact")})
     span = -(-span // 8) * 8  # pin one compile shape across all batches
 
     results = {}
@@ -204,8 +204,8 @@ def bench_generation(args, cfg, model, trainable, frozen, tok):
         batch = pack_eval_batch(items, cfg.max_feats)
         batches.append({k: jnp.array(v) for k, v in batch.items()
                         if isinstance(v, np.ndarray)
-                        and k not in ("answer", "qtype", "span_need",
-                                      "span_exact")})
+                        and k not in ("answer", "qtype", "qid",
+                                      "span_need", "span_exact")})
 
     from flipped_tpu.train.generation import MAX_NEW_TOKENS
 
@@ -443,6 +443,12 @@ def main():
     flops = train_step_flops(cfg, n_seqs_lm=n_obj_lm * b,
                              n_seqs_total=n_obj * b, s=s)
     mfu = flops / dt / peak_flops()
+    # int8-activation configs (w8a8*/w4a8*) run the backbone MACs at the
+    # MXU's doubled int8 rate — report utilization against BOTH peaks so
+    # neither a parser nor a skimmer can misread 'mfu' (which is and stays
+    # bf16-equivalent for cross-config comparability; docs/PERF.md ¹ note)
+    int8_macs = args.quantize.startswith(("w8a8", "w4a8"))
+    mfu_int8_peak = (flops / dt / (2.0 * peak_flops())) if int8_macs else None
 
     result = {
         "metric": "nextqa_7b_train_examples_per_sec_per_chip"
@@ -460,6 +466,14 @@ def main():
                                 "(BASELINE.md); NOT a ratio to a measured "
                                 "PyTorch baseline",
             "mfu": round(mfu, 4),
+            "mfu_bf16_equiv": round(mfu, 4),
+            "mfu_note": "mfu == mfu_bf16_equiv: model FLOPs / bf16 peak "
+                        "(197 TF v5e) for cross-config comparability; "
+                        "mfu_int8_peak divides by the doubled int8 MXU rate "
+                        "and is the true hardware utilization for "
+                        "int8-activation (w8a8*/w4a8*) configs",
+            **({"mfu_int8_peak": round(mfu_int8_peak, 4)}
+               if mfu_int8_peak is not None else {}),
             "model_flops_per_step": flops,
             "device": jax.devices()[0].device_kind,
             "batch": args.batch, "accum": args.accum,

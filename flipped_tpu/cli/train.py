@@ -50,7 +50,7 @@ def _shard_batch(batch: Dict[str, np.ndarray], mesh, train: bool):
     multi = jax.process_count() > 1
     out = {}
     for k, v in batch.items():
-        if (k in ("valid", "answer", "qtype", "gt_answer")
+        if (k in ("valid", "answer", "qtype", "gt_answer", "qid")
                 or not isinstance(v, np.ndarray) or np.ndim(v) == 0):
             continue
         spec = P(None, DP_AXIS) if train else P(DP_AXIS)
@@ -167,15 +167,15 @@ def val_one_epoch(tokenizer, eval_step, gen_step, trainable, frozen,
                                            pi)[:valid]
             answers = [decode_generated(tokenizer, g, tokenizer.eos_id)
                        for g in generated]
-            # global dataset row: the loader shards val as
-            # order[shard_index::shard_count] (shuffle off), so local
-            # row j maps to j*shard_count + shard_index — rank-merged
-            # answer files then carry real, disjoint example ids
+            # real dataset row ids carried through the batch (pack_eval_batch
+            # stamps item.qid) — correct under ANY loader order, shuffled or
+            # Grain-reordered included; rank-merged answer files stay
+            # disjoint because index SELECTION is sharded per process
             if is_shard_leader:
+                qids = batch["qid"][:valid]
                 extracted_all += [
-                    {"qid": int((it * loader.batch_size + i) * pc + pi),
-                     "generated_answer": a}
-                    for i, a in enumerate(answers)]
+                    {"qid": int(q), "generated_answer": a}
+                    for q, a in zip(qids, answers)]
             if dataset == "musicavqa":
                 # string-prefix match vs the single GT option
                 # (reference: engine.py:100-116)

