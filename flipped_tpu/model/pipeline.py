@@ -36,12 +36,13 @@ from one implementation. (Pallas fast paths stay live inside: the quant
 and flash dispatches detect the already-manual 'pp' axis and nest their
 own shard_maps over the remaining auto axes — see _block_module.)
 
-Scope: training and eval, including the prefix-shared cached scorer —
-:func:`pipeline_prefill` keeps each stage's layers' K/V resident (the
-cache is pp-sharded on the layer axis) and :func:`pipeline_extend_logits`
-sweeps the option chunks through the stages against it. Only per-token
-generation decode requires pp=1 (a stage ring per generated token is
-latency-bound by design). sp inside a pp run composes through
+Scope: training, eval, AND generation — :func:`pipeline_prefill` keeps each
+stage's layers' K/V resident (the cache is pp-sharded on the layer axis),
+:func:`pipeline_extend_logits` sweeps the option chunks through the stages
+against it, and :func:`pipeline_decode_step` rings each generated token
+through the stages (latency-bound by design — (pp−1)/pp idle per tick —
+but the only way to greedy-decode a backbone too big for one chip).
+sp inside a pp run composes through
 GSPMD (per-block residual constraints in the stage bodies), and the
 sp-FLASH streaming wrappers nest too: when another shard_map is already
 manual over 'pp', they take manual only {dp, sp, tp} (flash_attention.py
@@ -100,10 +101,10 @@ def validate_pp(mesh_cfg, cfg, is_generation_task: bool = False) -> None:
             f"(got {cfg.adapter_layer} != {cfg.n_layers}): the reference's "
             f"layer-window SKIPS early blocks entirely (model.py:338), which "
             f"would leave pipeline stages empty")
-    if is_generation_task:
-        raise ValueError(
-            "--pp does not support generation tasks (KV-cache decode is a "
-            "pp=1 path); drop --is_generation_task or --pp")
+    # generation tasks run under pp too: pipeline_prefill fills pp-sharded
+    # caches and pipeline_decode_step rings each token through the stages
+    # (latency-bound but correct — the capacity-mesh generation path)
+    del is_generation_task
 
 
 # --- the pipelined encode ------------------------------------------------------
@@ -416,6 +417,97 @@ def pipeline_prefill(model, variables, tokens, video_feature, video_start,
     return h, ck, cv
 
 
+def pipeline_decode_step(model, variables, token, cache_k, cache_v, pos,
+                         video_start):
+    """Pipelined ``Transformer.decode_step``: ONE token crosses the stage
+    ring — stage s runs its layers at tick s against its pp-sharded cache
+    slice and ppermutes the activation onward; after pp ticks the last
+    stage's output is psum-broadcast and the head produces the next-token
+    logits. Latency-bound by design ((pp−1)/pp of each tick is idle wait —
+    the whole batch decodes one token per ring traversal), but CORRECT and
+    the only way to greedy-decode a backbone too big for one chip
+    (reference capability: llama/model.py:367-546, which replicates the
+    full model per GPU). Inactive ticks compute on stale inputs and their
+    outputs AND cache writes are discarded."""
+    cfg, stacked, rest, adapters, mesh, pp = _pp_setup(model, variables)
+    cache_len = cache_k.shape[2]
+    h = jax.lax.stop_gradient(model.apply(
+        {"params": rest}, token[:, None],
+        method=lambda m, t: m.tok_embeddings(t)))
+    rope_cos, rope_sin = precompute_rope(cfg.head_dim, cache_len,
+                                         cfg.rope_theta)
+    block = _block_module(model)
+
+    def apply_decode(p_layer, h_in, cos, sin, adapter, vstart, ck_l, cv_l,
+                     pos_):
+        return block.apply({"params": p_layer}, h_in, cos, sin, adapter,
+                           vstart, ck_l, cv_l, pos_, method="decode")
+
+    if pp <= 1:
+        def body1(carry, xs):
+            p_layer, adapter, ck_l, cv_l = xs
+            h2, ck2, cv2 = apply_decode(p_layer, carry, rope_cos, rope_sin,
+                                        adapter, video_start, ck_l, cv_l,
+                                        pos)
+            return h2, (ck2, cv2)
+        h, (ck, cv) = lax.scan(body1, h, (stacked, adapters, cache_k,
+                                          cache_v))
+    else:
+        io_dtype = h.dtype
+
+        def local_fn(p_stage, a_stage, ck_stage, cv_stage, h0, pos_g, vs_g,
+                     cos, sin):
+            stage = lax.axis_index(PP_AXIS)
+            h0 = h0.astype(io_dtype)
+
+            def tick(carry, t):
+                recv, ck_st, cv_st = carry
+                # stage 0 is only active at tick 0 and always feeds from h0;
+                # later stages consume the ppermuted predecessor output
+                inp = jnp.where(stage == 0, h0, recv)
+
+                def sbody(c, xs):
+                    p_layer, adapter, ck_l, cv_l = xs
+                    h2, ck2, cv2 = apply_decode(p_layer, c, cos, sin,
+                                                adapter, vs_g, ck_l, cv_l,
+                                                pos_g)
+                    return h2, (ck2, cv2)
+
+                out, (cks, cvs) = lax.scan(sbody, inp,
+                                           (p_stage, a_stage, ck_st, cv_st))
+                active = t == stage
+                ck_st = jnp.where(active, cks, ck_st)   # discard bubble
+                cv_st = jnp.where(active, cvs, cv_st)   # cache writes
+                nxt = lax.ppermute(out, PP_AXIS,
+                                   [(i, (i + 1) % pp) for i in range(pp)])
+                keep = jnp.where((stage == pp - 1) & active, out,
+                                 jnp.zeros_like(out))
+                return (nxt, ck_st, cv_st), keep
+
+            (_, ck_f, cv_f), ys = lax.scan(
+                tick, (jnp.zeros_like(h0), ck_stage, cv_stage),
+                jnp.arange(pp))
+            # exactly one (stage, tick) pair contributed a nonzero `keep`
+            h_out = lax.psum(ys.sum(0).astype(jnp.float32), PP_AXIS)
+            return h_out, ck_f, cv_f
+
+        stacked_specs = jax.tree.map(lambda _: P(PP_AXIS), stacked)
+        h, ck, cv = jax.shard_map(
+            local_fn,
+            in_specs=(stacked_specs, P(PP_AXIS), P(PP_AXIS), P(PP_AXIS),
+                      P(), P(), P(), P(), P()),
+            out_specs=(P(), P(PP_AXIS), P(PP_AXIS)),
+            axis_names={PP_AXIS},
+            check_vma=False,
+        )(stacked, adapters, cache_k, cache_v, h.astype(jnp.float32), pos,
+          video_start, rope_cos, rope_sin)
+        h = h.astype(io_dtype)
+
+    logits = model.apply({"params": rest}, h,
+                         method=lambda m, x: m.output(m.norm(x)))[:, 0]
+    return logits, ck, cv
+
+
 def pipeline_extend_logits(model, variables, tokens, cache_k, cache_v,
                            prefix, video_start, microbatches: int = 0):
     """Pipelined ``Transformer.extend_logits``: the option chunks sweep the
@@ -545,10 +637,8 @@ class PipelinedModel:
                                           microbatches=self._microbatches,
                                           **kwargs)
         if method == "decode_step":
-            raise NotImplementedError(
-                "decode_step under pipeline parallelism is not supported — "
-                "per-token decode through the stage ring is latency-bound; "
-                "generation requires pp=1")
+            return pipeline_decode_step(self._model, variables, *args,
+                                        **kwargs)
         if method is None:
             # __call__ convenience (fuse → encode → heads), pipelined
             tokens, video, audio, video_start, splice_index = args

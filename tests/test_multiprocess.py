@@ -232,6 +232,80 @@ def test_two_process_sp2_spanning_boundary(synth_root16, tmp_path):
     assert got["val_acc"] == pytest.approx(ref["val_acc"], abs=1e-6)
 
 
+@pytest.fixture(scope="module")
+def synth_root32(tmp_path_factory):
+    # 32 train examples → 8 VAL examples (make_synthetic_data: val = n//4)
+    root = tmp_path_factory.mktemp("mp_data32")
+    subprocess.run(
+        [sys.executable, "scripts/make_synthetic_data.py", "--root",
+         str(root), "--n", "32"], check=True, capture_output=True, cwd=REPO)
+    return str(root)
+
+
+def test_two_process_generation_eval_merge(synth_root32, tmp_path):
+    """GENERATION-eval across 2 processes (round-3 verdict, missing item):
+    disjoint qids per rank, rank shards merged into ONE complete answer
+    file covering every dataset row, MUSIC-AVQA string-prefix accuracy
+    synced across processes, and answers matching a single-process run of
+    the same dp2 mesh (reference: util/misc.py:570-610 rank merge +
+    engine.py:78-121 generation val).
+
+    The reference run is ONE process driving the SAME dp2 mesh (2 virtual
+    devices) on identical global batches, so the only variable is the
+    process boundary + the rank merge. Cross-topology answer equality is
+    asserted on a token PREFIX, not full strings: compiling the same
+    program for a 2-process device topology shifts logits by ulps, and a
+    near-init tiny model's greedy decode carries exact ties — observed as
+    1-in-~120 mid-sequence token flips that re-converge immediately.
+    The merge contract itself (shards → merged file) is asserted exactly."""
+    def _answers(out_dir, name="extracted_answers_epoch0"):
+        p = os.path.join(out_dir, "extracted_answers", f"{name}.json")
+        rows = json.load(open(p))
+        m = {r["qid"]: r["generated_answer"] for r in rows}
+        assert len(m) == len(rows), "duplicate qids in " + name
+        return m
+
+    def _gen_argv(out, batch_size):
+        # full val epoch (no --debug: the merge must cover every example)
+        return ["--model", "tiny", "--dataset", "musicavqa", "--data_root",
+                synth_root32, "--batch_size", str(batch_size),
+                "--max_seq_len", "128", "--epochs", "1", "--warmup_epochs",
+                "0.5", "--blr", "9e-1", "--is_generation_task",
+                "--output_dir", out]
+
+    out1 = str(tmp_path / "single")
+    _launch_cli(1, _gen_argv(out1, batch_size=2) + ["--dp", "2"],
+                local_devices=2)
+    ref_ans = _answers(out1)
+    ref = _log_line(out1)
+    assert sorted(ref_ans) == list(range(8))  # every dataset row answered
+
+    out2 = str(tmp_path / "dp2gen")
+    outs = _launch_cli(2, _gen_argv(out2, batch_size=1) + ["--dp", "2"])
+    assert "initialized jax.distributed via env: process 0/2" in outs[0]
+    got_ans = _answers(out2)
+    got = _log_line(out2)
+
+    # per-rank shard files exist, carry DISJOINT qids, and their union IS
+    # the merged file (the merge contract, asserted exactly)
+    r0 = _answers(out2, "extracted_answers_epoch0_rank0")
+    r1 = _answers(out2, "extracted_answers_epoch0_rank1")
+    assert r0 and r1 and not (set(r0) & set(r1))
+    assert {**r0, **r1} == got_ans
+
+    # same complete qid coverage as the single-process run, and per-qid
+    # answers agree on a 4-token prefix (the musicavqa metric's semantics;
+    # full-string equality across process topologies is a ulp-level
+    # numerics claim, not a merge claim — see docstring)
+    assert sorted(got_ans) == sorted(ref_ans)
+    for q in ref_ans:
+        got_pre = got_ans[q].split()[:4]
+        ref_pre = ref_ans[q].split()[:4]
+        assert got_pre == ref_pre, (q, got_ans[q], ref_ans[q])
+    # MUSIC-AVQA prefix-match accuracy synced identically
+    assert got["val_acc"] == pytest.approx(ref["val_acc"], abs=1e-6)
+
+
 def test_two_process_tp2_spanning_boundary(synth_root16, tmp_path):
     """tp=2 with ONE device per process: the tensor-parallel axis spans the
     process boundary, so every backbone matmul's collectives cross
