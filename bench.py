@@ -310,10 +310,14 @@ def main():
     ap.add_argument("--no_remat", dest="remat", action="store_false")
     ap.set_defaults(remat=False)
     ap.add_argument("--remat_policy", default="qkv", choices=["full", "qkv"])
+    ap.add_argument("--remat_group", type=int, default=1,
+                    help="checkpoint every N blocks as one remat unit "
+                         "(2 = the 16k-context capacity knob)")
     ap.add_argument("--quantize", default="w8a8",
                     choices=["none", "int8", "w8a8", "int8g", "w8a8g",
                              "int4", "w4a8", "int4r", "w4a8r",
-                             "int8o", "w8a8o", "int8r", "w8a8r"])
+                             "int8o", "w8a8o", "int8r", "w8a8r",
+                             "w8a8d", "w8a8rd"])
     ap.add_argument("--mode", default="train",
                     choices=["train", "eval", "generation"])
     ap.add_argument("--ref_style", action="store_true",
@@ -342,6 +346,7 @@ def main():
     model = FlippedVQAModel(cfg, use_flash=on_tpu and not args.no_flash,
                             remat=args.remat,
                             remat_policy=args.remat_policy,
+                            remat_group=args.remat_group,
                             **quant_flags(args.quantize))
 
     b = args.batch * args.accum
@@ -480,6 +485,8 @@ def main():
             "seq_len": s, "loss": round(float(m.loss), 4),
             "quantize": args.quantize,
             "remat": args.remat and args.remat_policy,
+            **({"remat_group": args.remat_group}
+               if args.remat_group > 1 else {}),
             **_hbm_extra(),
         },
     }

@@ -130,6 +130,10 @@ class TrainConfig:
     # Rematerialize transformer blocks to trade FLOPs for HBM
     remat: bool = True
     remat_policy: str = "full"
+    # checkpoint every N consecutive blocks as one remat unit (1 = per
+    # block): fewer saved boundary activations, same recompute FLOPs —
+    # the long-context capacity knob (model/llama.py remat_group note)
+    remat_group: int = 1
     # int8 weight-only quantization of the frozen backbone ('none' | 'int8')
     quantize: str = "none"
     # Use the Pallas flash-attention kernel on TPU (einsum fallback otherwise)
@@ -154,7 +158,17 @@ def quant_flags(mode: str) -> dict:
     checkpoint with PLAIN absmax scales, ckpt/rotate.py; int4/w4a8 = packed
     4-bit weights with mandatory grouped scales, model/int4.py — also
     composable with 'r'). Used by the builder, bench, and the parity study
-    so the call sites cannot drift."""
+    so the call sites cannot drift. Trailing 'd' = int8-quantized
+    activation-GRADIENT dx dots too (int8.int8_matmul_dgrad) — per-channel
+    w8a8 only (w8a8d|w8a8rd): the grouped/int4 backwards route through the
+    Pallas dx kernels, which dequantize per block already."""
+    dgrad = mode.endswith("d") and mode != "none"
+    if dgrad:
+        if mode not in ("w8a8d", "w8a8rd"):
+            raise ValueError(
+                f"--quantize {mode}: the 'd' (quantized-dgrad) suffix "
+                f"composes only with per-channel w8a8 (w8a8d|w8a8rd)")
+        mode = mode[:-1]
     bits4 = mode in ("int4", "w4a8", "int4r", "w4a8r")
     return {
         "quantized": mode != "none",
@@ -163,6 +177,7 @@ def quant_flags(mode: str) -> dict:
         "quant_group": 128 if (bits4 or mode[-1:] in ("g", "o")) else 0,
         "quant_outliers": mode.endswith("o"),
         "rotated": mode.endswith("r"),
+        "dgrad_quant": dgrad,
     }
 
 
@@ -270,10 +285,15 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat_policy", default="full", choices=["full", "qkv"],
                    help="'qkv' saves attention q/k/v+out (no attention "
                         "recompute; +~2.4GB at 7B) — use when HBM allows")
+    p.add_argument("--remat_group", type=int, default=1,
+                   help="checkpoint every N consecutive blocks as one remat "
+                        "unit (fewer saved boundaries, same recompute "
+                        "FLOPs) — 2 fits the 7B 16k-context recipe")
     p.add_argument("--quantize", default="none",
                    choices=["none", "int8", "w8a8", "int8g", "w8a8g",
                             "int8o", "w8a8o", "int8r", "w8a8r",
-                            "int4", "w4a8", "int4r", "w4a8r"],
+                            "int4", "w4a8", "int4r", "w4a8r",
+                            "w8a8d", "w8a8rd"],
                    help="int8: weight-only quantization of the frozen "
                         "backbone (halves its HBM); w8a8: additionally "
                         "quantize activations per token and run block "
@@ -357,6 +377,7 @@ def run_config_from_args(args: argparse.Namespace) -> RunConfig:
         start_epoch=args.start_epoch, clip_grad=args.clip_grad,
         remat=not args.no_remat, flash_attention=not args.no_flash,
         remat_policy=args.remat_policy, quantize=args.quantize,
+        remat_group=args.remat_group,
         lm_head_chunk=args.lm_head_chunk,
     )
     mesh = MeshConfig(dp=args.dp, pp=getattr(args, "pp", 1), sp=args.sp,

@@ -99,6 +99,43 @@ int8_matmul.defvjp(_fwd, _bwd)
 
 
 # ---------------------------------------------------------------------------
+# w8a8d: additionally run the BACKWARD dx dot on the int8 MXU rate.
+# dx[m,k] = Σ_n g[m,n]·s[n]·kq[k,n]: fold the weight scale into the
+# cotangent, per-row absmax-quantize it, and contract int8×int8. Measured
+# per-matmul on v5e at the 7B bench shapes (scripts/dx_formulation_probe.py):
+# 22-30% faster than the exact bf16 dx. NOT exact — adds activation-grad
+# rounding on top of w8a8's forward rounding (probe err vs f64: ~6e-2 of
+# the dx std, vs ~2e-2 for the bf16 forms); trajectory evidence in
+# scripts/int8_parity_study.py --phase w8a8d and docs/PERF.md. Opt-in via
+# --quantize w8a8d|w8a8rd.
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def int8_matmul_dgrad(x, kq, scale):
+    """int8_matmul with an int8-quantized activation-gradient backward."""
+    return _int8_matmul_fwd_impl(x, kq, scale)
+
+
+def _bwd_dgrad(res, g):
+    kq, scale = res
+    gs = g.astype(jnp.float32) * scale[None, :]
+    amax = jnp.max(jnp.abs(gs), axis=-1, keepdims=True)
+    gsc = jnp.maximum(amax / 127.0, _EPS)
+    gq = jnp.round(gs / gsc).astype(jnp.int8)
+    out = jax.lax.dot_general(
+        gq, kq, (((g.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    dx = (out.astype(jnp.float32) * gsc).astype(g.dtype)
+    zero = np.zeros((), jax.dtypes.float0)
+    return (dx,
+            np.broadcast_to(zero, kq.shape),
+            jnp.zeros_like(scale))
+
+
+int8_matmul_dgrad.defvjp(_fwd, _bwd_dgrad)
+
+
+# ---------------------------------------------------------------------------
 # Grouped (sub-channel) w8a8: scales per (input-group, output-channel) for
 # weights and per (token, input-group) for activations. The outlier-robust
 # variant: a single amplified channel only degrades the resolution of its

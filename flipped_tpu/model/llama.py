@@ -35,7 +35,7 @@ from jax.ad_checkpoint import checkpoint_name
 from ..core.config import ModelConfig
 from .attention import (adapter_gated_attention, chunk_extend_attention,
                         decode_attention)
-from .int8 import int8_matmul
+from .int8 import int8_matmul, int8_matmul_dgrad
 from .layers import apply_rope, apply_rope_at, precompute_rope, rms_norm
 from .pallas import flash_adapter_attention
 from .pallas.flash_attention import sp_flash_or_einsum
@@ -89,6 +89,9 @@ class Linear(nn.Module):
     # GSPMD-partitioned jits (sequence parallelism), where a Pallas kernel
     # is a single-device program and would force gathers around every matmul
     quant_pallas: bool = True
+    # w8a8d: run the backward dx dot int8-quantized too (per-channel w8a8
+    # only — enforced by core/config.quant_flags). See int8_matmul_dgrad.
+    dgrad_quant: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -149,7 +152,8 @@ class Linear(nn.Module):
             scale = self.param("scale", nn.initializers.ones,
                                (self.features,), jnp.float32)
             if self.act_quant:
-                return int8_matmul(x, kq, scale) + passthrough
+                mm = int8_matmul_dgrad if self.dgrad_quant else int8_matmul
+                return mm(x, kq, scale) + passthrough
             kernel = kq.astype(self.dtype) * scale.astype(self.dtype)[None, :]
             return x @ kernel + passthrough
         kernel = self.param("kernel", _torch_linear_init(),
@@ -183,6 +187,7 @@ class Attention(nn.Module):
     quant_outliers: bool = False
     weight_bits: int = 8
     quant_pallas: bool = True
+    dgrad_quant: bool = False
     # sequence parallelism: dispatch to the shard_map'd streaming kernels
     # (sp_flash_or_einsum) — the single-device Pallas wrappers cannot be
     # GSPMD-partitioned
@@ -197,7 +202,8 @@ class Attention(nn.Module):
                                 quant_group=self.quant_group,
                                 quant_outliers=self.quant_outliers,
                                 weight_bits=self.weight_bits,
-                                quant_pallas=self.quant_pallas)
+                                quant_pallas=self.quant_pallas,
+                                dgrad_quant=self.dgrad_quant)
         self.wq, self.wk, self.wv, self.wo = (lin(name=n) for n in
                                               ("wq", "wk", "wv", "wo"))
         # Zero-init tanh gate on the adapter segment; -bias init on the
@@ -329,6 +335,7 @@ class FeedForward(nn.Module):
     quant_outliers: bool = False
     weight_bits: int = 8
     quant_pallas: bool = True
+    dgrad_quant: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -340,7 +347,8 @@ class FeedForward(nn.Module):
                                 quant_group=self.quant_group,
                                 quant_outliers=self.quant_outliers,
                                 weight_bits=self.weight_bits,
-                                quant_pallas=self.quant_pallas)
+                                quant_pallas=self.quant_pallas,
+                                dgrad_quant=self.dgrad_quant)
         w1 = lin(hidden, name="w1")
         w2 = lin(self.cfg.dim, name="w2")
         w3 = lin(hidden, name="w3")
@@ -362,6 +370,7 @@ class TransformerBlock(nn.Module):
     weight_bits: int = 8
     quant_pallas: bool = True
     seq_shard: bool = False
+    dgrad_quant: bool = False
 
     def setup(self):
         self.attention = Attention(self.cfg, self.dtype, self.frozen_dtype,
@@ -369,12 +378,14 @@ class TransformerBlock(nn.Module):
                                    self.quantized, self.act_quant,
                                    self.quant_group, self.quant_outliers,
                                    self.weight_bits, self.quant_pallas,
-                                   self.seq_shard)
+                                   dgrad_quant=self.dgrad_quant,
+                                   seq_shard=self.seq_shard)
         self.feed_forward = FeedForward(self.cfg, self.dtype,
                                         self.frozen_dtype, self.quantized,
                                         self.act_quant, self.quant_group,
                                         self.quant_outliers,
-                                        self.weight_bits, self.quant_pallas)
+                                        self.weight_bits, self.quant_pallas,
+                                        dgrad_quant=self.dgrad_quant)
         self.attention_norm = RMSNorm(self.cfg.dim, self.cfg.norm_eps,
                                       self.frozen_dtype)
         self.ffn_norm = RMSNorm(self.cfg.dim, self.cfg.norm_eps,
@@ -443,6 +454,14 @@ class FlippedVQAModel(nn.Module):
     # attention never recomputes — ~2.4 GB extra at 7B/S=128 for less
     # recompute FLOPs.
     remat_policy: str = "full"
+    # checkpoint every `remat_group` consecutive blocks as ONE remat unit:
+    # only group-boundary residuals are saved (n_layers/group instead of
+    # n_layers boundary activations — at 7B/S=16k each boundary is 128 MB,
+    # so group=2 frees ~2.1 GB), at the cost of holding `group` layers'
+    # recomputed intermediates at once during that group's backward. Total
+    # recompute FLOPs are unchanged (every layer still recomputes exactly
+    # once). The S=16k capacity row needs group=2 to fit 16 GB.
+    remat_group: int = 1
     # int8 weight-only quantization of the frozen backbone matmuls
     quantized: bool = False
     # w8a8: additionally run block matmuls as int8×int8 on the MXU (2× rate).
@@ -461,6 +480,10 @@ class FlippedVQAModel(nn.Module):
     # logits feed the eval argmin (engine.py:87-93) directly, and it is
     # 0.13 GB at 7B.
     weight_bits: int = 8
+    # w8a8d: int8-quantized activation-GRADIENT dx dots in the block
+    # backward too (int8.int8_matmul_dgrad; --quantize w8a8d|w8a8rd). The
+    # LM head is untouched (weight-only, exact bf16 dx).
+    dgrad_quant: bool = False
     # Sequence parallelism (--sp > 1, core/mesh.py): constrain the residual
     # stream to (dp, sp, None) at every block boundary so GSPMD shards
     # norms/MLP/projections over S/sp tokens per chip and inserts the K/V
@@ -487,7 +510,8 @@ class FlippedVQAModel(nn.Module):
                              self.quantized, self.act_quant,
                              self.quant_group, self.quant_outliers,
                              self.weight_bits, not self.seq_shard,
-                             self.seq_shard, name=f"layers_{i}")
+                             self.seq_shard, dgrad_quant=self.dgrad_quant,
+                             name=f"layers_{i}")
             for i in range(cfg.n_layers)
         ]
         self.norm = RMSNorm(cfg.dim, cfg.norm_eps, self.frozen_dtype,
@@ -605,19 +629,42 @@ class FlippedVQAModel(nn.Module):
         h = self._embed_and_splice(tokens, video_feature, splice_index)
         rope_cos, rope_sin = precompute_rope(cfg.head_dim, tokens.shape[1],
                                              cfg.rope_theta)
+        policy = None
         if self.remat and self.remat_policy == "qkv":
             policy = jax.checkpoint_policies.save_only_these_names(
                 "attn_q", "attn_k", "attn_v", "attn_out")
+        h = self._seq_wsc(h)
+        if self.remat and self.remat_group > 1:
+            # group remat: one checkpoint over `remat_group` blocks — only
+            # group-boundary h is saved (see remat_group field note). The
+            # group bounds are static closure args (nn.remat static_argnums
+            # counts the module at 0).
+            group_call = nn.remat(type(self)._run_block_range,
+                                  static_argnums=(5, 6), policy=policy)
+            n = len(self._active_blocks())
+            for start in range(0, n, self.remat_group):
+                stop = min(start + self.remat_group, n)
+                h = group_call(self, h, rope_cos, rope_sin, video_start,
+                               start, stop)
+            return self.norm(h)
+        if self.remat:
             block_call = nn.remat(TransformerBlock.__call__, policy=policy)
-        elif self.remat:
-            block_call = nn.remat(TransformerBlock.__call__)
         else:
             block_call = TransformerBlock.__call__
-        h = self._seq_wsc(h)
         for block, adapter in self._active_blocks():
             h = block_call(block, h, rope_cos, rope_sin, adapter, video_start)
             h = self._seq_wsc(h)
         return self.norm(h)
+
+    def _run_block_range(self, h, rope_cos, rope_sin, video_start,
+                         start: int, stop: int):
+        """Run active blocks [start, stop) — the remat_group checkpoint
+        unit. Per-block sequence-parallel sharding constraints stay inside
+        so GSPMD keeps the residual stream sp-sharded across the group."""
+        for block, adapter in self._active_blocks()[start:stop]:
+            h = block(h, rope_cos, rope_sin, adapter, video_start)
+            h = self._seq_wsc(h)
+        return h
 
     def _seq_wsc(self, h):
         """Residual-stream sharding constraint for sequence parallelism

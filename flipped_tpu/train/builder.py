@@ -69,6 +69,7 @@ def build_model(run_cfg: RunConfig, use_flash: bool | None = None,
     model = FlippedVQAModel(cfg, use_flash=use_flash,
                             remat=remat and run_cfg.train.remat,
                             remat_policy=run_cfg.train.remat_policy,
+                            remat_group=run_cfg.train.remat_group,
                             seq_shard=seq_shard,
                             **quant_flags(run_cfg.train.quantize))
     return model, cfg

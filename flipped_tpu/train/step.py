@@ -51,17 +51,26 @@ def make_train_step(model, tx: optax.GradientTransformation, vaq: bool,
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(trainable, opt_state, frozen, batch):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-
-        def micro_step(grad_acc, microbatch):
-            (_, losses), grads = grad_fn(trainable, frozen, microbatch)
-            grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
-            return grad_acc, losses
-
-        zeros = jax.tree_util.tree_map(
-            lambda p: jnp.zeros(p.shape, jnp.float32), trainable)
         accum = jax.tree_util.tree_leaves(batch)[0].shape[0]
-        grads, losses = jax.lax.scan(micro_step, zeros, batch)
-        grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+
+        if accum == 1:
+            # no accumulation: skip the scan — the while-loop body would
+            # cost a zeros-init + add pass over the grad tree and walls the
+            # whole fwd+bwd into a loop body whose buffers XLA assigns
+            # conservatively (long-context configs are HBM-marginal)
+            microbatch = jax.tree_util.tree_map(lambda x: x[0], batch)
+            (_, losses), grads = grad_fn(trainable, frozen, microbatch)
+            losses = jax.tree_util.tree_map(lambda x: x[None], losses)
+        else:
+            def micro_step(grad_acc, microbatch):
+                (_, losses), grads = grad_fn(trainable, frozen, microbatch)
+                grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
+                return grad_acc, losses
+
+            zeros = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), trainable)
+            grads, losses = jax.lax.scan(micro_step, zeros, batch)
+            grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
 
         grad_norm = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, opt_state, trainable)

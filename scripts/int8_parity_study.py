@@ -415,8 +415,8 @@ def report_train(args):
                "loss_drop_bf16": float(bf["loss"][0] - bf["loss"][-1])}
         bfr_path = os.path.join(args.out, f"train_bf16r{sfx}.npz")
         bfr = np.load(bfr_path) if os.path.exists(bfr_path) else None
-        for ph in ("int8", "w8a8", "int8g", "w8a8g", "int8o", "w8a8o",
-                   "int8r", "w8a8r", "bf16r", "int4", "w4a8",
+        for ph in ("int8", "w8a8", "w8a8d", "int8g", "w8a8g", "int8o",
+                   "w8a8o", "int8r", "w8a8r", "bf16r", "int4", "w4a8",
                    "int4r", "w4a8r"):
             path = os.path.join(args.out, f"train_{ph}{sfx}.npz")
             if not os.path.exists(path):
@@ -559,8 +559,8 @@ def report(args):
         bfr_path = os.path.join(args.out, f"scores_bf16r{sfx}.npz")
         bfr = np.load(bfr_path) if os.path.exists(bfr_path) else None
         out_all[dist] = {}
-        for phase in ("int8", "w8a8", "int8g", "w8a8g", "int8o", "w8a8o",
-                      "int8r", "w8a8r", "bf16r", "int4", "w4a8",
+        for phase in ("int8", "w8a8", "w8a8d", "int8g", "w8a8g", "int8o",
+                      "w8a8o", "int8r", "w8a8r", "bf16r", "int4", "w4a8",
                       "int4r", "w4a8r"):
             path = os.path.join(args.out, f"scores_{phase}{sfx}.npz")
             if not os.path.exists(path):
@@ -620,9 +620,10 @@ def _compare(bf, q8):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", required=True,
-                    choices=["bf16", "int8", "w8a8", "int8g", "w8a8g",
-                             "int8o", "w8a8o", "int8r", "w8a8r", "bf16r",
-                             "int4", "w4a8", "int4r", "w4a8r", "report"])
+                    choices=["bf16", "int8", "w8a8", "w8a8d", "int8g",
+                             "w8a8g", "int8o", "w8a8o", "int8r", "w8a8r",
+                             "bf16r", "int4", "w4a8", "int4r", "w4a8r",
+                             "report"])
     ap.add_argument("--out", default="/tmp/int8_study")
     ap.add_argument("--preset", default="7b", choices=["7b", "small", "tiny"])
     ap.add_argument("--batch", type=int, default=8)

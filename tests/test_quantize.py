@@ -468,3 +468,111 @@ def test_model_runs_outlier_quantized():
             vaq=True, qav=True)
         total = float(losses.total)
         assert np.isfinite(total) and total > 1.0, (act, total)
+
+
+def test_int8_matmul_dgrad_backward_matches_manual():
+    """w8a8d (--quantize w8a8d): forward is bit-identical to int8_matmul;
+    backward quantizes the scale-folded cotangent per row and contracts
+    int8×int8 (int8.int8_matmul_dgrad — the MXU-rate dx measured 22-30%
+    faster per matmul, scripts/dx_formulation_probe.py). Asserted against
+    a from-scratch numpy reference of exactly that recipe."""
+    from flipped_tpu.model.int8 import int8_matmul, int8_matmul_dgrad
+
+    rs = np.random.RandomState(11)
+    x = jnp.asarray(rs.randn(6, 64).astype(np.float32))
+    k = rs.randn(64, 32).astype(np.float32) * 0.05
+    q = quantize_kernel(k)
+    g = jnp.asarray(rs.randn(6, 32).astype(np.float32))
+
+    # forward: same impl, bitwise
+    np.testing.assert_array_equal(
+        np.asarray(int8_matmul_dgrad(x, q["kernel_q"], q["scale"])),
+        np.asarray(int8_matmul(x, q["kernel_q"], q["scale"])))
+
+    dx = jax.grad(lambda x_: (int8_matmul_dgrad(x_, q["kernel_q"],
+                                                q["scale"]) * g).sum())(x)
+
+    gs = np.asarray(g, np.float32) * np.asarray(q["scale"])[None, :]
+    amax = np.abs(gs).max(axis=-1, keepdims=True)
+    gsc = np.maximum(amax / 127.0, 1e-8)
+    gq = np.round(gs / gsc).astype(np.int8)
+    want = (gq.astype(np.int32) @ np.asarray(q["kernel_q"], np.int32).T
+            ).astype(np.float32) * gsc
+    np.testing.assert_allclose(np.asarray(dx), want, rtol=1e-6, atol=1e-6)
+
+    # direction sanity: the quantized dx tracks the exact dx closely
+    exact = gs @ np.asarray(q["kernel_q"], np.float32).T
+    cos = (np.sum(want * exact)
+           / (np.linalg.norm(want) * np.linalg.norm(exact)))
+    assert cos > 0.999, cos
+
+    # zero cotangent rows are safe (padding)
+    dx0 = jax.grad(lambda x_: (int8_matmul_dgrad(x_, q["kernel_q"],
+                                                 q["scale"])
+                               * jnp.zeros_like(g)).sum())(x)
+    assert np.isfinite(np.asarray(dx0)).all() and (np.asarray(dx0) == 0).all()
+
+
+def test_quant_flags_dgrad_grammar():
+    """'d' suffix → dgrad_quant=True, per-channel w8a8 only."""
+    from flipped_tpu.core.config import quant_flags
+
+    f = quant_flags("w8a8d")
+    assert f["dgrad_quant"] and f["act_quant"] and f["quant_group"] == 0
+    fr = quant_flags("w8a8rd")
+    assert fr["dgrad_quant"] and fr["rotated"]
+    assert not quant_flags("w8a8")["dgrad_quant"]
+    for bad in ("w4a8d", "w8a8gd", "int8d", "w8a8od"):
+        with pytest.raises(ValueError, match="quantized-dgrad"):
+            quant_flags(bad)
+
+
+def test_w8a8d_model_trains_and_matches_w8a8_forward():
+    """Model-level w8a8d: identical losses to w8a8 (dgrad changes only the
+    backward), finite adapter grads that stay CLOSE to the exact-backward
+    grads, and the frozen backbone untouched."""
+    from flipped_tpu.core.config import quant_flags
+    from flipped_tpu.data import make_synthetic_items, pack_train_batch
+    from flipped_tpu.text import MockTokenizer
+    from flipped_tpu.train import compute_objective_losses, merge_params
+
+    cfg = ModelConfig(dim=64, n_layers=2, n_heads=4, vocab_size=512,
+                      multiple_of=32, max_seq_len=96, adapter_len=4,
+                      adapter_layer=2, max_feats=4, visual_dim=16,
+                      bias=3.0, tau=100.0)
+    tok = MockTokenizer(cfg.vocab_size)
+    items = make_synthetic_items(tok, 2, max_feats=cfg.max_feats,
+                                 max_seq_len=cfg.max_seq_len,
+                                 visual_dim=cfg.visual_dim, seed=21)
+    batch = pack_train_batch(items, cfg.max_feats)
+    jb = {k: jnp.array(v) for k, v in batch.items()}
+
+    def grads_for(mode):
+        model = FlippedVQAModel(cfg, **quant_flags(mode))
+        params = model.init(jax.random.PRNGKey(0), jb["vqa_tokens"],
+                            jb["video"], None, jb["vqa_video_start"],
+                            jb["vqa_splice"])["params"]
+        trainable, frozen = partition_params(params)
+        frozen = randomize_quantized(frozen, seed=3)
+
+        def loss(tr):
+            p = {"params": merge_params(tr, frozen)}
+            return compute_objective_losses(model, p, jb, vaq=True,
+                                            qav=True).total.mean()
+
+        val, grads = jax.jit(jax.value_and_grad(loss))(trainable)
+        return float(val), grads
+
+    loss_d, g_d = grads_for("w8a8d")
+    loss_p, g_p = grads_for("w8a8")
+    # same forward → same loss (identical quantized forward impl)
+    np.testing.assert_allclose(loss_d, loss_p, rtol=1e-6)
+    # grads finite, nonzero, and directionally aligned with the exact bwd
+    flat_d = np.concatenate([np.asarray(l).ravel() for l in
+                             jax.tree_util.tree_leaves(g_d)])
+    flat_p = np.concatenate([np.asarray(l).ravel() for l in
+                             jax.tree_util.tree_leaves(g_p)])
+    assert np.isfinite(flat_d).all() and np.abs(flat_d).max() > 0
+    cos = (flat_d @ flat_p) / (np.linalg.norm(flat_d)
+                               * np.linalg.norm(flat_p))
+    assert cos > 0.98, cos

@@ -185,7 +185,7 @@ def test_rotated_quantized_model_runs():
     flags = quant_flags("w8a8r")
     assert flags == {"quantized": True, "act_quant": True, "quant_group": 0,
                      "quant_outliers": False, "rotated": True,
-                     "weight_bits": 8}
+                     "weight_bits": 8, "dgrad_quant": False}
     qmodel = FlippedVQAModel(CFG, dtype=jnp.float32,
                              frozen_dtype=jnp.float32,
                              trainable_dtype=jnp.float32, **flags)

@@ -411,3 +411,52 @@ class TestEvalStep:
         np.testing.assert_allclose(np.asarray(auto["scores"]),
                                    np.asarray(dense["scores"]),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_remat_group_loss_and_grads_exact():
+    """remat_group checkpoints N consecutive blocks as ONE remat unit
+    (model/llama.py): a pure rescheduling of the same ops — losses AND
+    gradients must match per-block remat and no-remat on a 4-layer model,
+    including a group size that does not divide n_layers (remainder
+    group). This is the knob that fits the 7B S=16k capacity row in 16 GB
+    (docs/PERF.md int4 table)."""
+    from flipped_tpu.train import compute_objective_losses
+
+    cfg4 = ModelConfig(dim=32, n_layers=4, n_heads=4, vocab_size=512,
+                       multiple_of=16, max_seq_len=96, adapter_len=4,
+                       adapter_layer=4, max_feats=4, visual_dim=16,
+                       bias=3.0, tau=100.0)
+    tok = MockTokenizer(cfg4.vocab_size)
+    items = make_synthetic_items(tok, 2, max_feats=cfg4.max_feats,
+                                 max_seq_len=cfg4.max_seq_len,
+                                 visual_dim=cfg4.visual_dim, seed=3)
+    batch = pack_train_batch(items, cfg4.max_feats)
+    jb = {k: jnp.array(v) for k, v in batch.items()}
+
+    def run(remat, group):
+        model = FlippedVQAModel(cfg4, dtype=jnp.float32,
+                                frozen_dtype=jnp.float32,
+                                trainable_dtype=jnp.float32,
+                                remat=remat, remat_group=group)
+        params = model.init(jax.random.PRNGKey(0), jb["vqa_tokens"],
+                            jb["video"], None, jb["vqa_video_start"],
+                            jb["vqa_splice"])["params"]
+        trainable, frozen = partition_params(params)
+
+        def loss(tr):
+            p = {"params": merge_params(tr, frozen)}
+            return compute_objective_losses(model, p, jb, vaq=True,
+                                            qav=True).total.mean()
+
+        val, grads = jax.jit(jax.value_and_grad(loss))(trainable)
+        return float(val), jax.tree_util.tree_map(np.asarray, grads)
+
+    base_val, base_grads = run(remat=False, group=1)
+    for group in (1, 2, 3, 4):
+        val, grads = run(remat=True, group=group)
+        np.testing.assert_allclose(val, base_val, rtol=1e-6,
+                                   err_msg=f"group={group}")
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                a, b, rtol=1e-5, atol=1e-7, err_msg=f"group={group}"),
+            grads, base_grads)
