@@ -104,11 +104,46 @@ int8_matmul.defvjp(_fwd, _bwd)
 # cotangent, per-row absmax-quantize it, and contract int8×int8. Measured
 # per-matmul on v5e at the 7B bench shapes (scripts/dx_formulation_probe.py):
 # 22-30% faster than the exact bf16 dx. NOT exact — adds activation-grad
-# rounding on top of w8a8's forward rounding (probe err vs f64: ~6e-2 of
-# the dx std, vs ~2e-2 for the bf16 forms); trajectory evidence in
-# scripts/int8_parity_study.py --phase w8a8d and docs/PERF.md. Opt-in via
-# --quantize w8a8d|w8a8rd.
+# rounding on top of w8a8's forward rounding. The cotangent is quantized
+# with STOCHASTIC rounding, not round-to-nearest: a gradient row is spiky
+# (one large entry sets the absmax scale), so RTN systematically zeroes the
+# many small entries and the lost descent directions compound — measured at
+# 7B over 128 optimizer steps the RTN trajectory UNDER-TRAINS (loss drop
+# 11.00 vs bf16's 11.94; 6.3% mean relative loss delta where plain w8a8
+# deviates 0.11%). SR keeps each quantized entry an unbiased estimator so
+# small entries survive in expectation: the SR run recovers the full loss
+# drop (12.25, final loss at/below the bf16 control) at the cost of noise
+# (grad norms +65%, per-step loss path deviates ~4.5%) and ~6% step time
+# vs RTN (0.428 vs 0.404 s at the 7B bench shape; w8a8 exact dx: 0.451 s).
+# NOT a parity mode — evidence in scripts/int8_parity_study.py --phase
+# w8a8d --mode train and docs/PERF.md. Opt-in via --quantize w8a8d|w8a8rd.
 # ---------------------------------------------------------------------------
+
+def stochastic_round(x):
+    """Round x up with probability frac(x) — unbiased: E[result] = x.
+
+    The dither is a murmur-mixed hash of the value's own float32 bits and
+    its (row, col) position, not a threaded PRNG key: a custom_vjp backward
+    has nowhere to receive one, and step-to-step decorrelation comes from
+    the gradient values themselves changing every step. Two rounds of
+    multiply-xor-shift mixing decorrelate the dither from frac(x) (whose
+    information lives in the same bits) — unbiasedness is asserted
+    statistically in tests/test_quantize.py."""
+    x = x.astype(jnp.float32)
+    fl = jnp.floor(x)
+    frac = x - fl
+    h = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    h = h ^ (jax.lax.broadcasted_iota(jnp.uint32, x.shape, x.ndim - 1)
+             * np.uint32(0x9E3779B9))
+    if x.ndim >= 2:
+        h = h ^ (jax.lax.broadcasted_iota(jnp.uint32, x.shape, x.ndim - 2)
+                 * np.uint32(0x85EBCA6B))
+    h = (h ^ (h >> 16)) * np.uint32(0x7FEB352D)
+    h = (h ^ (h >> 15)) * np.uint32(0x846CA68B)
+    h = h ^ (h >> 16)
+    u = h.astype(jnp.float32) * np.float32(2.0 ** -32)
+    return fl + (frac > u).astype(jnp.float32)
+
 
 @jax.custom_vjp
 def int8_matmul_dgrad(x, kq, scale):
@@ -121,7 +156,7 @@ def _bwd_dgrad(res, g):
     gs = g.astype(jnp.float32) * scale[None, :]
     amax = jnp.max(jnp.abs(gs), axis=-1, keepdims=True)
     gsc = jnp.maximum(amax / 127.0, _EPS)
-    gq = jnp.round(gs / gsc).astype(jnp.int8)
+    gq = stochastic_round(gs / gsc).astype(jnp.int8)
     out = jax.lax.dot_general(
         gq, kq, (((g.ndim - 1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32)

@@ -39,6 +39,7 @@ from __future__ import annotations
 import argparse
 import functools
 import os
+import sys
 import time
 
 import numpy as np
@@ -46,6 +47,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def xla_dequant(g, kq, s):
@@ -59,10 +62,14 @@ def scale_g(g, kq, s):
 
 
 def dgrad_int8(g, kq, s):
+    # the production recipe (int8.int8_matmul_dgrad): STOCHASTIC rounding —
+    # RTN's systematic small-entry loss measurably corrupted 7B training
+    # trajectories (docs/PERF.md w8a8d study), so the probe times what ships
+    from flipped_tpu.model.int8 import stochastic_round
     gs = g.astype(jnp.float32) * s[None, :]
     amax = jnp.max(jnp.abs(gs), axis=-1, keepdims=True)
     gsc = jnp.maximum(amax / 127.0, 1e-30)
-    gq = jnp.round(gs / gsc).astype(jnp.int8)
+    gq = stochastic_round(gs / gsc).astype(jnp.int8)
     out = lax.dot_general(gq, kq, (((1,), (1,)), ((), ())),
                           preferred_element_type=jnp.int32)
     return (out.astype(jnp.float32) * gsc).astype(g.dtype)

@@ -470,12 +470,64 @@ def test_model_runs_outlier_quantized():
         assert np.isfinite(total) and total > 1.0, (act, total)
 
 
+def _np_stochastic_round(x):
+    """numpy mirror of int8.stochastic_round (same hash, same constants)."""
+    x = np.ascontiguousarray(x, np.float32)
+    fl = np.floor(x)
+    frac = x - fl
+    h = x.view(np.uint32).copy()
+    h ^= np.arange(x.shape[-1], dtype=np.uint32) * np.uint32(0x9E3779B9)
+    if x.ndim >= 2:
+        h ^= (np.arange(x.shape[-2], dtype=np.uint32)[:, None]
+              * np.uint32(0x85EBCA6B))
+    h = (h ^ (h >> np.uint32(16))) * np.uint32(0x7FEB352D)
+    h = (h ^ (h >> np.uint32(15))) * np.uint32(0x846CA68B)
+    h = h ^ (h >> np.uint32(16))
+    u = h.astype(np.float32) * np.float32(2.0 ** -32)
+    return fl + (frac > u).astype(np.float32)
+
+
+def test_stochastic_round_unbiased_bounded_deterministic():
+    """int8.stochastic_round: E[result] = x (statistically, the whole point
+    — RTN's bias is what broke the w8a8d trajectory, docs/PERF.md), result
+    ∈ {floor(x), floor(x)+1}, integers map to themselves, and the
+    hash-dither is a pure function (bitwise-reproducible across calls)."""
+    from flipped_tpu.model.int8 import stochastic_round
+
+    rs = np.random.RandomState(5)
+    x = (rs.randn(512, 512) * 20.0).astype(np.float32)
+    q = np.asarray(stochastic_round(jnp.asarray(x)))
+    # bounded: never off by more than the enclosing integer pair
+    fl = np.floor(x)
+    assert ((q == fl) | (q == fl + 1)).all()
+    # unbiased: mean error ~ N(0, sd<=0.5/sqrt(n)); 5 sigma at n=262144
+    err = q - x
+    assert abs(err.mean()) < 5 * 0.5 / np.sqrt(x.size), err.mean()
+    # unbiased CONDITIONALLY on frac (the hash must not correlate with the
+    # dithered value's own fraction): in every frac decile the up-rate
+    # matches the decile's mean frac
+    frac = x - fl
+    up = (q == fl + 1)
+    for lo in np.arange(0.0, 1.0, 0.1):
+        m = (frac >= lo) & (frac < lo + 0.1)
+        assert m.sum() > 1000
+        assert abs(up[m].mean() - frac[m].mean()) < 0.02, lo
+    # integers exact
+    xi = np.arange(-127, 128, dtype=np.float32)
+    np.testing.assert_array_equal(np.asarray(stochastic_round(jnp.asarray(xi))), xi)
+    # deterministic
+    np.testing.assert_array_equal(q, np.asarray(stochastic_round(jnp.asarray(x))))
+    # numpy mirror agrees bitwise (the manual dgrad reference below relies on it)
+    np.testing.assert_array_equal(q, _np_stochastic_round(x))
+
+
 def test_int8_matmul_dgrad_backward_matches_manual():
     """w8a8d (--quantize w8a8d): forward is bit-identical to int8_matmul;
-    backward quantizes the scale-folded cotangent per row and contracts
-    int8×int8 (int8.int8_matmul_dgrad — the MXU-rate dx measured 22-30%
-    faster per matmul, scripts/dx_formulation_probe.py). Asserted against
-    a from-scratch numpy reference of exactly that recipe."""
+    backward quantizes the scale-folded cotangent per row — STOCHASTIC
+    rounding, see int8.stochastic_round — and contracts int8×int8
+    (int8.int8_matmul_dgrad — the MXU-rate dx measured 22-30% faster per
+    matmul, scripts/dx_formulation_probe.py). Asserted against a
+    from-scratch numpy reference of exactly that recipe."""
     from flipped_tpu.model.int8 import int8_matmul, int8_matmul_dgrad
 
     rs = np.random.RandomState(11)
@@ -495,7 +547,7 @@ def test_int8_matmul_dgrad_backward_matches_manual():
     gs = np.asarray(g, np.float32) * np.asarray(q["scale"])[None, :]
     amax = np.abs(gs).max(axis=-1, keepdims=True)
     gsc = np.maximum(amax / 127.0, 1e-8)
-    gq = np.round(gs / gsc).astype(np.int8)
+    gq = _np_stochastic_round(gs / gsc).astype(np.int8)
     want = (gq.astype(np.int32) @ np.asarray(q["kernel_q"], np.int32).T
             ).astype(np.float32) * gsc
     np.testing.assert_allclose(np.asarray(dx), want, rtol=1e-6, atol=1e-6)
