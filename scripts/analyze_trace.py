@@ -67,6 +67,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("trace_dir")
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--category", default="",
+                    help="restrict the top-op list to one rollup category "
+                         "(e.g. 'copy'), and group its ops by name prefix "
+                         "(copy.N → copy) — how the copy bucket gets "
+                         "chased to named op families, docs/PERF.md")
     args = ap.parse_args()
 
     events = load_events(args.trace_dir)
@@ -141,6 +146,23 @@ def main():
     print("\n== category rollup ==")
     for cat, d in per_cat.most_common():
         print(f"  {cat:18s} {d/1e3:10.3f} ms  {100*d/busy:5.1f}%")
+
+    if args.category:
+        # group the category's ops by HLO name family (strip .N suffixes):
+        # 11k distinct copy.N instructions collapse to a handful of families
+        fam_d, fam_n = collections.Counter(), collections.Counter()
+        for name, d in per_op.items():
+            if categorize(name) != args.category:
+                continue
+            fam = re.sub(r"[.\d]+$", "", name)
+            fam_d[fam] += d
+            fam_n[fam] += 1
+        print(f"\n== '{args.category}' op families ==")
+        denom = max(n_steps, 1)
+        for fam, d in fam_d.most_common(args.top):
+            # fam_n = distinct HLO instructions (each fires ~once per step)
+            print(f"  {d/1e3/denom:9.3f} ms/step  n={fam_n[fam]:6d}  {fam}")
+        return
 
     print(f"\n== top {args.top} ops ==")
     for name, d in per_op.most_common(args.top):
