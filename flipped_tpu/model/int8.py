@@ -20,15 +20,21 @@ the eval argmin (reference: engine.py:87-93) directly, while hidden-layer
 perturbation is damped by the residual stream — see
 scripts/int8_parity_study.py --phase w8a8 for the measured envelope.
 
-Env flags
+Env flags (all read at TRACE time: set before the first jit compilation;
+toggling after compile has no effect on cached executables)
 ---------
 FLIPPED_DX_PALLAS_PER_CHANNEL=1 routes the PER-CHANNEL int8 backward's dx
 through the Pallas grouped-dequant kernel (broadcast 128-wide scale groups)
 instead of the default XLA dequant + full-width dot. Measured SLOWER on
 v5e at the 7B bench shape (0.545 vs 0.451 s/step) — kept as an escape
 hatch for shapes where the dequantized (K, N) HBM buffer becomes the
-binding constraint. Read at TRACE time: set it before the first jit
-compilation; toggling after compile has no effect on cached executables.
+binding constraint.
+FLIPPED_DGRAD_PALLAS=0 forces the w8a8d quantized backward's cotangent
+quantize + int8 dot back to the unfused XLA formulation (the fused Pallas
+kernel is the default on TPU; bit-identical numerics either way).
+FLIPPED_FWD_PALLAS=0 forces the per-channel w8a8 forward back to the XLA
+formulation (same bit-identical contract; see _fwd_dispatch for whether
+the fused kernel is currently the default).
 """
 from __future__ import annotations
 
@@ -44,10 +50,16 @@ _EPS = 1e-8
 
 
 def _quantize_act(x: jax.Array):
-    """(… , K) float → int8 with per-row absmax scales (…, 1) f32."""
+    """(… , K) float → int8 with per-row absmax scales (…, 1) f32.
+
+    The scale is an explicit reciprocal multiply, not amax/127.0: under jit
+    XLA rewrites division-by-constant into exactly this multiply, so the
+    jitted numerics are unchanged — but pinning the op keeps the fused
+    Pallas forward kernel (pallas/quant_matmul.int8_fwd_pallas) bit-exact
+    against this formulation on every lowering path."""
     x32 = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
-    xs = jnp.maximum(amax / 127.0, _EPS)
+    xs = jnp.maximum(amax * np.float32(1.0 / 127.0), _EPS)
     xq = jnp.round(x32 / xs).astype(jnp.int8)  # |x| ≤ amax ⇒ no clip needed
     return xq, xs
 
@@ -58,6 +70,19 @@ def _int8_matmul_fwd_impl(x, kq, scale):
         xq, kq, (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
     return (out.astype(jnp.float32) * xs * scale[None, :]).astype(x.dtype)
+
+
+def _fwd_dispatch(x, kq, scale):
+    """Mesh/platform-aware per-channel w8a8 forward (mirrors _dx_dispatch):
+    on Pallas backends the fused kernel quantizes the activation block in
+    VMEM (read once, no HBM xq buffer); GSPMD-partitioned layouts and
+    unsupported shapes take the XLA formulation. Bit-identical numerics
+    (RTN, reciprocal-multiply scales — see _quantize_act)."""
+    from .pallas.quant_matmul import fwd_pallas_supported, int8_fwd_pallas
+    if not fwd_pallas_supported(x, kq):
+        return _int8_matmul_fwd_impl(x, kq, scale)
+    return pallas_mesh_dispatch(int8_fwd_pallas, _int8_matmul_fwd_impl,
+                                _int8_matmul_fwd_impl, x, kq, scale)
 
 
 @jax.custom_vjp
@@ -151,16 +176,43 @@ def int8_matmul_dgrad(x, kq, scale):
     return _int8_matmul_fwd_impl(x, kq, scale)
 
 
-def _bwd_dgrad(res, g):
-    kq, scale = res
+def _dgrad_dx_xla(g, kq, scale):
+    """The XLA/oracle formulation of the w8a8d dx: scale-fold → per-row
+    absmax → SR-quantize → int8 dot. The quantize stays UNFUSED here (at
+    the 7B bench shape: a 48 ms standalone absmax reduce + ~25 ms of
+    dither-chain copies per step, docs/PERF.md) — the fused Pallas kernel
+    (pallas/quant_matmul.int8_dgrad_pallas) streams the cotangent once and
+    is bit-exact with this function."""
     gs = g.astype(jnp.float32) * scale[None, :]
     amax = jnp.max(jnp.abs(gs), axis=-1, keepdims=True)
-    gsc = jnp.maximum(amax / 127.0, _EPS)
+    # explicit reciprocal multiply, NOT amax/127.0: under jit XLA rewrites
+    # division-by-constant into this multiply anyway (different last-ulp
+    # rounding than the eager IEEE divide), and the fused Pallas kernel must
+    # produce bit-identical scales for the SR dither to match — pin the op
+    # so every lowering computes the same thing
+    gsc = jnp.maximum(amax * np.float32(1.0 / 127.0), _EPS)
     gq = stochastic_round(gs / gsc).astype(jnp.int8)
     out = jax.lax.dot_general(
         gq, kq, (((g.ndim - 1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32)
-    dx = (out.astype(jnp.float32) * gsc).astype(g.dtype)
+    return (out.astype(jnp.float32) * gsc).astype(g.dtype)
+
+
+def _dgrad_dispatch(g, kq, scale):
+    """Mesh/platform-aware dgrad dx (mirrors _dx_dispatch): on Pallas
+    backends the fused kernel quantizes the cotangent in VMEM (read once,
+    no HBM gq buffer); GSPMD-partitioned layouts and unsupported shapes
+    take the XLA formulation. Numerics identical (bit-exact SR dither)."""
+    from .pallas.quant_matmul import dgrad_pallas_supported, int8_dgrad_pallas
+    if not dgrad_pallas_supported(g, kq):
+        return _dgrad_dx_xla(g, kq, scale)
+    return pallas_mesh_dispatch(int8_dgrad_pallas, _dgrad_dx_xla,
+                                _dgrad_dx_xla, g, kq, scale)
+
+
+def _bwd_dgrad(res, g):
+    kq, scale = res
+    dx = _dgrad_dispatch(g, kq, scale)
     zero = np.zeros((), jax.dtypes.float0)
     return (dx,
             np.broadcast_to(zero, kq.shape),

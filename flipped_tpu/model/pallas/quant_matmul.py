@@ -406,6 +406,276 @@ def quant_dx_pallas(g, kq, scale_g, interpret: bool | None = None):
     return out[:m].reshape(*lead, k_dim)
 
 
+# ---------------------------------------------------------------------------
+# Fused w8a8d dgrad kernel: the quantized-backward dx in ONE pass over the
+# cotangent. The XLA formulation (model/int8.py _dgrad_dx_xla) leaves the
+# cotangent quantize UNFUSED machinery around the int8 dot — measured at the
+# 7B bench shape (docs/PERF.md w8a8d trace table) the per-row absmax is a
+# standalone 48 ms reduce bucket (it reads every cotangent element before
+# the dot can start) and the SR-dither chain adds ~25 ms of copies. This
+# kernel streams each (bm, N) cotangent row-block into VMEM once: scale-fold
+# → row absmax → hash-dithered stochastic-round quantize into an int8 VMEM
+# scratch (at k-block 0), then every k-block runs one int8×int8 MXU dot
+# against the stored weights — the quantized cotangent never exists in HBM
+# and the cotangent is read exactly once.
+#
+# Numerics are EXACT vs the XLA formulation (asserted bit-for-bit in
+# tests/test_quant_matmul_pallas.py): the murmur-mixed dither hash of
+# model/int8.py stochastic_round is reproduced with its GLOBAL iota
+# coordinates (col = lane index; row = flattened row % S, matching XLA's
+# dim(-2) iota on the (B, S, N) cotangent), all f32 elementwise ops are
+# IEEE-identical, and the full-N contraction is a single int32 dot per
+# (m, k) tile in both formulations.
+# ---------------------------------------------------------------------------
+
+# Full-N row blocks: bound the f32 quantize temp by processing N in
+# ≤_DGRAD_CHUNK-lane chunks (N=11008 → two 5504 chunks at 2.8 MB f32 each).
+_DGRAD_BM, _DGRAD_BK, _DGRAD_CHUNK = 128, 256, 5632
+
+
+def _dgrad_chunks(n: int) -> int:
+    """Smallest chunk count whose 128-aligned chunks cover n."""
+    c = 1
+    while n // c > _DGRAD_CHUNK or n % (c * 128):
+        c += 1
+        if c > n // 128:
+            return n // 128
+    return c
+
+
+def _dgrad_kernel(g_ref, kq_ref, s_ref, o_ref, gq_scr, gsc_scr, *,
+                  bm: int, s_mod: int, n_chunks: int, out_dtype):
+    mi = pl.program_id(0)   # NOT inside pl.when closures (Mosaic constraint)
+    ki = pl.program_id(1)
+    n = g_ref.shape[1]
+    cn = n // n_chunks
+
+    @pl.when(ki == 0)
+    def _quantize():
+        # dither row coordinate: XLA's broadcasted_iota over dim(-2) of the
+        # (B, S, N) cotangent == flattened row % S
+        rows = (jax.lax.broadcasted_iota(jnp.int32, (bm, 1), 0)
+                + mi * bm) % s_mod
+        row_u = rows.astype(jnp.uint32) * np.uint32(0x85EBCA6B)
+
+        amax = None
+        for c in range(n_chunks):                        # static unroll
+            gs = (g_ref[:, c * cn:(c + 1) * cn].astype(jnp.float32)
+                  * s_ref[0:1, c * cn:(c + 1) * cn])
+            a = jnp.max(jnp.abs(gs), axis=-1, keepdims=True)
+            amax = a if amax is None else jnp.maximum(amax, a)
+        # reciprocal multiply, bit-matching _dgrad_dx_xla (see the
+        # note there: jit rewrites div-by-constant to this anyway)
+        gsc = jnp.maximum(amax * np.float32(1.0 / 127.0), _EPS)
+
+        parts = []
+        for c in range(n_chunks):                        # static unroll
+            gs = (g_ref[:, c * cn:(c + 1) * cn].astype(jnp.float32)
+                  * s_ref[0:1, c * cn:(c + 1) * cn])
+            x = gs / gsc
+            fl = jnp.floor(x)
+            frac = x - fl
+            h = jax.lax.bitcast_convert_type(x, jnp.uint32)
+            col = (jax.lax.broadcasted_iota(jnp.uint32, x.shape, 1)
+                   + np.uint32(c * cn))
+            h = h ^ (col * np.uint32(0x9E3779B9))
+            h = h ^ row_u
+            h = (h ^ (h >> 16)) * np.uint32(0x7FEB352D)
+            h = (h ^ (h >> 15)) * np.uint32(0x846CA68B)
+            h = h ^ (h >> 16)
+            # Mosaic has no uint32→f32 cast; split into two exact ≤2^16
+            # int32→f32 converts — hi·2^16 is a power-of-two scaling and the
+            # single f32 add rounds to nearest-even, i.e. bit-identical to
+            # XLA's direct correctly-rounded uint32→f32 conversion
+            hf = ((h >> 16).astype(jnp.int32).astype(jnp.float32)
+                  * np.float32(65536.0)
+                  + (h & np.uint32(0xFFFF)).astype(jnp.int32)
+                  .astype(jnp.float32))
+            u = hf * np.float32(2.0 ** -32)
+            parts.append((fl + (frac > u).astype(jnp.float32))
+                         .astype(jnp.int8))
+        gq_scr[:] = parts[0] if n_chunks == 1 else jnp.concatenate(parts, 1)
+        gsc_scr[:] = jnp.broadcast_to(gsc, gsc_scr.shape)
+
+    d = jax.lax.dot_general(gq_scr[:], kq_ref[:], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.int32)  # (bm, bk)
+    o_ref[:] = (d.astype(jnp.float32) * gsc_scr[:, 0:1]).astype(out_dtype)
+
+
+def dgrad_pallas_supported(g, kq) -> bool:
+    """Alignment + VMEM guard for the fused dgrad kernel: the full-N
+    cotangent row block must tile 128 lanes and fit the chunked-quantize
+    VMEM budget; FLIPPED_DGRAD_PALLAS=0 forces the XLA formulation (escape
+    hatch — numerics identical, read at trace time like the other gates)."""
+    import os
+    if os.environ.get("FLIPPED_DGRAD_PALLAS", "1") == "0":
+        return False
+    if not _HAS_PALLAS:
+        return False
+    k_dim, n = kq.shape
+    if g.ndim < 2:
+        return False
+    return (n % 128 == 0 and k_dim % 128 == 0 and n <= 32768
+            and n % (_dgrad_chunks(n) * 128) == 0)
+
+
+def int8_dgrad_pallas(g, kq, scale, interpret: bool | None = None):
+    """g (…, N) float; kq (K, N) int8; scale (N,) f32 → dx (…, K) g.dtype.
+
+    Fused w8a8d backward: dx[m,k] = Σ_n SR((g·s)/gsc)[m,n] · kq[k,n] · gsc[m]
+    with the scale-folded cotangent stochastically rounded to int8 per row —
+    bit-exact vs model/int8.py _dgrad_dx_xla."""
+    interpret = INTERPRET if interpret is None else interpret
+    k_dim, n = kq.shape
+    lead = g.shape[:-1]
+    m = int(np.prod(lead)) if lead else 1
+    s_mod = g.shape[-2] if g.ndim >= 2 else max(m, 1)
+
+    # wide contractions (7B ffn N=11008) halve the row block and the weight
+    # block: the quantize's live f32 hash temps are (bm, n/chunks) and the
+    # measured Mosaic scoped-vmem stack at bm=128/bk=256 is 22 MB vs the
+    # 16 MB limit — bm=64/bk=128 fits with headroom
+    wide = n > 8192
+    bm = _pick(_DGRAD_BM // (2 if wide else 1), _round_up(max(m, 32), 32))
+    bk = _pick(_DGRAD_BK // (2 if wide else 1), k_dim)
+    n_chunks = _dgrad_chunks(n)
+
+    m_pad = _round_up(max(m, 32), bm)
+    g2 = g.reshape(m, n)
+    if m_pad != m:
+        g2 = jnp.pad(g2, ((0, m_pad - m), (0, 0)))
+
+    kernel = functools.partial(_dgrad_kernel, bm=bm, s_mod=s_mod,
+                               n_chunks=n_chunks, out_dtype=g.dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(m_pad // bm, k_dim // bk),
+        in_specs=[
+            pl.BlockSpec((bm, n), lambda mi, ki: (mi, 0)),
+            pl.BlockSpec((bk, n), lambda mi, ki: (ki, 0)),
+            pl.BlockSpec((1, n), lambda mi, ki: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, bk), lambda mi, ki: (mi, ki)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, k_dim), g.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, n), jnp.int8),
+                        pltpu.VMEM((bm, 128), jnp.float32)],
+        name="int8_dgrad",
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k_dim * n,
+            bytes_accessed=m * n * 2 + k_dim * n + m * k_dim * 2,
+            transcendentals=0,
+        ),
+    )(g2, kq, scale.reshape(1, n))
+    return out[:m].reshape(*lead, k_dim)
+
+
+# ---------------------------------------------------------------------------
+# Fused per-channel w8a8 FORWARD kernel: same single-pass structure as the
+# dgrad kernel, on the forward dot. The XLA formulation (model/int8.py
+# _int8_matmul_fwd_impl) leaves the per-row activation absmax + RTN
+# quantize as separate machinery around the int8 dot; this kernel streams
+# each (bm, K) activation row-block into VMEM once — absmax, RTN-quantize
+# into an int8 scratch at n-block 0 — then every n-block runs one int8×int8
+# MXU dot. Bit-exact vs _int8_matmul_fwd_impl under jit (RTN has no dither;
+# the reciprocal-multiply scale matches the jitted XLA graph — see the note
+# in model/int8.py _quantize_act).
+# ---------------------------------------------------------------------------
+
+_FWD_BM, _FWD_BN = 128, 256
+
+
+def _fwd_kernel(x_ref, kq_ref, s_ref, o_ref, xq_scr, xs_scr, *,
+                n_chunks: int, out_dtype):
+    ni = pl.program_id(1)   # NOT inside pl.when closures (Mosaic constraint)
+    k = x_ref.shape[1]
+    ck = k // n_chunks
+
+    @pl.when(ni == 0)
+    def _quantize():
+        amax = None
+        for c in range(n_chunks):                        # static unroll
+            xc = jnp.abs(x_ref[:, c * ck:(c + 1) * ck].astype(jnp.float32))
+            a = jnp.max(xc, axis=-1, keepdims=True)
+            amax = a if amax is None else jnp.maximum(amax, a)
+        xs = jnp.maximum(amax * np.float32(1.0 / 127.0), _EPS)  # (bm, 1)
+        parts = []
+        for c in range(n_chunks):                        # static unroll
+            xc = x_ref[:, c * ck:(c + 1) * ck].astype(jnp.float32)
+            parts.append(jnp.round(xc / xs).astype(jnp.int8))
+        xq_scr[:] = parts[0] if n_chunks == 1 else jnp.concatenate(parts, 1)
+        xs_scr[:] = jnp.broadcast_to(xs, xs_scr.shape)
+
+    d = jax.lax.dot_general(xq_scr[:], kq_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)  # (bm, bn)
+    o_ref[:] = (d.astype(jnp.float32) * xs_scr[:, 0:1]
+                * s_ref[0:1, :]).astype(out_dtype)
+
+
+def fwd_pallas_supported(x, kq) -> bool:
+    """Alignment + VMEM guard for the fused forward kernel (mirrors
+    dgrad_pallas_supported); FLIPPED_FWD_PALLAS=0 forces the XLA
+    formulation (read at trace time like the other gates)."""
+    import os
+    if os.environ.get("FLIPPED_FWD_PALLAS", "1") == "0":
+        return False
+    if not _HAS_PALLAS:
+        return False
+    k_dim, n = kq.shape
+    if x.ndim < 2 or x.shape[-1] != k_dim:
+        return False
+    return (n % 128 == 0 and k_dim % 128 == 0 and k_dim <= 32768
+            and k_dim % (_dgrad_chunks(k_dim) * 128) == 0)
+
+
+def int8_fwd_pallas(x, kq, scale, interpret: bool | None = None):
+    """x (…, K) float; kq (K, N) int8; scale (N,) f32 → (…, N) x.dtype.
+
+    Fused per-channel w8a8 forward: per-row absmax RTN activation quantize
+    in VMEM + int8 MXU dot — bit-exact vs model/int8.py
+    _int8_matmul_fwd_impl (jitted)."""
+    interpret = INTERPRET if interpret is None else interpret
+    k_dim, n = kq.shape
+    lead = x.shape[:-1]
+    m = int(np.prod(lead)) if lead else 1
+
+    # wide activations (7B w2 K=11008): same scoped-vmem pressure as the
+    # dgrad kernel — halve the row and weight-column blocks
+    wide = k_dim > 8192
+    bm = _pick(_FWD_BM // (2 if wide else 1), _round_up(max(m, 32), 32))
+    bn = _pick(_FWD_BN // (2 if wide else 1), n)
+    n_chunks = _dgrad_chunks(k_dim)
+
+    m_pad = _round_up(max(m, 32), bm)
+    x2 = x.reshape(m, k_dim)
+    if m_pad != m:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+
+    kernel = functools.partial(_fwd_kernel, n_chunks=n_chunks,
+                               out_dtype=x.dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(m_pad // bm, n // bn),
+        in_specs=[
+            pl.BlockSpec((bm, k_dim), lambda mi, ni: (mi, 0)),
+            pl.BlockSpec((k_dim, bn), lambda mi, ni: (0, ni)),
+            pl.BlockSpec((1, bn), lambda mi, ni: (0, ni)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda mi, ni: (mi, ni)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, k_dim), jnp.int8),
+                        pltpu.VMEM((bm, 128), jnp.float32)],
+        name="int8_fwd",
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k_dim * n,
+            bytes_accessed=m * k_dim * 2 + k_dim * n + m * n * 2,
+            transcendentals=0,
+        ),
+    )(x2, kq, scale.reshape(1, n))
+    return out[:m].reshape(*lead, n)
+
+
 def _int4_dx_kernel(g_lo_ref, g_hi_ref, kq4_ref, sg_lo_ref, sg_hi_ref,
                     o_ref, acc_scr, *, gpb: int, group: int, out_dtype):
     ni = pl.program_id(2)

@@ -62,45 +62,61 @@ def scale_g(g, kq, s):
 
 
 def dgrad_int8(g, kq, s):
-    # the production recipe (int8.int8_matmul_dgrad): STOCHASTIC rounding —
+    # the production XLA recipe (int8._dgrad_dx_xla): STOCHASTIC rounding —
     # RTN's systematic small-entry loss measurably corrupted 7B training
     # trajectories (docs/PERF.md w8a8d study), so the probe times what ships
-    from flipped_tpu.model.int8 import stochastic_round
-    gs = g.astype(jnp.float32) * s[None, :]
-    amax = jnp.max(jnp.abs(gs), axis=-1, keepdims=True)
-    gsc = jnp.maximum(amax / 127.0, 1e-30)
-    gq = stochastic_round(gs / gsc).astype(jnp.int8)
-    out = lax.dot_general(gq, kq, (((1,), (1,)), ((), ())),
-                          preferred_element_type=jnp.int32)
-    return (out.astype(jnp.float32) * gsc).astype(g.dtype)
+    from flipped_tpu.model.int8 import _dgrad_dx_xla
+    return _dgrad_dx_xla(g, kq, s)
 
 
+def dgrad_pallas(g, kq, s):
+    # the fused single-pass kernel (quantize in VMEM, no HBM gq buffer) —
+    # bit-exact vs dgrad_int8's production twin (model/int8.py _dgrad_dx_xla)
+    from flipped_tpu.model.pallas.quant_matmul import int8_dgrad_pallas
+    return int8_dgrad_pallas(g, kq, s)
+
+
+def fwd_xla(x, kq, s):
+    # the w8a8 forward as shipped (model/int8.py _int8_matmul_fwd_impl)
+    from flipped_tpu.model.int8 import _int8_matmul_fwd_impl
+    return _int8_matmul_fwd_impl(x, kq, s)
+
+
+def fwd_pallas(x, kq, s):
+    from flipped_tpu.model.pallas.quant_matmul import int8_fwd_pallas
+    return int8_fwd_pallas(x, kq, s)
+
+
+# dx forms consume a (M, N) cotangent and emit (M, K); fwd forms consume a
+# (M, K) activation and emit (M, N)
 FORMS = {"xla_dequant": xla_dequant, "scale_g": scale_g,
-         "dgrad_int8": dgrad_int8}
+         "dgrad_int8": dgrad_int8, "dgrad_pallas": dgrad_pallas}
+FWD_FORMS = {"fwd_xla": fwd_xla, "fwd_pallas": fwd_pallas}
 
 
-def make_timed(fn, kq, s, iters):
-    """One jit call = `iters` chained dx applications (content differs per
+def make_timed(fn, kq, s, iters, out_dim):
+    """One jit call = `iters` chained applications (content differs per
     iteration, so the relay cannot replay any of them)."""
-    k = kq.shape[0]
 
     def body(gc, _):
         out = fn(gc, kq, s)
         upd = (out * jnp.bfloat16(1e-6)).astype(gc.dtype)
-        if k == gc.shape[1]:
+        d = gc.shape[1]
+        if out_dim == d:
             gc = gc + upd
         else:
-            gc = gc.at[:, :k].add(upd) if k < gc.shape[1] else gc + upd[:, :gc.shape[1]]
+            gc = (gc.at[:, :out_dim].add(upd) if out_dim < d
+                  else gc + upd[:, :d])
         return gc, ()
 
     return jax.jit(lambda g0: lax.scan(body, g0, None, length=iters)[0])
 
 
-def time_form(fn, kq, s, m, n, iters, reps, rng):
-    f = make_timed(fn, kq, s, iters)
+def time_form(fn, kq, s, m, in_dim, out_dim, iters, reps, rng):
+    f = make_timed(fn, kq, s, iters, out_dim)
     best = float("inf")
     for _ in range(reps):
-        g0 = jnp.asarray(rng.standard_normal((m, n)), jnp.bfloat16)
+        g0 = jnp.asarray(rng.standard_normal((m, in_dim)), jnp.bfloat16)
         g0 = jax.device_put(g0)
         np.asarray(g0[0, 0])  # sync the transfer out of the timed window
         t0 = time.perf_counter()
@@ -118,12 +134,17 @@ def main():
                     default=["4096x4096", "4096x11008", "11008x4096"])
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--phase", default="dx", choices=["dx", "fwd"],
+                    help="dx: cotangent formulations; fwd: the per-channel "
+                         "w8a8 forward (XLA vs fused Pallas)")
     args = ap.parse_args()
 
+    forms = FORMS if args.phase == "dx" else FWD_FORMS
     rng = np.random.default_rng(int.from_bytes(os.urandom(4), "little"))
     for d in args.dims:
         k, n = (int(v) for v in d.split("x"))
-        g = jnp.asarray(rng.standard_normal((args.m, n)), jnp.bfloat16)
+        in_dim, out_dim = (n, k) if args.phase == "dx" else (k, n)
+        g = jnp.asarray(rng.standard_normal((args.m, in_dim)), jnp.bfloat16)
         kq = jnp.asarray(rng.integers(-127, 128, (k, n)), jnp.int8)
         s = jnp.asarray(rng.uniform(0.01, 0.02, (n,)), jnp.float32)
         # numerics first, each form vs an f64 exact reference, normalized
@@ -133,15 +154,24 @@ def main():
         # and scale_g differ only in bf16 rounding placement and must land
         # within a few 1e-3 of each other; dgrad_int8's larger err column
         # IS its information (activation-grad rounding).
-        exact = (np.asarray(g, np.float64)
-                 @ (np.asarray(kq, np.float64)
-                    * np.asarray(s, np.float64)[None, :]).T)
+        if args.phase == "dx":
+            exact = (np.asarray(g, np.float64)
+                     @ (np.asarray(kq, np.float64)
+                        * np.asarray(s, np.float64)[None, :]).T)
+        else:
+            # fwd forms quantize activations, so the f64 dequant matmul is a
+            # loose reference — the err column reports the activation-quant
+            # envelope; XLA-vs-Pallas equality is asserted in the tests
+            exact = (np.asarray(g, np.float64)
+                     @ (np.asarray(kq, np.float64)
+                        * np.asarray(s, np.float64)[None, :]))
         scale_ = float(np.std(exact)) or 1.0
-        for name, fn in FORMS.items():
+        for name, fn in forms.items():
             got = np.asarray(jax.jit(fn)(g, kq, s), np.float32)
             err = float(np.max(np.abs(got - exact)) / scale_)
-            dt = time_form(fn, kq, s, args.m, n, args.iters, args.reps, rng)
-            bw = (g.nbytes + kq.nbytes + k * args.m * 2) / dt / 1e9
+            dt = time_form(fn, kq, s, args.m, in_dim, out_dim,
+                           args.iters, args.reps, rng)
+            bw = (g.nbytes + kq.nbytes + out_dim * args.m * 2) / dt / 1e9
             print(f"{d} {name:12s} {dt*1e3:8.3f} ms  rel_err={err:.2e} "
                   f"min_GB/s={bw:.0f}", flush=True)
 

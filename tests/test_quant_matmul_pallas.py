@@ -336,3 +336,155 @@ def test_grouped_dispatch_nests_inside_manual_pp():
     finally:
         qm.INTERPRET = old
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Fused w8a8d dgrad kernel: bit-exact vs the XLA formulation (the SR dither
+# hash is position-dependent, so exactness proves the kernel reconstructs
+# the global (row % S, col) iota coordinates correctly, not just the math).
+# ---------------------------------------------------------------------------
+
+def _dgrad_case(m, k, n, seed=3):
+    rs = np.random.RandomState(seed)
+    kq = jnp.array(rs.randint(-127, 128, size=(k, n)).astype(np.int8))
+    scale = jnp.array((rs.rand(n).astype(np.float32) + 0.5) / np.sqrt(k))
+    # heavy-tailed cotangent: one spike per row so SR genuinely matters
+    g = rs.randn(m, n).astype(np.float32)
+    g[np.arange(m), rs.randint(0, n, size=m)] *= 40.0
+    return jnp.array(g, jnp.bfloat16), kq, scale
+
+
+@pytest.mark.parametrize("m,k,n", [
+    (24, 256, 256),    # m padding 24→32, single k block
+    (40, 1024, 384),   # multi k-block, 3-chunk-free n
+    (8, 384, 256),     # decode-sized m, k not a bk multiple (bk shrinks)
+])
+def test_dgrad_pallas_bit_exact_vs_xla(m, k, n):
+    from flipped_tpu.model.int8 import _dgrad_dx_xla
+    from flipped_tpu.model.pallas.quant_matmul import (
+        dgrad_pallas_supported, int8_dgrad_pallas)
+    g, kq, scale = _dgrad_case(m, k, n)
+    assert dgrad_pallas_supported(g, kq)
+    ref = np.asarray(_dgrad_dx_xla(g, kq, scale), np.float32)
+    got = np.asarray(int8_dgrad_pallas(g, kq, scale, interpret=True),
+                     np.float32)
+    assert got.shape == ref.shape
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_dgrad_pallas_3d_row_dither_bit_exact():
+    """(B, S, N) cotangents: XLA's dither row-iota runs over dim -2 (the S
+    axis, no batch term) — the kernel must reproduce flat_row % S, which
+    DIFFERS from the flat row index as soon as B > 1."""
+    from flipped_tpu.model.int8 import _dgrad_dx_xla
+    from flipped_tpu.model.pallas.quant_matmul import int8_dgrad_pallas
+    g, kq, scale = _dgrad_case(96, 256, 256)
+    g3 = g.reshape(4, 24, 256)
+    ref = np.asarray(_dgrad_dx_xla(g3, kq, scale), np.float32)
+    got = np.asarray(int8_dgrad_pallas(g3, kq, scale, interpret=True),
+                     np.float32)
+    assert got.shape == (4, 24, 256)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_dgrad_n_chunking_covers_11008_like_dims():
+    """The chunked quantize must tile n with 128-aligned chunks; exercise a
+    dim that forces >1 chunk (n > _DGRAD_CHUNK) end-to-end."""
+    from flipped_tpu.model.pallas import quant_matmul as qm
+    # force chunking at a test-sized n
+    orig = qm._DGRAD_CHUNK
+    qm.__dict__["_DGRAD_CHUNK"] = 256
+    try:
+        from flipped_tpu.model.int8 import _dgrad_dx_xla
+        g, kq, scale = _dgrad_case(16, 256, 768)   # 3 chunks of 256
+        assert qm._dgrad_chunks(768) == 3
+        ref = np.asarray(_dgrad_dx_xla(g, kq, scale), np.float32)
+        got = np.asarray(qm.int8_dgrad_pallas(g, kq, scale, interpret=True),
+                         np.float32)
+        np.testing.assert_array_equal(got, ref)
+    finally:
+        qm.__dict__["_DGRAD_CHUNK"] = orig
+    # the real 7B ffn dim: two 5504-lane chunks
+    assert qm._dgrad_chunks(11008) == 2
+    assert qm._dgrad_chunks(4096) == 1
+
+
+def test_dgrad_env_gate_forces_xla(monkeypatch):
+    from flipped_tpu.model.pallas.quant_matmul import dgrad_pallas_supported
+    g, kq, _ = _dgrad_case(16, 256, 256)
+    monkeypatch.setenv("FLIPPED_DGRAD_PALLAS", "0")
+    assert not dgrad_pallas_supported(g, kq)
+
+
+def test_dgrad_dispatch_full_bwd_matches_xla(monkeypatch):
+    """int8_matmul_dgrad's VJP routed through the fused kernel (INTERPRET
+    forced) equals the XLA-only route — end-to-end through jax.grad."""
+    import jax
+    from flipped_tpu.model import int8
+    from flipped_tpu.model.pallas import quant_matmul as qm
+    g, kq, scale = _dgrad_case(24, 256, 256)
+    x = jnp.array(np.random.RandomState(9).randn(2, 12, 256), jnp.bfloat16)
+
+    def loss(x):
+        return int8.int8_matmul_dgrad(x, kq, scale).astype(jnp.float32).sum()
+
+    monkeypatch.setenv("FLIPPED_DGRAD_PALLAS", "0")
+    ref = np.asarray(jax.grad(loss)(x), np.float32)
+    monkeypatch.delenv("FLIPPED_DGRAD_PALLAS")
+    monkeypatch.setattr(qm, "INTERPRET", True)
+    got = np.asarray(jax.grad(loss)(x), np.float32)
+    np.testing.assert_array_equal(got, ref)
+
+
+# ---------------------------------------------------------------------------
+# Fused per-channel w8a8 FORWARD kernel vs _int8_matmul_fwd_impl (bit-exact:
+# RTN quantize, reciprocal-multiply scales pinned in both formulations).
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("m,k,n", [
+    (24, 256, 256),
+    (40, 1024, 384),
+    (8, 384, 256),
+])
+def test_fwd_pallas_bit_exact_vs_xla(m, k, n):
+    from flipped_tpu.model.int8 import _int8_matmul_fwd_impl
+    from flipped_tpu.model.pallas.quant_matmul import (
+        fwd_pallas_supported, int8_fwd_pallas)
+    rs = np.random.RandomState(11)
+    x = jnp.array(rs.randn(m, k).astype(np.float32), jnp.bfloat16)
+    kq = jnp.array(rs.randint(-127, 128, size=(k, n)).astype(np.int8))
+    scale = jnp.array((rs.rand(n).astype(np.float32) + 0.5) / np.sqrt(k))
+    assert fwd_pallas_supported(x, kq)
+    ref = np.asarray(_int8_matmul_fwd_impl(x, kq, scale), np.float32)
+    got = np.asarray(int8_fwd_pallas(x, kq, scale, interpret=True),
+                     np.float32)
+    assert got.shape == ref.shape
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_fwd_pallas_3d_and_chunked():
+    from flipped_tpu.model.int8 import _int8_matmul_fwd_impl
+    from flipped_tpu.model.pallas import quant_matmul as qm
+    orig = qm._DGRAD_CHUNK
+    qm.__dict__["_DGRAD_CHUNK"] = 256
+    try:
+        rs = np.random.RandomState(12)
+        x3 = jnp.array(rs.randn(4, 24, 768).astype(np.float32), jnp.bfloat16)
+        kq_t = jnp.array(rs.randint(-127, 128, size=(768, 256))
+                         .astype(np.int8))
+        sc = jnp.array((rs.rand(256).astype(np.float32) + 0.5) / 16.0)
+        assert qm._dgrad_chunks(768) == 3
+        ref = np.asarray(_int8_matmul_fwd_impl(x3, kq_t, sc), np.float32)
+        got = np.asarray(qm.int8_fwd_pallas(x3, kq_t, sc,
+                                            interpret=True), np.float32)
+        np.testing.assert_array_equal(got, ref)
+    finally:
+        qm.__dict__["_DGRAD_CHUNK"] = orig
+
+
+def test_fwd_env_gate_forces_xla(monkeypatch):
+    from flipped_tpu.model.pallas.quant_matmul import fwd_pallas_supported
+    x = jnp.ones((16, 256), jnp.bfloat16)
+    kq = jnp.ones((256, 256), jnp.int8)
+    monkeypatch.setenv("FLIPPED_FWD_PALLAS", "0")
+    assert not fwd_pallas_supported(x, kq)

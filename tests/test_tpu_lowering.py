@@ -166,3 +166,42 @@ def test_full_custom_vjp_train_path_lowers():
 
     lower_for_tpu(jax.grad(loss, argnums=(0, 3, 5, 6)),
                   q, k, v, ak, ak, gate1, gate2, vs)
+
+
+def test_dgrad_fused_lowers():
+    """Fused w8a8d dgrad kernel: the in-kernel SR dither (uint32 hash
+    mixing, bitcasts, iota arithmetic) plus the int8 (1,1)-contraction dot
+    must all pass Mosaic lowering — bench-shaped dims (7B wo matmul slice,
+    multi-chunk quantize exercised via the ffn dim separately)."""
+    g = jnp.ones((8, 384, 4096), jnp.bfloat16)     # (rows, S, N) cotangent
+    kq = jnp.ones((4096, 4096), jnp.int8)
+    sc = jnp.ones((4096,), jnp.float32)
+    assert qm.dgrad_pallas_supported(g, kq)
+    lower_for_tpu(
+        lambda a, b, c: qm.int8_dgrad_pallas(a, b, c, interpret=False),
+        g, kq, sc)
+
+
+def test_dgrad_fused_lowers_ffn_chunked():
+    """The 7B ffn contraction (N=11008 → two 5504-lane quantize chunks)."""
+    g = jnp.ones((4, 128, 11008), jnp.bfloat16)
+    kq = jnp.ones((4096, 11008), jnp.int8)
+    sc = jnp.ones((11008,), jnp.float32)
+    assert qm._dgrad_chunks(11008) == 2
+    assert qm.dgrad_pallas_supported(g, kq)
+    lower_for_tpu(
+        lambda a, b, c: qm.int8_dgrad_pallas(a, b, c, interpret=False),
+        g, kq, sc)
+
+
+def test_fwd_fused_lowers():
+    """Fused per-channel w8a8 forward kernel at bench-shaped dims,
+    including the chunked-K quantize (7B w2: K=11008)."""
+    for (k, n) in [(4096, 4096), (11008, 4096)]:
+        x = jnp.ones((8, 128, k), jnp.bfloat16)
+        kq = jnp.ones((k, n), jnp.int8)
+        sc = jnp.ones((n,), jnp.float32)
+        assert qm.fwd_pallas_supported(x, kq)
+        lower_for_tpu(
+            lambda a, b, c: qm.int8_fwd_pallas(a, b, c, interpret=False),
+            x, kq, sc)
