@@ -30,11 +30,14 @@ v5e at the 7B bench shape (0.545 vs 0.451 s/step) — kept as an escape
 hatch for shapes where the dequantized (K, N) HBM buffer becomes the
 binding constraint.
 FLIPPED_DGRAD_PALLAS=0 forces the w8a8d quantized backward's cotangent
-quantize + int8 dot back to the unfused XLA formulation (the fused Pallas
-kernel is the default on TPU; bit-identical numerics either way).
-FLIPPED_FWD_PALLAS=0 forces the per-channel w8a8 forward back to the XLA
-formulation (same bit-identical contract; see _fwd_dispatch for whether
-the fused kernel is currently the default).
+quantize + int8 dot back to the unfused XLA formulation (interpret-mode
+bit-identical; on hardware Mosaic last-ulp rounding can flip individual
+SR dither draws — see pallas/quant_matmul.py).
+FLIPPED_FWD_PALLAS=1 opts the per-channel w8a8 forward INTO the fused
+Pallas kernel (int8_fwd_pallas, reachable via _fwd_dispatch on every
+int8/w8a8 forward). Measured SLOWER on v5e at every 7B bench matmul
+shape (scripts/dx_formulation_probe.py --phase fwd, numbers in
+fwd_pallas_supported) — the XLA formulation is the default.
 """
 from __future__ import annotations
 
@@ -73,11 +76,13 @@ def _int8_matmul_fwd_impl(x, kq, scale):
 
 
 def _fwd_dispatch(x, kq, scale):
-    """Mesh/platform-aware per-channel w8a8 forward (mirrors _dx_dispatch):
-    on Pallas backends the fused kernel quantizes the activation block in
-    VMEM (read once, no HBM xq buffer); GSPMD-partitioned layouts and
-    unsupported shapes take the XLA formulation. Bit-identical numerics
-    (RTN, reciprocal-multiply scales — see _quantize_act)."""
+    """Mesh/platform-aware per-channel w8a8 forward (mirrors _dx_dispatch).
+    The fused kernel is OPT-IN (FLIPPED_FWD_PALLAS=1, measured slower than
+    XLA on v5e — numbers in fwd_pallas_supported); with the flag unset this
+    is exactly _int8_matmul_fwd_impl. GSPMD-partitioned layouts and
+    unsupported shapes always take the XLA formulation. Interpret-mode
+    bit-identical numerics (RTN, reciprocal-multiply scales — see
+    _quantize_act)."""
     from .pallas.quant_matmul import fwd_pallas_supported, int8_fwd_pallas
     if not fwd_pallas_supported(x, kq):
         return _int8_matmul_fwd_impl(x, kq, scale)
@@ -88,12 +93,12 @@ def _fwd_dispatch(x, kq, scale):
 @jax.custom_vjp
 def int8_matmul(x, kq, scale):
     """x (…, K) float; kq (K, N) int8; scale (N,) f32 → (…, N) x.dtype."""
-    return _int8_matmul_fwd_impl(x, kq, scale)
+    return _fwd_dispatch(x, kq, scale)
 
 
 def _fwd(x, kq, scale):
     # the output (hence g) carries x's dtype, so no dtype residual is needed
-    return _int8_matmul_fwd_impl(x, kq, scale), (kq, scale)
+    return _fwd_dispatch(x, kq, scale), (kq, scale)
 
 
 def _bwd(res, g):

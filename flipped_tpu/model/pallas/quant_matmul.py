@@ -419,13 +419,16 @@ def quant_dx_pallas(g, kq, scale_g, interpret: bool | None = None):
 # against the stored weights — the quantized cotangent never exists in HBM
 # and the cotangent is read exactly once.
 #
-# Numerics are EXACT vs the XLA formulation (asserted bit-for-bit in
-# tests/test_quant_matmul_pallas.py): the murmur-mixed dither hash of
-# model/int8.py stochastic_round is reproduced with its GLOBAL iota
+# Numerics: bit-for-bit vs the XLA formulation under the Pallas INTERPRETER
+# (asserted in tests/test_quant_matmul_pallas.py): the murmur-mixed dither
+# hash of model/int8.py stochastic_round is reproduced with its GLOBAL iota
 # coordinates (col = lane index; row = flattened row % S, matching XLA's
-# dim(-2) iota on the (B, S, N) cotangent), all f32 elementwise ops are
-# IEEE-identical, and the full-N contraction is a single int32 dot per
-# (m, k) tile in both formulations.
+# dim(-2) iota on the (B, S, N) cotangent), the f32 elementwise chain is
+# written op-for-op the same, and the full-N contraction is a single int32
+# dot per (m, k) tile in both formulations. On real TPU, Mosaic's f32
+# divide/round may differ from XLA:TPU in the last ulp, which can flip
+# individual dither draws — the result is still valid unbiased SR with the
+# same scales, just not guaranteed bit-identical on hardware.
 # ---------------------------------------------------------------------------
 
 # Full-N row blocks: bound the f32 quantize temp by processing N in
@@ -513,7 +516,7 @@ def dgrad_pallas_supported(g, kq) -> bool:
     if not _HAS_PALLAS:
         return False
     k_dim, n = kq.shape
-    if g.ndim < 2:
+    if g.ndim < 2 or g.shape[-1] != n:
         return False
     return (n % 128 == 0 and k_dim % 128 == 0 and n <= 32768
             and n % (_dgrad_chunks(n) * 128) == 0)
@@ -524,7 +527,9 @@ def int8_dgrad_pallas(g, kq, scale, interpret: bool | None = None):
 
     Fused w8a8d backward: dx[m,k] = Σ_n SR((g·s)/gsc)[m,n] · kq[k,n] · gsc[m]
     with the scale-folded cotangent stochastically rounded to int8 per row —
-    bit-exact vs model/int8.py _dgrad_dx_xla."""
+    bit-exact vs model/int8.py _dgrad_dx_xla under the interpreter (on
+    hardware, Mosaic last-ulp divide/round differences may flip individual
+    SR dither draws; see the module comment above)."""
     interpret = INTERPRET if interpret is None else interpret
     k_dim, n = kq.shape
     lead = g.shape[:-1]
@@ -577,9 +582,12 @@ def int8_dgrad_pallas(g, kq, scale, interpret: bool | None = None):
 # quantize as separate machinery around the int8 dot; this kernel streams
 # each (bm, K) activation row-block into VMEM once — absmax, RTN-quantize
 # into an int8 scratch at n-block 0 — then every n-block runs one int8×int8
-# MXU dot. Bit-exact vs _int8_matmul_fwd_impl under jit (RTN has no dither;
-# the reciprocal-multiply scale matches the jitted XLA graph — see the note
-# in model/int8.py _quantize_act).
+# MXU dot. Bit-exact vs _int8_matmul_fwd_impl under the interpreter (RTN
+# has no dither; the reciprocal-multiply scale matches the jitted XLA graph
+# — see the note in model/int8.py _quantize_act). On hardware, Mosaic
+# last-ulp divide/round differences can shift an activation value sitting
+# exactly on an RTN boundary by one int8 code — same per-channel scale
+# envelope either way.
 # ---------------------------------------------------------------------------
 
 _FWD_BM, _FWD_BN = 128, 256
@@ -614,10 +622,16 @@ def _fwd_kernel(x_ref, kq_ref, s_ref, o_ref, xq_scr, xs_scr, *,
 
 def fwd_pallas_supported(x, kq) -> bool:
     """Alignment + VMEM guard for the fused forward kernel (mirrors
-    dgrad_pallas_supported); FLIPPED_FWD_PALLAS=0 forces the XLA
-    formulation (read at trace time like the other gates)."""
+    dgrad_pallas_supported). OPT-IN via FLIPPED_FWD_PALLAS=1 (read at
+    trace time like the other gates): measured on v5e at the 7B bench
+    shapes the fused kernel LOSES to the XLA formulation at every matmul
+    (1.34 vs 1.10 ms @4096×4096, 2.37 vs 1.85 @4096×11008, 3.78 vs 1.62
+    @11008×4096 — scripts/dx_formulation_probe.py --phase fwd) — XLA
+    already keeps the quantize fused tightly enough that the kernel's
+    single-pass HBM saving cannot pay for its grid overhead, so the XLA
+    path is the default."""
     import os
-    if os.environ.get("FLIPPED_FWD_PALLAS", "1") == "0":
+    if os.environ.get("FLIPPED_FWD_PALLAS", "0") != "1":
         return False
     if not _HAS_PALLAS:
         return False
@@ -633,7 +647,8 @@ def int8_fwd_pallas(x, kq, scale, interpret: bool | None = None):
 
     Fused per-channel w8a8 forward: per-row absmax RTN activation quantize
     in VMEM + int8 MXU dot — bit-exact vs model/int8.py
-    _int8_matmul_fwd_impl (jitted)."""
+    _int8_matmul_fwd_impl under the interpreter (hardware caveat: see the
+    module comment above int8_dgrad_pallas)."""
     interpret = INTERPRET if interpret is None else interpret
     k_dim, n = kq.shape
     lead = x.shape[:-1]

@@ -446,7 +446,7 @@ def test_dgrad_dispatch_full_bwd_matches_xla(monkeypatch):
     (40, 1024, 384),
     (8, 384, 256),
 ])
-def test_fwd_pallas_bit_exact_vs_xla(m, k, n):
+def test_fwd_pallas_bit_exact_vs_xla(m, k, n, monkeypatch):
     from flipped_tpu.model.int8 import _int8_matmul_fwd_impl
     from flipped_tpu.model.pallas.quant_matmul import (
         fwd_pallas_supported, int8_fwd_pallas)
@@ -454,6 +454,7 @@ def test_fwd_pallas_bit_exact_vs_xla(m, k, n):
     x = jnp.array(rs.randn(m, k).astype(np.float32), jnp.bfloat16)
     kq = jnp.array(rs.randint(-127, 128, size=(k, n)).astype(np.int8))
     scale = jnp.array((rs.rand(n).astype(np.float32) + 0.5) / np.sqrt(k))
+    monkeypatch.setenv("FLIPPED_FWD_PALLAS", "1")  # opt-in since r05
     assert fwd_pallas_supported(x, kq)
     ref = np.asarray(_int8_matmul_fwd_impl(x, kq, scale), np.float32)
     got = np.asarray(int8_fwd_pallas(x, kq, scale, interpret=True),
@@ -482,9 +483,15 @@ def test_fwd_pallas_3d_and_chunked():
         qm.__dict__["_DGRAD_CHUNK"] = orig
 
 
-def test_fwd_env_gate_forces_xla(monkeypatch):
+def test_fwd_env_gate_opt_in(monkeypatch):
+    """The fused forward is OPT-IN (measured slower than XLA on v5e —
+    fwd_pallas_supported docstring): unset/0 → XLA, 1 → fused kernel."""
     from flipped_tpu.model.pallas.quant_matmul import fwd_pallas_supported
     x = jnp.ones((16, 256), jnp.bfloat16)
     kq = jnp.ones((256, 256), jnp.int8)
+    monkeypatch.delenv("FLIPPED_FWD_PALLAS", raising=False)
+    assert not fwd_pallas_supported(x, kq)
     monkeypatch.setenv("FLIPPED_FWD_PALLAS", "0")
     assert not fwd_pallas_supported(x, kq)
+    monkeypatch.setenv("FLIPPED_FWD_PALLAS", "1")
+    assert fwd_pallas_supported(x, kq)

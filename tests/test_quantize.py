@@ -160,6 +160,32 @@ def test_int8_matmul_zero_rows_safe():
     assert np.isfinite(out).all() and (out == 0).all()
 
 
+@pytest.mark.parametrize("shape", [(6, 64), (3, 5, 128), (17, 256)])
+def test_quantize_act_reciprocal_matches_division_under_jit(shape):
+    """_quantize_act pins the scale as amax·(1/127) (a reciprocal multiply)
+    so the fused Pallas forward can reproduce it op-for-op. The claim that
+    this leaves jitted numerics unchanged rests on XLA rewriting the older
+    amax/127.0 division into exactly that multiply — pin it: both
+    formulations must produce identical int8 codes AND identical f32 scales
+    under jit (ADVICE r04)."""
+    from flipped_tpu.model.int8 import _EPS, _quantize_act
+
+    def quantize_div(x):
+        x32 = x.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+        xs = jnp.maximum(amax / 127.0, _EPS)
+        return jnp.round(x32 / xs).astype(jnp.int8), xs
+
+    rs = np.random.RandomState(11)
+    # mix magnitudes so the mantissa space is well covered
+    x = jnp.asarray((rs.randn(*shape)
+                     * np.exp(rs.uniform(-6, 6, shape))).astype(np.float32))
+    xq_r, xs_r = jax.jit(_quantize_act)(x)
+    xq_d, xs_d = jax.jit(quantize_div)(x)
+    np.testing.assert_array_equal(np.asarray(xq_r), np.asarray(xq_d))
+    np.testing.assert_array_equal(np.asarray(xs_r), np.asarray(xs_d))
+
+
 def test_w8a8_model_forward_and_train_losses():
     """Full model with act_quant: forward close to weight-only int8; train
     gradients flow and match the weight-only int8 gradients exactly (the

@@ -194,9 +194,12 @@ def test_dgrad_fused_lowers_ffn_chunked():
         g, kq, sc)
 
 
-def test_fwd_fused_lowers():
+def test_fwd_fused_lowers(monkeypatch):
     """Fused per-channel w8a8 forward kernel at bench-shaped dims,
-    including the chunked-K quantize (7B w2: K=11008)."""
+    including the chunked-K quantize (7B w2: K=11008). Opt-in since r05
+    (measured slower than XLA — fwd_pallas_supported docstring), but the
+    escape hatch must keep lowering."""
+    monkeypatch.setenv("FLIPPED_FWD_PALLAS", "1")
     for (k, n) in [(4096, 4096), (11008, 4096)]:
         x = jnp.ones((8, 128, k), jnp.bfloat16)
         kq = jnp.ones((k, n), jnp.int8)
