@@ -29,10 +29,12 @@ instead of the default XLA dequant + full-width dot. Measured SLOWER on
 v5e at the 7B bench shape (0.545 vs 0.451 s/step) — kept as an escape
 hatch for shapes where the dequantized (K, N) HBM buffer becomes the
 binding constraint.
-FLIPPED_DGRAD_PALLAS=0 forces the w8a8d quantized backward's cotangent
-quantize + int8 dot back to the unfused XLA formulation (interpret-mode
-bit-identical; on hardware Mosaic last-ulp rounding can flip individual
-SR dither draws — see pallas/quant_matmul.py).
+FLIPPED_DGRAD_PALLAS=1 opts the w8a8d backward's cotangent quantize +
+int8 dot INTO the fused Pallas kernel (interpret-mode bit-identical; on
+hardware Mosaic last-ulp rounding can flip individual SR dither draws —
+see pallas/quant_matmul.py). Measured SLOWER on v5e both per-matmul and
+end-to-end (w8a8d 7B step 0.557 s fused vs 0.428 s XLA — numbers in
+dgrad_pallas_supported), so the unfused XLA formulation is the default.
 FLIPPED_FWD_PALLAS=1 opts the per-channel w8a8 forward INTO the fused
 Pallas kernel (int8_fwd_pallas, reachable via _fwd_dispatch on every
 int8/w8a8 forward). Measured SLOWER on v5e at every 7B bench matmul
@@ -182,12 +184,16 @@ def int8_matmul_dgrad(x, kq, scale):
 
 
 def _dgrad_dx_xla(g, kq, scale):
-    """The XLA/oracle formulation of the w8a8d dx: scale-fold → per-row
-    absmax → SR-quantize → int8 dot. The quantize stays UNFUSED here (at
-    the 7B bench shape: a 48 ms standalone absmax reduce + ~25 ms of
-    dither-chain copies per step, docs/PERF.md) — the fused Pallas kernel
-    (pallas/quant_matmul.int8_dgrad_pallas) streams the cotangent once and
-    is bit-exact with this function."""
+    """The XLA formulation of the w8a8d dx (the DEFAULT): scale-fold →
+    per-row absmax → SR-quantize → int8 dot. The quantize is unfused
+    machinery around the dot (at the 7B bench shape: a 48 ms standalone
+    absmax reduce + ~25 ms of dither-chain copies per step, docs/PERF.md)
+    — but the fused Pallas kernel built to remove it
+    (pallas/quant_matmul.int8_dgrad_pallas, interpret-mode bit-exact with
+    this function) measured SLOWER on the chip (0.557 vs 0.428 s/step:
+    its full-N row blocks force narrow output tiles), so this remains the
+    production path and the kernel is the FLIPPED_DGRAD_PALLAS=1 escape
+    hatch."""
     gs = g.astype(jnp.float32) * scale[None, :]
     amax = jnp.max(jnp.abs(gs), axis=-1, keepdims=True)
     # explicit reciprocal multiply, NOT amax/127.0: under jit XLA rewrites
@@ -204,10 +210,12 @@ def _dgrad_dx_xla(g, kq, scale):
 
 
 def _dgrad_dispatch(g, kq, scale):
-    """Mesh/platform-aware dgrad dx (mirrors _dx_dispatch): on Pallas
-    backends the fused kernel quantizes the cotangent in VMEM (read once,
-    no HBM gq buffer); GSPMD-partitioned layouts and unsupported shapes
-    take the XLA formulation. Numerics identical (bit-exact SR dither)."""
+    """Mesh/platform-aware dgrad dx (mirrors _dx_dispatch). The fused
+    kernel is OPT-IN (FLIPPED_DGRAD_PALLAS=1 — measured slower than the
+    unfused XLA formulation on v5e, numbers in dgrad_pallas_supported);
+    with the flag unset this is exactly _dgrad_dx_xla. GSPMD-partitioned
+    layouts and unsupported shapes always take the XLA formulation.
+    Interpret-mode bit-identical SR dither either way."""
     from .pallas.quant_matmul import dgrad_pallas_supported, int8_dgrad_pallas
     if not dgrad_pallas_supported(g, kq):
         return _dgrad_dx_xla(g, kq, scale)

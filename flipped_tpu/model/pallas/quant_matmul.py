@@ -506,12 +506,19 @@ def _dgrad_kernel(g_ref, kq_ref, s_ref, o_ref, gq_scr, gsc_scr, *,
 
 
 def dgrad_pallas_supported(g, kq) -> bool:
-    """Alignment + VMEM guard for the fused dgrad kernel: the full-N
-    cotangent row block must tile 128 lanes and fit the chunked-quantize
-    VMEM budget; FLIPPED_DGRAD_PALLAS=0 forces the XLA formulation (escape
-    hatch — numerics identical, read at trace time like the other gates)."""
+    """Alignment + VMEM guard for the fused dgrad kernel. OPT-IN via
+    FLIPPED_DGRAD_PALLAS=1 (read at trace time like the other gates):
+    measured on v5e the fused kernel LOSES to the unfused XLA formulation
+    both per-matmul (1.26 vs 1.10 ms @4096×4096, 4.04 vs 1.73 @4096×11008,
+    2.44 vs 1.81 @11008×4096 — scripts/dx_formulation_probe.py --phase dx)
+    and end-to-end (w8a8d 7B step 0.557 s fused vs 0.428 s XLA): the
+    full-N row-block layout it needs for the in-VMEM quantize forces
+    narrow (bm, bk) output tiles whose grid overhead exceeds what fusing
+    the absmax/SR machinery saves — so the XLA formulation is the
+    default, same verdict as the per-channel dx and fused-forward
+    kernels."""
     import os
-    if os.environ.get("FLIPPED_DGRAD_PALLAS", "1") == "0":
+    if os.environ.get("FLIPPED_DGRAD_PALLAS", "0") != "1":
         return False
     if not _HAS_PALLAS:
         return False

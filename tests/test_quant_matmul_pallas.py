@@ -359,11 +359,12 @@ def _dgrad_case(m, k, n, seed=3):
     (40, 1024, 384),   # multi k-block, 3-chunk-free n
     (8, 384, 256),     # decode-sized m, k not a bk multiple (bk shrinks)
 ])
-def test_dgrad_pallas_bit_exact_vs_xla(m, k, n):
+def test_dgrad_pallas_bit_exact_vs_xla(m, k, n, monkeypatch):
     from flipped_tpu.model.int8 import _dgrad_dx_xla
     from flipped_tpu.model.pallas.quant_matmul import (
         dgrad_pallas_supported, int8_dgrad_pallas)
     g, kq, scale = _dgrad_case(m, k, n)
+    monkeypatch.setenv("FLIPPED_DGRAD_PALLAS", "1")  # opt-in since r05
     assert dgrad_pallas_supported(g, kq)
     ref = np.asarray(_dgrad_dx_xla(g, kq, scale), np.float32)
     got = np.asarray(int8_dgrad_pallas(g, kq, scale, interpret=True),
@@ -409,11 +410,18 @@ def test_dgrad_n_chunking_covers_11008_like_dims():
     assert qm._dgrad_chunks(4096) == 1
 
 
-def test_dgrad_env_gate_forces_xla(monkeypatch):
+def test_dgrad_env_gate_opt_in(monkeypatch):
+    """The fused dgrad is OPT-IN (measured slower than the unfused XLA
+    formulation on v5e — dgrad_pallas_supported docstring): unset/0 → XLA,
+    1 → fused kernel."""
     from flipped_tpu.model.pallas.quant_matmul import dgrad_pallas_supported
     g, kq, _ = _dgrad_case(16, 256, 256)
+    monkeypatch.delenv("FLIPPED_DGRAD_PALLAS", raising=False)
+    assert not dgrad_pallas_supported(g, kq)
     monkeypatch.setenv("FLIPPED_DGRAD_PALLAS", "0")
     assert not dgrad_pallas_supported(g, kq)
+    monkeypatch.setenv("FLIPPED_DGRAD_PALLAS", "1")
+    assert dgrad_pallas_supported(g, kq)
 
 
 def test_dgrad_dispatch_full_bwd_matches_xla(monkeypatch):
@@ -430,7 +438,7 @@ def test_dgrad_dispatch_full_bwd_matches_xla(monkeypatch):
 
     monkeypatch.setenv("FLIPPED_DGRAD_PALLAS", "0")
     ref = np.asarray(jax.grad(loss)(x), np.float32)
-    monkeypatch.delenv("FLIPPED_DGRAD_PALLAS")
+    monkeypatch.setenv("FLIPPED_DGRAD_PALLAS", "1")  # opt-in since r05
     monkeypatch.setattr(qm, "INTERPRET", True)
     got = np.asarray(jax.grad(loss)(x), np.float32)
     np.testing.assert_array_equal(got, ref)

@@ -168,7 +168,7 @@ def test_full_custom_vjp_train_path_lowers():
                   q, k, v, ak, ak, gate1, gate2, vs)
 
 
-def test_dgrad_fused_lowers():
+def test_dgrad_fused_lowers(monkeypatch):
     """Fused w8a8d dgrad kernel: the in-kernel SR dither (uint32 hash
     mixing, bitcasts, iota arithmetic) plus the int8 (1,1)-contraction dot
     must all pass Mosaic lowering — bench-shaped dims (7B wo matmul slice,
@@ -176,18 +176,20 @@ def test_dgrad_fused_lowers():
     g = jnp.ones((8, 384, 4096), jnp.bfloat16)     # (rows, S, N) cotangent
     kq = jnp.ones((4096, 4096), jnp.int8)
     sc = jnp.ones((4096,), jnp.float32)
+    monkeypatch.setenv("FLIPPED_DGRAD_PALLAS", "1")  # opt-in since r05
     assert qm.dgrad_pallas_supported(g, kq)
     lower_for_tpu(
         lambda a, b, c: qm.int8_dgrad_pallas(a, b, c, interpret=False),
         g, kq, sc)
 
 
-def test_dgrad_fused_lowers_ffn_chunked():
+def test_dgrad_fused_lowers_ffn_chunked(monkeypatch):
     """The 7B ffn contraction (N=11008 → two 5504-lane quantize chunks)."""
     g = jnp.ones((4, 128, 11008), jnp.bfloat16)
     kq = jnp.ones((4096, 11008), jnp.int8)
     sc = jnp.ones((11008,), jnp.float32)
     assert qm._dgrad_chunks(11008) == 2
+    monkeypatch.setenv("FLIPPED_DGRAD_PALLAS", "1")  # opt-in since r05
     assert qm.dgrad_pallas_supported(g, kq)
     lower_for_tpu(
         lambda a, b, c: qm.int8_dgrad_pallas(a, b, c, interpret=False),
