@@ -85,6 +85,28 @@ def _zero_tangents(kq4, scale_g):
     return np.broadcast_to(zero, kq4.shape), jnp.zeros_like(scale_g)
 
 
+def _ad_taint(ref, *arrs):
+    """Data-depend the weight-only operands on the activations with an
+    exact zero, so autodiff partial evaluation classifies the unpack /
+    dequant chain UNKNOWN and recomputes it in the backward.
+
+    Without this, the packed-residual contract above silently breaks under
+    NESTED scans: when the pipeline's GPipe tick scan (model/pipeline.py)
+    wraps the stage's layer scan, partial eval splits the custom-VJP fwd
+    jaxpr, hoists everything derivable from the (known) weights out of the
+    loop, and SAVES it — stacking the fully unpacked int8 backbone of the
+    stage between forward and backward. Measured on the pp=4 33B w4a8
+    step's XLA memory analysis: 9.89 GiB of temps (≈8 GiB of it stacked
+    s8[15,K,N] unpacked kernels + f32 scale broadcasts) vs 1-2 GiB with
+    the taint — the difference between a 33B stage fitting a 16 GB v5e
+    and not (tests/test_pipeline.py::test_pp_33b_step_compiles_within_
+    stage_hbm). The zero is NaN-proof ((ref != ref) & False is always
+    False) and XLA folds the add away after the residual split is decided,
+    so compiled numerics and speed are untouched."""
+    z = jnp.logical_and(ref.ravel()[0] != ref.ravel()[0], False)
+    return tuple(a + z.astype(a.dtype) for a in arrs)
+
+
 def _int4_dx_xla(g, kq4, scale_g):
     w = _dequant_bf16(kq4, scale_g)
     return (g.astype(jnp.bfloat16) @ w.T).astype(g.dtype)
@@ -131,6 +153,7 @@ def _make_int4_matmul(impl, doc, bwd=None):
 # --- weight-only int4: dequantize into a bf16 matmul -------------------------
 
 def _wo_xla_impl(x, kq4, scale_g):
+    kq4, scale_g = _ad_taint(x, kq4, scale_g)
     return (x @ _dequant_bf16(kq4, scale_g).astype(x.dtype)).astype(x.dtype)
 
 
@@ -165,6 +188,7 @@ int4_matmul_xla = _make_int4_matmul(
 
 def _w4a8_xla_impl(x, kq4, scale_g):
     from .int8 import _grouped_matmul_impl
+    kq4, scale_g = _ad_taint(x, kq4, scale_g)
     return _grouped_matmul_impl(x, unpack_int4(kq4), scale_g)
 
 
@@ -191,6 +215,7 @@ int4_matmul_grouped = _make_int4_matmul(
     "(…, N) x.dtype, activations quantized per (token, 128-wide group).")
 def _w4a8_scan_impl(x, kq4, scale_g):
     from .int8 import _grouped_matmul_scan
+    kq4, scale_g = _ad_taint(x, kq4, scale_g)
     return _grouped_matmul_scan(x, unpack_int4(kq4), scale_g)
 
 

@@ -293,18 +293,31 @@ def pallas_mesh_dispatch(pallas_fn, xla_fn, xla_sharded_fn, x, *consts):
     from ..core.mesh import DP_AXIS, TP_AXIS
     from .pallas import quant_matmul as _qm
 
-    def per_device(x_loc, *cs):
-        if _qm.INTERPRET:  # tests: force the kernel under the interpreter
-            return pallas_fn(x_loc, *cs)
-        return jax.lax.platform_dependent(x_loc, *cs, tpu=pallas_fn,
-                                          default=xla_fn)
-
     mesh = jax.sharding.get_abstract_mesh()
     try:
         manual = {ax for ax, t in zip(mesh.axis_names, mesh.axis_types)
                   if str(t) == "Manual"}
     except Exception:  # axis_types API absent — assume top level
         manual = set()
+
+    def per_device(x_loc, *cs):
+        if _qm.INTERPRET:  # tests: force the kernel under the interpreter
+            return pallas_fn(x_loc, *cs)
+        if manual:
+            # Inside a manual (pp) stage body the layer sweep is a scan
+            # nested in the GPipe tick scan, and a platform_dependent cond
+            # there makes nested-scan partial eval stack a per-layer packed
+            # COPY of the weights as cond residuals (+4.2 GiB per 33B
+            # stage — same disease as model/int4._ad_taint, measured by
+            # tests/test_pipeline.py::test_pp_33b_step_compiles_within_
+            # stage_hbm). Pick the branch at trace time instead: a pp mesh
+            # context is a real-device run, so default_backend() IS the
+            # lowering platform.
+            if jax.default_backend() == "tpu":
+                return pallas_fn(x_loc, *cs)
+            return xla_fn(x_loc, *cs)
+        return jax.lax.platform_dependent(x_loc, *cs, tpu=pallas_fn,
+                                          default=xla_fn)
     # axes already manual (e.g. 'pp' inside a pipeline stage body) are
     # bound: the computation here is per-device along them already
     big = {ax: mesh.shape[ax] for ax in mesh.axis_names
