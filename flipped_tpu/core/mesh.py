@@ -99,6 +99,27 @@ def mesh_is_multi_device() -> bool:
     return any(mesh.shape[ax] > 1 for ax in mesh.axis_names)
 
 
+def manual_axes(mesh=None) -> frozenset:
+    """Axis names already bound Manual in the abstract mesh — i.e. we are
+    tracing inside a shard_map body over them (the pipeline's 'pp' stage
+    bodies). Callers use this to avoid re-taking bound axes in nested
+    shard_maps and to pick lowering branches at trace time.
+
+    Compare AxisType by ENUM IDENTITY: `str(AxisType.Manual)` is
+    'AxisType.Manual' (its repr is 'Manual'), so the earlier
+    `str(t) == "Manual"` comparison silently matched nothing and every
+    nested-context detection downstream of it was dead code
+    (tests/test_sharding.py pins this)."""
+    if mesh is None:
+        mesh = jax.sharding.get_abstract_mesh()
+    try:
+        from jax.sharding import AxisType
+        return frozenset(ax for ax, t in zip(mesh.axis_names, mesh.axis_types)
+                         if t == AxisType.Manual)
+    except Exception:  # axis_types API absent — assume top level
+        return frozenset()
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading (batch) dim sharded over dp, everything else replicated."""
     return NamedSharding(mesh, P(DP_AXIS))

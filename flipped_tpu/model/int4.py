@@ -107,6 +107,23 @@ def _ad_taint(ref, *arrs):
     return tuple(a + z.astype(a.dtype) for a in arrs)
 
 
+def ad_taint_in_manual_mesh(ref, *arrs):
+    """`_ad_taint`, gated on a manual mesh axis being in scope (the pp
+    stage-body context, model/pipeline.py).
+
+    For the WEIGHT-ONLY dequants in llama.Dense there is no custom VJP:
+    plain autodiff saves the dequantized bf16/f32 kernel as a residual,
+    and under the pipeline's nested scans that residual is stacked per
+    layer — measured 34.7 GiB of temps on the 33B pp=4 weight-only-int8
+    step's XLA memory analysis (vs 3-5 GiB with the taint). Gating on the
+    manual-axis context keeps the measured single-device int8 paths'
+    residual behavior byte-identical (docs/PERF.md capacity tables)."""
+    from ..core.mesh import manual_axes
+    if not manual_axes():
+        return arrs
+    return _ad_taint(ref, *arrs)
+
+
 def _int4_dx_xla(g, kq4, scale_g):
     w = _dequant_bf16(kq4, scale_g)
     return (g.astype(jnp.bfloat16) @ w.T).astype(g.dtype)

@@ -293,12 +293,9 @@ def pallas_mesh_dispatch(pallas_fn, xla_fn, xla_sharded_fn, x, *consts):
     from ..core.mesh import DP_AXIS, TP_AXIS
     from .pallas import quant_matmul as _qm
 
+    from ..core.mesh import manual_axes
     mesh = jax.sharding.get_abstract_mesh()
-    try:
-        manual = {ax for ax, t in zip(mesh.axis_names, mesh.axis_types)
-                  if str(t) == "Manual"}
-    except Exception:  # axis_types API absent — assume top level
-        manual = set()
+    manual = manual_axes(mesh)
 
     def per_device(x_loc, *cs):
         if _qm.INTERPRET:  # tests: force the kernel under the interpreter
@@ -312,10 +309,12 @@ def pallas_mesh_dispatch(pallas_fn, xla_fn, xla_sharded_fn, x, *consts):
             # tests/test_pipeline.py::test_pp_33b_step_compiles_within_
             # stage_hbm). Pick the branch at trace time instead: a pp mesh
             # context is a real-device run, so default_backend() IS the
-            # lowering platform.
+            # lowering platform. Off-TPU use the SHARDED (scan) XLA
+            # formulation — the batched grouped impl's (G, M, N)
+            # intermediate is multi-GB per matmul at 33B stage shapes.
             if jax.default_backend() == "tpu":
                 return pallas_fn(x_loc, *cs)
-            return xla_fn(x_loc, *cs)
+            return xla_sharded_fn(x_loc, *cs)
         return jax.lax.platform_dependent(x_loc, *cs, tpu=pallas_fn,
                                           default=xla_fn)
     # axes already manual (e.g. 'pp' inside a pipeline stage body) are

@@ -144,6 +144,8 @@ class Linear(nn.Module):
                     mm = (int8_matmul_grouped if self.quant_pallas
                           else int8_matmul_grouped_xla)
                     return mm(x, kq, scale) + passthrough
+                from .int4 import ad_taint_in_manual_mesh
+                kq, scale = ad_taint_in_manual_mesh(x, kq, scale)
                 kernel = (kq.reshape(g_count, self.quant_group,
                                      self.features).astype(self.dtype)
                           * scale[:, None, :].astype(self.dtype)
@@ -154,6 +156,8 @@ class Linear(nn.Module):
             if self.act_quant:
                 mm = int8_matmul_dgrad if self.dgrad_quant else int8_matmul
                 return mm(x, kq, scale) + passthrough
+            from .int4 import ad_taint_in_manual_mesh
+            kq, scale = ad_taint_in_manual_mesh(x, kq, scale)
             kernel = kq.astype(self.dtype) * scale.astype(self.dtype)[None, :]
             return x @ kernel + passthrough
         kernel = self.param("kernel", _torch_linear_init(),

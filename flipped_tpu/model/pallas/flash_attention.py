@@ -845,11 +845,8 @@ def _sp_specs(h_dim: int, b_dim: int):
                      and b_dim % mesh.shape[DP_AXIS] == 0) else None
     tp = (TP_AXIS if (TP_AXIS in names
                       and h_dim % mesh.shape[TP_AXIS] == 0) else None)
-    try:
-        manual = {ax for ax, t in zip(names, mesh.axis_types)
-                  if str(t) == "Manual"}
-    except Exception:  # axis_types API absent — assume top level
-        manual = set()
+    from ...core.mesh import manual_axes
+    manual = manual_axes(mesh)
     if manual:
         # nested inside another shard_map (the pipeline's pp map): take
         # manual ONLY the axes these wrappers actually use, never the

@@ -696,23 +696,31 @@ def test_large_preset_pp_stage_shardings(preset, pp):
     assert per_stage * 0.5 < 0.40 * hbm, "int4 stage must fit comfortably"
 
 
-def test_pp_33b_step_compiles_within_stage_hbm():
+@pytest.mark.parametrize("quant,B,budget_frac", [
+    ("w4a8", 8, 0.85),   # measured 9.8 GiB (4.7 args + 5.1 temps)
+    ("int8", 4, 0.80),   # measured 11.7 GiB (8.2 args + 3.5 temps)
+])
+def test_pp_33b_step_compiles_within_stage_hbm(quant, B, budget_frac):
     """Beyond shape-tree arithmetic (VERDICT r04): AOT-compile an ACTUAL
-    33B-layer-scale w4a8 train step on a virtual pp=4 mesh — real dims
-    (6656×60L, 15 layers/stage, packed int4 frozen tree via abstract
+    33B-layer-scale quantized train step on a virtual pp=4 mesh — real dims
+    (6656×60L, 15 layers/stage, packed/quantized frozen tree via abstract
     ShapeDtypeStructs, nothing materialized) — and assert XLA's memory
     analysis keeps the per-device working set (arguments + temps + output)
-    inside a 16 GB v5e budget at (batch=8, S=128, full remat, lm_chunk=64).
-    Fails if pp's per-stage working set ever regresses past the chip.
+    inside a 16 GB v5e budget (S=128, full remat, lm_chunk=64). Fails if
+    pp's per-stage working set ever regresses past the chip.
 
-    This test CAUGHT a real capacity bug: nested-scan partial eval (the
-    GPipe tick scan over the stage's layer scan) hoisted the weight-only
-    unpack/dequant chain out of the int4 custom-VJP fwd and SAVED it —
-    stacking the stage's fully UNPACKED int8 backbone (≈8 GiB) plus a
-    packed cond-residual copy between forward and backward: 14.6 GiB at
-    batch 4 (15.7 at batch 8). With the fixes (model/int4._ad_taint +
-    trace-time branch pick in pallas_mesh_dispatch) the same analysis is
-    9.8 GiB at batch 8."""
+    This test CAUGHT two real capacity bugs: (1) nested-scan partial eval
+    (the GPipe tick scan over the stage's layer scan) hoisted the
+    weight-only unpack/dequant chain out of the custom-VJP fwd and SAVED
+    it — stacking the stage's fully UNPACKED int8 backbone (≈8 GiB) plus
+    a packed platform_dependent-cond residual copy between forward and
+    backward: 14.6 GiB at w4a8 batch 4, and 34.7 GiB of stacked
+    f32-dequantized kernels at weight-only int8 (no custom VJP there at
+    all). (2) str(AxisType.Manual) == 'AxisType.Manual', so the manual-
+    axis detection every nested-context dispatch relied on matched
+    nothing (core/mesh.manual_axes). Fixes: model/int4._ad_taint (+ the
+    mesh-gated variant in llama.Dense), trace-time branch pick in
+    pallas_mesh_dispatch, enum-identity manual_axes."""
     from flipped_tpu.core.config import MODEL_PRESETS, quant_flags
     from flipped_tpu.data import make_synthetic_items, pack_train_batch
     from flipped_tpu.text import MockTokenizer
@@ -724,8 +732,8 @@ def test_pp_33b_step_compiles_within_stage_hbm():
                       multiple_of=256, max_seq_len=128, adapter_len=10,
                       adapter_layer=pre["n_layers"], max_feats=10)
     model = FlippedVQAModel(cfg, remat=True, remat_policy="full",
-                            **quant_flags("w4a8"))
-    B, S, F = 8, cfg.max_seq_len, cfg.max_feats
+                            **quant_flags(quant))
+    S, F = cfg.max_seq_len, cfg.max_feats
 
     shapes = jax.eval_shape(
         model.init, jax.random.PRNGKey(0),
@@ -783,11 +791,12 @@ def test_pp_33b_step_compiles_within_stage_hbm():
     used = (ma.argument_size_in_bytes + ma.temp_size_in_bytes
             + ma.output_size_in_bytes - ma.alias_size_in_bytes)
     hbm = 16 * 1024**3
-    # per-stage packed-int4 33B weights ≈ 4.2 GB args; temps must leave the
-    # total inside the chip (margin for XLA:TPU vs XLA:CPU layout deltas)
-    assert used < 0.85 * hbm, (
-        f"33B pp=4 stage working set {used / 1024**3:.2f} GiB exceeds "
-        f"budget: args={ma.argument_size_in_bytes / 1024**3:.2f} "
+    # per-stage quantized 33B weights (≈4.2 GB packed int4 / 8.0 GB int8)
+    # are the args; temps must leave the total inside the chip (margin for
+    # XLA:TPU vs XLA:CPU layout deltas)
+    assert used < budget_frac * hbm, (
+        f"33B pp=4 {quant} stage working set {used / 1024**3:.2f} GiB "
+        f"exceeds budget: args={ma.argument_size_in_bytes / 1024**3:.2f} "
         f"temps={ma.temp_size_in_bytes / 1024**3:.2f} "
         f"out={ma.output_size_in_bytes / 1024**3:.2f}")
     # and the arguments really are stage-sharded, not replicated: the full

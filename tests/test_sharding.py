@@ -555,3 +555,30 @@ def test_dp_flash_dispatch_matches_einsum_path():
     for a, w in zip(flat_f, flat_e):
         np.testing.assert_allclose(np.asarray(a), np.asarray(w),
                                    rtol=0.1, atol=5e-3)
+
+
+def test_manual_axes_detects_shard_map_context():
+    """core/mesh.manual_axes must see axes bound Manual inside a shard_map
+    body — every nested-context dispatch (pallas_mesh_dispatch, the sp
+    flash wrappers, the weight-only dequant taint) keys off it. Regression
+    for a silent dead-code bug: str(AxisType.Manual) == 'AxisType.Manual'
+    (repr is 'Manual'), so a str(t) == 'Manual' comparison matched nothing
+    and every nested detection downstream was inert."""
+    from flipped_tpu.core.mesh import manual_axes
+    devs = cpu8()
+    mesh = make_mesh(MeshConfig(dp=2, pp=2), devices=devs[:4])
+    seen = {}
+
+    def f(x):
+        seen["inside"] = manual_axes()
+        return x * 2
+
+    with jax.set_mesh(mesh):
+        seen["outside"] = manual_axes()
+        # partial-auto shard_map can't run eagerly (CLAUDE.md) — jit it
+        out = jax.jit(jax.shard_map(f, in_specs=P("pp"), out_specs=P("pp"),
+                                    axis_names={"pp"}, check_vma=False))(
+            jnp.ones((4,), jnp.float32))
+    np.testing.assert_array_equal(np.asarray(out), 2.0)
+    assert seen["outside"] == frozenset()
+    assert seen["inside"] == frozenset({"pp"})
