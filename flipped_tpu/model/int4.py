@@ -204,9 +204,12 @@ int4_matmul_xla = _make_int4_matmul(
 # --- w4a8: int8 activations × unpacked int4 weights on the MXU ---------------
 
 def _w4a8_xla_impl(x, kq4, scale_g):
-    from .int8 import _grouped_matmul_impl
+    # batched dot below _BATCHED_INTERMEDIATE_LIMIT, lax.scan above (the
+    # (G, M, N) f32 intermediate is multi-GB at 7B+ shapes — int8.py)
+    from .int8 import _grouped_xla_pick
     kq4, scale_g = _ad_taint(x, kq4, scale_g)
-    return _grouped_matmul_impl(x, unpack_int4(kq4), scale_g)
+    kq = unpack_int4(kq4)
+    return _grouped_xla_pick(x, kq, scale_g)(x, kq, scale_g)
 
 
 def _w4a8_impl(x, kq4, scale_g):

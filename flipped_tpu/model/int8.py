@@ -345,19 +345,39 @@ def pallas_mesh_dispatch(pallas_fn, xla_fn, xla_sharded_fn, x, *consts):
     return xla_sharded_fn(x, *consts)
 
 
+# Above this (G, M, N) f32 intermediate size the batched-dot grouped
+# formulation is swapped for the lax.scan one on non-Pallas lowerings —
+# at 7B+ eval/serving shapes the batched dot costs multi-GB of HBM per
+# matmul (one 13B cached-eval step compiled to 54.9 GiB of temps), while
+# the scan keeps a single (M, N) accumulator live. Static-shape decision
+# at trace time; tiny (test/CPU-dev) shapes keep the faster batched dot.
+_BATCHED_INTERMEDIATE_LIMIT = 1 << 30
+
+
+def _grouped_xla_pick(x, kq, scale_g):
+    """Batched-dot or scan grouped formulation by static intermediate size
+    (numerics agree to f32 sum order; gradients share one backward)."""
+    m = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+    inter = int(scale_g.shape[0]) * m * int(kq.shape[-1]) * 4
+    return (_grouped_matmul_impl if inter <= _BATCHED_INTERMEDIATE_LIMIT
+            else _grouped_matmul_scan)
+
+
 def _grouped_dispatch(x, kq, scale_g):
     # On TPU the Pallas kernel keeps the per-group reduction in VMEM; the
     # XLA batched-dot formulation materializes a (G, M, N) f32 intermediate
-    # in HBM (multi-GB at 7B shapes). Numerics are identical — the XLA path
-    # remains the oracle in tests and the CPU/interpret fallback. Dispatch
-    # happens per lowering platform (platform_dependent), so a CPU-placed
-    # computation on a TPU-default host still gets the XLA path; on a
-    # multi-device mesh pallas_mesh_dispatch shard_maps over 'dp' (the scan
-    # formulation covers every other sharded layout).
+    # in HBM (multi-GB at 7B shapes — above _BATCHED_INTERMEDIATE_LIMIT the
+    # scan formulation is used instead). Numerics are identical — the XLA
+    # path remains the oracle in tests and the CPU/interpret fallback.
+    # Dispatch happens per lowering platform (platform_dependent), so a
+    # CPU-placed computation on a TPU-default host still gets the XLA path;
+    # on a multi-device mesh pallas_mesh_dispatch shard_maps over 'dp' (the
+    # scan formulation covers every other sharded layout).
     from .pallas.quant_matmul import grouped_matmul_pallas, pallas_supported
+    xla_fn = _grouped_xla_pick(x, kq, scale_g)
     if not pallas_supported(x, kq, scale_g):
-        return _grouped_matmul_impl(x, kq, scale_g)
-    return pallas_mesh_dispatch(grouped_matmul_pallas, _grouped_matmul_impl,
+        return xla_fn(x, kq, scale_g)
+    return pallas_mesh_dispatch(grouped_matmul_pallas, xla_fn,
                                 _grouped_matmul_scan, x, kq, scale_g)
 
 

@@ -150,7 +150,22 @@ def main():
     for s, d, l in nondefault[:12]:
         print(f"    {d}{list(s)} -> {l}", file=sys.stderr)
 
-    frozen_auto = jax.device_put(frozen, frz_fmts)
+    # Move the frozen tree into the AUTO layouts LEAF-WISE, deleting each
+    # source buffer as soon as its copy lands: a whole-tree device_put
+    # holds two full weight sets (2×7 GB at 7B w8a8) and OOMs a 16 GB chip
+    # alongside the leg-1 executable's reservations.
+    tr, opt = None, None  # drop leg-1 donated-chain outputs
+    flat_frozen, fdef = jax.tree_util.tree_flatten(frozen)
+    del frozen
+    flat_fmts2 = jax.tree_util.tree_leaves(frz_fmts)
+    moved = []
+    for leaf, fmt in zip(flat_frozen, flat_fmts2):
+        new = jax.device_put(leaf, fmt)
+        jax.block_until_ready(new)
+        leaf.delete()
+        moved.append(new)
+    del flat_frozen
+    frozen_auto = jax.tree_util.tree_unflatten(fdef, moved)
     tr2, opt2 = fresh()
     t0 = time.perf_counter()
     tr2, opt2, m2 = compiled(tr2, opt2, frozen_auto, batch)
