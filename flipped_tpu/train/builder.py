@@ -121,8 +121,12 @@ def build_train_state(run_cfg: RunConfig, seed: int = 0,
     tokenizer = load_tokenizer(tok_path if os.path.exists(tok_path) else "",
                                n_words=cfg.vocab_size)
     if tokenizer.n_words != cfg.vocab_size:
+        size = (os.path.getsize(tok_path) if os.path.exists(tok_path)
+                else "<missing>")
         raise ValueError(
-            f"tokenizer vocab ({tokenizer.n_words}, from {tok_path}) != model "
+            f"tokenizer vocab ({tokenizer.n_words}, "
+            f"{type(tokenizer).__name__} from {tok_path}, "
+            f"file size {size}) != model "
             f"vocab_size ({cfg.vocab_size}) — embedding lookups would go out "
             f"of bounds (NaN loss). Use a matching --model preset or "
             f"--tokenizer_path.")

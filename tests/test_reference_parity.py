@@ -74,6 +74,7 @@ def reference_modules(tmp_path_factory):
             return ""
 
     fake_sp.SentencePieceProcessor = SentencePieceProcessor
+    added_sp = "sentencepiece" not in sys.modules
     sys.modules.setdefault("sentencepiece", fake_sp)
 
     # CPU shims: .cuda() → identity; .half() → identity (compare in f32)
@@ -85,7 +86,14 @@ def reference_modules(tmp_path_factory):
     sys.path.insert(0, REFERENCE)
     import llama.model as ref_model
     import llama.model_my_original_mod as ref_model_mod
-    return ref_model, ref_model_mod
+    yield ref_model, ref_model_mod
+
+    # Un-poison sys.modules: the 512-vocab sentencepiece shim must not leak
+    # past this module, or a later in-process `import sentencepiece` (the
+    # real-tokenizer CLI path) binds to it and reports the wrong vocab —
+    # an order-dependent cross-file failure.
+    if added_sp:
+        sys.modules.pop("sentencepiece", None)
 
 
 def ref_args(tmp_path):

@@ -60,10 +60,12 @@ def ref_tokenizer(tmp_path_factory):
             return MOCK.decode(ids)
 
     fake_sp.SentencePieceProcessor = SentencePieceProcessor
+    prior_sp = sys.modules.get("sentencepiece")
     sys.modules["sentencepiece"] = fake_sp
     # the reference dataloader package imports pysrt at package level
     fake_pysrt = types.ModuleType("pysrt")
     fake_pysrt.open = lambda *a, **k: []
+    added_pysrt = "pysrt" not in sys.modules
     sys.modules.setdefault("pysrt", fake_pysrt)
     for mod in list(sys.modules):
         if mod == "llama" or mod.startswith("llama."):
@@ -80,7 +82,19 @@ def ref_tokenizer(tmp_path_factory):
                          args=Namespace(is_generation_task=generation,
                                         debug=False))
 
-    return make
+    yield make
+
+    # Un-poison sys.modules: leaving the 512-vocab fake installed makes any
+    # LATER in-process `import sentencepiece` (e.g. load_tokenizer's real
+    # tokenizer.model path in the CLI tests) silently bind to the shim and
+    # report the wrong vocab — an order-dependent failure that only shows
+    # when whole files run together.
+    if prior_sp is None:
+        sys.modules.pop("sentencepiece", None)
+    else:
+        sys.modules["sentencepiece"] = prior_sp
+    if added_pysrt:
+        sys.modules.pop("pysrt", None)
 
 
 def sample_text():
